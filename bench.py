@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": N, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query executes fully through the noop sink (no driver-side collect,
+no result materialization cost — pure engine time).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+# Headline set: one representative per operator family, weighted toward the
+# shuffle/join/agg-heavy paths that dominate at scale.
+HEADLINE = [
+    "join_star",
+    "agg_basic",
+    "join_broadcast",
+    "wordcount",
+    "inverted_index",
+    "window_rank",
+    "window_tumbling",
+    "dedup_exact",
+    "dedup_near",
+    "knn_cosine",
+    "text_stats",
+    "topk",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from pythonmapreduce_spark.session import get_spark
+    from pythonmapreduce_spark.plans import registry
+
+    spark = get_spark("pythonmapreduce-spark-bench", cpus=cpus)
+    registry.load_all()
+
+    # Warm the JVM/codegen paths once with a trivial action.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,221 @@
+"""Scalar function families: string / date / math / array / json / case / cast.
+
+The reference's entire scalar surface is ``str.split`` / ``str.strip`` /
+``int(x, 10)`` inside user functions (/root/reference/mapreduce_wc.py:4,10;
+master.py:32 — SURVEY §2.2). Here the families are built-in Column
+expressions — JVM-side, inside whole-stage codegen, no Python in the hot
+path.
+
+Dialect notes (Spark vs the DuckDB oracle) — each query picks forms with
+identical semantics on both engines:
+- ``ceil/floor``: Spark returns LONG, DuckDB returns DOUBLE → oracle casts.
+- double→int casts: Spark truncates toward zero, DuckDB rounds → oracle uses
+  TRUNC before the cast.
+- ``year/month/...``: Spark INT vs DuckDB BIGINT → both cast to BIGINT.
+- regexes kept to the RE2∩Java-regex common subset.
+- double→string formatting differs → never cast doubles to strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pythonmapreduce_spark.catalog import load
+from pythonmapreduce_spark.plans.registry import register
+
+
+@register(
+    "string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name)                                   AS name_upper,
+           LOWER(p_brand)                                  AS brand_lower,
+           SUBSTR(p_type, 1, 5)                            AS type_prefix,
+           TRIM(CONCAT(p_brand, ' ', p_name))              AS brand_name,
+           LENGTH(p_name)                                  AS name_len,
+           REGEXP_EXTRACT(p_type, '([a-z]+)', 1)           AS first_word,
+           REPLACE(p_brand, '#', '-')                      AS brand_dashed,
+           LPAD(CAST(p_partkey AS VARCHAR), 10, '0')       AS key_padded
+    FROM part
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/substr/trim/concat/length/regexp_extract/replace/lpad."""
+    return load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.trim(F.concat(F.col("p_brand"), F.lit(" "), F.col("p_name"))).alias("brand_name"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_extract("p_type", "([a-z]+)", 1).alias("first_word"),
+        F.replace(F.col("p_brand"), F.lit("#"), F.lit("-")).alias("brand_dashed"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS BIGINT)       AS order_year,
+           CAST(MONTH(o_orderdate) AS BIGINT)      AS order_month,
+           CAST(DAYOFMONTH(o_orderdate) AS BIGINT) AS order_day,
+           DATE_TRUNC('month', o_orderdate)        AS month_start,
+           CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+                                                   AS days_since_epoch_start,
+           CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS VARCHAR)
+                                                   AS due_date
+    FROM orders
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day/date_trunc/datediff/date_add over orders."""
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        # dates go out as ISO strings: DATE-typed values round-trip through
+        # pandas as midnight timestamps on one engine and dates on the
+        # other, which breaks representation-independent hashing.
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("string").alias("due_date"),
+    )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1)                    AS price_round,
+           ABS(l_discount - 0.05)                       AS disc_dev,
+           CAST(CEIL(l_quantity) AS BIGINT)             AS qty_ceil,
+           CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           ROUND(SQRT(l_quantity), 4)                   AS qty_sqrt,
+           ROUND(POWER(1 + l_tax, 2), 6)                AS tax_sq,
+           MOD(l_orderkey, 7)                           AS key_mod,
+           ROUND(LN(l_extendedprice), 6)                AS price_ln
+    FROM lineitem
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/sqrt/power/mod/ln over lineitem."""
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_round"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
+        F.round(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+    )
+
+
+@register(
+    "array_funcs",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(LEN(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)
+               AS n_tokens,
+           list_contains(string_split_regex(text, '\s+'), 'data') AS has_data,
+           ARRAY_TO_STRING(
+               list_sort(list_filter(string_split_regex(text, '\s+'), x -> x <> '')),
+               ' ') AS tokens_sorted
+    FROM documents
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → size / array_contains / array_sort (joined back to a
+    string so the value-hash is representation-independent)."""
+    tokens = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens).cast("long").alias("n_tokens"),
+        F.array_contains(F.split(F.col("text"), r"\s+"), "data").alias("has_data"),
+        F.array_join(F.array_sort(tokens), " ").alias("tokens_sorted"),
+    )
+
+
+@register(
+    "json_funcs",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')                  AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)  AS k_num
+    FROM events
+    """,
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events.props JSON column."""
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_num"),
+    )
+
+
+@register(
+    "case_null",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END                    AS bal_tier,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked,
+           CASE WHEN c_acctbal IS NULL THEN 0.0 ELSE ROUND(c_acctbal, 2) END AS bal_filled
+    FROM customer
+    """,
+)
+def case_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN chains + coalesce/nullif/null tests."""
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_tier"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("seg_masked"),
+        F.when(F.col("c_acctbal").isNull(), F.lit(0.0))
+        .otherwise(F.round(F.col("c_acctbal"), 2))
+        .alias("bal_filled"),
+    )
+
+
+@register(
+    "cast_types",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR)               AS key_str,
+           CAST(TRUNC(o_totalprice) AS BIGINT)       AS price_int,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+           CAST(epoch(o_orderdate) AS BIGINT)        AS ts_epoch,
+           CAST('42' AS BIGINT)                      AS const_num,
+           (o_orderkey % 2 = 1)                      AS key_odd
+    FROM orders
+    """,
+)
+def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string↔numeric↔timestamp↔boolean casts.
+
+    Oracle-side TRUNC before the double→int cast because DuckDB rounds
+    while Spark truncates; epoch via unix_timestamp (UTC session TZ).
+    """
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_totalprice").cast("long").alias("price_int"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+        F.unix_timestamp("o_orderdate").alias("ts_epoch"),
+        F.lit("42").cast("long").alias("const_num"),
+        (F.col("o_orderkey") % 2 == 1).alias("key_odd"),
+    )

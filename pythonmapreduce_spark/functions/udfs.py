@@ -1,0 +1,95 @@
+"""UDF surface: vectorized scalar UDFs and grouped-map UDAFs.
+
+This supersedes the reference's UDF mechanism — marshal-serialized bare code
+objects rebuilt with an empty globals dict (/root/reference/mapper_node.py:
+55-56, mapreduce_wc.py:13-16; no closures, no imports) — with cloudpickled,
+Arrow-vectorized Pandas UDFs.
+
+Performance contract: everything here is Arrow-batched (pandas_udf /
+applyInPandas), never row-at-a-time Python. The scalar UDF processes a
+pd.Series per batch; the grouped UDAF gets one pandas DataFrame per group.
+At 100 TB the grouped path shuffles once on the group key — same shape as a
+built-in aggregation — and group size, not table size, bounds worker memory.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pythonmapreduce_spark.catalog import load
+from pythonmapreduce_spark.plans.registry import register
+
+
+@F.pandas_udf(T.LongType())
+def _token_count_udf(texts: pd.Series) -> pd.Series:
+    """Reference-contract tokenizer (split \\s+, drop empties), vectorized."""
+    return texts.str.split().map(len).astype("int64")
+
+
+@register(
+    "udf_scalar",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(LEN(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT)
+               AS n_tokens_udf
+    FROM documents
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas (Arrow-vectorized) scalar UDF with SQL-expressible semantics:
+    the reference's tokenizer as a count. ``str.split()`` with no argument
+    is exactly the reference's whitespace contract
+    (/root/reference/mapreduce_wc.py:4)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", _token_count_udf(F.col("text")).alias("n_tokens_udf")
+    )
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group z-score of o_totalprice (sample stddev, ddof=1).
+
+    Singleton groups are dropped (stddev undefined) — the oracle's QUALIFY
+    mirrors this, so neither side emits NaN/NULL rows.
+    """
+    if len(pdf) < 2:
+        return pdf.iloc[0:0].assign(z_price=pd.Series(dtype="float64"))
+    mean = pdf["o_totalprice"].mean()
+    std = pdf["o_totalprice"].std(ddof=1)
+    z = (pdf["o_totalprice"] - mean) / std
+    return pd.DataFrame(
+        {
+            "o_custkey": pdf["o_custkey"],
+            "o_orderkey": pdf["o_orderkey"],
+            "o_totalprice": pdf["o_totalprice"],
+            "z_price": z.round(4),
+        }
+    )
+
+
+@register(
+    "udaf_grouped",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROUND((o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_custkey))
+                 / STDDEV_SAMP(o_totalprice) OVER (PARTITION BY o_custkey), 4) AS z_price
+    FROM orders
+    QUALIFY COUNT(*) OVER (PARTITION BY o_custkey) >= 2
+    """,
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF via applyInPandas: z-score normalize each customer's
+    order prices. The oracle is the equivalent window-function SQL, so this
+    exercises the Python grouped path against a pure-SQL twin."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .groupBy("o_custkey")
+        .applyInPandas(
+            _zscore_group,
+            schema="o_custkey long, o_orderkey long, o_totalprice double, z_price double",
+        )
+    )

@@ -1,0 +1,216 @@
+"""Aggregation operators: hash agg, distinct agg, having, rollup/cube/
+grouping sets, approximate sketches.
+
+The reference's only aggregate is the user reduce-fn applied per key with NO
+partial aggregation — every (word, 1) pair individually crosses the network
+(/root/reference/mapper_node.py:23-37 has no combine step; SURVEY §4.1).
+Spark's HashAggregate(partial) → Exchange → HashAggregate(final) is the
+single biggest structural win at scale: only (group, partial-state) rows
+shuffle, not input rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pythonmapreduce_spark.catalog import load
+from pythonmapreduce_spark.plans.registry import register
+
+
+@register(
+    "agg_basic",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                           AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)        AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6)
+                               AS DECIMAL(28,6))), 2) AS DOUBLE)    AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                           AS avg_price,
+           ROUND(AVG(l_discount), 4)                                AS avg_disc,
+           COUNT(*)                                                 AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: the canonical wide hash aggregate (8 aggs, 2 group keys).
+
+    Float policy (cross-engine hash stability): disc_price has exactly 4
+    true decimals (2dp price × 2dp discount) so ROUND(sum, 4) is exact on
+    both engines; charge has 6 true decimals and large sums, so it goes
+    through an exact DECIMAL accumulation (round-half drift on doubles is
+    otherwise possible at the cent boundary).
+    """
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(F.round(charge, 6).cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*)                  AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate (planned as a two-phase expand+agg by Catalyst)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT l_partkey, ROUND(SUM(l_quantity), 2) AS total_qty,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING SUM(l_quantity) > 150
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .where(F.col("_raw_qty") > 150)
+        .drop("_raw_qty")
+    )
+
+
+# GROUPING-SETS family. DuckDB and Spark both emit NULL for the rolled-up
+# dimension and support GROUPING() — we include grouping IDs so subtotal rows
+# are unambiguous in the order-insensitive hash.
+
+
+@register(
+    "rollup_op",
+    oracle="""
+    SELECT n_name, c_mktsegment,
+           GROUPING(n_name)      AS g_nation,
+           GROUPING(c_mktsegment) AS g_segment,
+           ROUND(SUM(c_acctbal), 2) AS total_bal,
+           COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+)
+def rollup_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: (nation, segment) → (nation) → ()."""
+    joined = _customer_nation(spark, sf_dir)
+    return joined.rollup("n_name", "c_mktsegment").agg(
+        F.grouping("n_name").cast("long").alias("g_nation"),
+        F.grouping("c_mktsegment").cast("long").alias("g_segment"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@register(
+    "cube_op",
+    oracle="""
+    SELECT n_name, c_mktsegment,
+           GROUPING(n_name)      AS g_nation,
+           GROUPING(c_mktsegment) AS g_segment,
+           ROUND(SUM(c_acctbal), 2) AS total_bal,
+           COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY CUBE (n_name, c_mktsegment)
+    """,
+)
+def cube_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping combinations of (nation, segment)."""
+    joined = _customer_nation(spark, sf_dir)
+    return joined.cube("n_name", "c_mktsegment").agg(
+        F.grouping("n_name").cast("long").alias("g_nation"),
+        F.grouping("c_mktsegment").cast("long").alias("g_segment"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@register(
+    "grouping_sets",
+    oracle="""
+    SELECT n_name, c_mktsegment,
+           GROUPING(n_name)      AS g_nation,
+           GROUPING(c_mktsegment) AS g_segment,
+           ROUND(SUM(c_acctbal), 2) AS total_bal,
+           COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — via the SQL API (same Catalyst Expand plan)."""
+    _customer_nation(spark, sf_dir).createOrReplaceTempView("_gs_cust_nation")
+    return spark.sql(
+        """
+        SELECT n_name, c_mktsegment,
+               CAST(GROUPING(n_name) AS BIGINT)       AS g_nation,
+               CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_segment,
+               ROUND(SUM(c_acctbal), 2) AS total_bal,
+               COUNT(*) AS n_customers
+        FROM _gs_cust_nation
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        """
+    )
+
+
+def _customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("n_name", "c_mktsegment", "c_acctbal")
+
+
+@register("approx_distinct")  # approximate → rows-only check (no oracle)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type.
+
+    The sketch is mergeable: partial HLL registers per partition, merged at
+    the exchange — constant memory per group regardless of input size, the
+    only sane distinct-count at 100 TB. rsd=0.01 ⇒ ~1% error.
+    """
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+    )

@@ -1,0 +1,252 @@
+"""Join operators.
+
+The reference has NO join operator of any kind (SURVEY §2.2: the fixed
+``{job_id}_input`` wiring at /root/reference/master.py:33 cannot express two
+map stages meeting on a key). This module supplies the full join surface the
+new engine declares: inner/left/semi/anti, broadcast dim joins, non-equi
+range joins, and the multi-way star join that is the engine's flagship path.
+
+Scale notes (100 TB):
+- Fact⋈fact joins (lineitem⋈orders) shuffle on the join key — both sides
+  hash-partitioned by Catalyst; AQE handles skew splitting.
+- Dim joins (nation/region, fixed cardinality) are ALWAYS broadcast — an
+  explicit ``F.broadcast`` hint so the plan never degrades to a shuffle even
+  if stats are missing.
+- The range join is banded: each side is bucketed by price band so the
+  theta-join becomes an equi-join on band + residual filter, avoiding the
+  O(n²) nested-loop cross product (same trick as banded as-of joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pythonmapreduce_spark.catalog import load
+from pythonmapreduce_spark.plans.registry import register
+
+# Date window used by the star-join queries (within orders' 1995..2001 span).
+_STAR_LO = "1996-01-01"
+_STAR_HI = "1998-01-01"
+
+
+def star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q5-style star join over the full fact chain.
+
+    lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region, date-filtered, revenue
+    per (region, nation), sorted. Exercises scan+pushdown, two shuffle
+    joins, two broadcast joins, partial aggregation, sort, in one plan.
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(_STAR_LO)) & (F.col("o_orderdate") < F.lit(_STAR_HI))
+    )
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "inner")
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"), "inner")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"), "inner")
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(revenue), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+register(
+    "join_star",
+    oracle=f"""
+    SELECT r_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '{_STAR_LO}'
+      AND o_orderdate <  TIMESTAMP '{_STAR_HI}'
+    GROUP BY r_name, n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)(star_join)
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 150000
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain equi inner join (orders ⋈ customer) with a pushed-down filter."""
+    orders = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000)
+    customer = load(spark, sf_dir, "customer")
+    return orders.join(customer, F.col("o_custkey") == F.col("c_custkey"), "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_totalprice > 200000
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a join-side predicate (nulls preserved)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (F.col("o_totalprice") > 200000)
+    return customer.join(orders, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one urgent order."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no large (>400k) orders."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast(dim chain): supplier+nation broadcast to lineitem.
+
+    At 100 TB, lineitem never shuffles here — both dims replicate to every
+    executor; the aggregation does a map-side partial before its exchange.
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    dim = supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"), "inner")
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 4).alias("revenue"))
+    )
+
+
+@register(
+    "join_range",
+    oracle="""
+    SELECT p1.p_partkey AS k1, p2.p_partkey AS k2,
+           p1.p_retailprice AS price1, p2.p_retailprice AS price2
+    FROM part p1 JOIN part p2
+      ON p1.p_partkey <> p2.p_partkey
+     AND p1.p_retailprice BETWEEN p2.p_retailprice AND p2.p_retailprice * 1.01
+    WHERE p1.p_partkey <= 100 AND p2.p_partkey <= 100
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/theta) join: parts within +1% of another part's price.
+
+    Implementation is BANDED, not nested-loop: each left row is assigned to
+    the price bands its window can overlap, then an equi-join on band plus a
+    residual filter. Equi-join ⇒ hash join ⇒ scales linearly with data per
+    band instead of O(n²) — the standard interval-bucketing strategy for
+    range joins at scale.
+    """
+    part = load(spark, sf_dir, "part").where(F.col("p_partkey") <= 100)
+    band_width = 25.0  # ≥ max window width (1% of max retailprice ~ 21)
+
+    p2 = part.select(
+        F.col("p_partkey").alias("k2"),
+        F.col("p_retailprice").alias("price2"),
+        F.floor(F.col("p_retailprice") / band_width).cast("long").alias("band"),
+    )
+    # Left rows probe their own band and the next one (window spans ≤ 2 bands
+    # because band_width ≥ window width).
+    p1 = (
+        part.select(
+            F.col("p_partkey").alias("k1"),
+            F.col("p_retailprice").alias("price1"),
+            F.floor(F.col("p_retailprice") / band_width).cast("long").alias("b0"),
+        )
+        .withColumn("band", F.explode(F.array(F.col("b0") - 1, F.col("b0"))))
+        .drop("b0")
+    )
+    return (
+        p1.join(p2, "band", "inner")
+        .where(
+            (F.col("k1") != F.col("k2"))
+            & (F.col("price1") >= F.col("price2"))
+            & (F.col("price1") <= F.col("price2") * 1.01)
+        )
+        .select("k1", "k2", "price1", "price2")
+    )
+
+
+@register(
+    "subquery_in",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    )
+    """,
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery, decorrelated to a left-semi join (what Catalyst's
+    RewritePredicateSubquery produces for SQL IN as well)."""
+    orders = load(spark, sf_dir, "orders")
+    top_cust = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    return orders.join(
+        top_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")

@@ -1,0 +1,174 @@
+"""Scan / project / filter / distinct / set-ops / sort / top-k.
+
+The reference can only express projection or filtering *inside* a user map
+function, after the full dataset has already crossed the network twice
+(SURVEY §2.2; /root/reference/master.py:27-40 always ships whole lines).
+Here every one of these is declarative, so Catalyst pushes predicates and
+projections into the parquet scan — at 100 TB the scan reads only the
+row-groups and columns the query touches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pythonmapreduce_spark.catalog import load
+from pythonmapreduce_spark.plans.registry import register
+
+
+@register(
+    "scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROUND(l_extendedprice * (1 - l_discount), 4) AS revenue
+    FROM lineitem
+    """,
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + computed column; scan reads only the 5 needed columns."""
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4).alias("revenue"),
+    )
+
+
+@register(
+    "filter_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+    FROM lineitem
+    WHERE (l_quantity BETWEEN 10 AND 20 AND l_discount > 0.05)
+       OR (l_returnflag IN ('R', 'A') AND l_quantity < 5)
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound AND/OR/BETWEEN/IN predicate, pushed to the parquet scan."""
+    li = load(spark, sf_dir, "lineitem")
+    cond = (
+        (F.col("l_quantity").between(10, 20)) & (F.col("l_discount") > 0.05)
+    ) | ((F.col("l_returnflag").isin("R", "A")) & (F.col("l_quantity") < 5))
+    return li.where(cond).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag"
+    )
+
+
+@register(
+    "distinct_vals",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+)
+def distinct_vals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct on a low-cardinality column (partial-agg dedup before the
+    exchange, so at scale only distinct values shuffle, not rows)."""
+    return load(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+def _seg_keys(spark: SparkSession, sf_dir: str, segment: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == segment)
+        .select("c_custkey")
+    )
+
+
+def _bal_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+
+
+@register(
+    "union_all",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics — duplicates kept, no shuffle at all)."""
+    return _seg_keys(spark, sf_dir, "BUILDING").unionAll(_bal_keys(spark, sf_dir))
+
+
+@register(
+    "intersect_op",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def intersect_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics; Catalyst plans it as an aggregate+semi-join)."""
+    return _seg_keys(spark, sf_dir, "BUILDING").intersect(_bal_keys(spark, sf_dir))
+
+
+@register(
+    "except_op",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def except_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics → Spark ``exceptAll`` on distinct input)."""
+    return _seg_keys(spark, sf_dir, "BUILDING").distinct().exceptAll(
+        _bal_keys(spark, sf_dir).distinct()
+    )
+
+
+@register(
+    "sort_multi",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+    """,
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column global sort with a unique-key tiebreak.
+
+    Global sorts range-partition (sample → range exchange → per-partition
+    sort); at 100 TB this is the one operator where output partitioning is
+    dictated by the sort, so it sits last in the plan.
+    """
+    return (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy(
+            F.col("o_orderpriority").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        )
+    )
+
+
+@register(
+    "topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by price with deterministic tiebreak.
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject: each partition
+    keeps its local top-k and only k rows per partition reach the driver —
+    no global sort, no full shuffle. This is the scalable top-k at 100 TB.
+    """
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )

@@ -1,0 +1,280 @@
+r"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, each with a different cost/recall point at 100 TB:
+- exact (hash groupBy): one shuffle on a 64-hex digest, keep min doc_id.
+- near-dup via MinHash+LSH: shingle → k minhashes → band → bucket join.
+  Candidate generation is linear in corpus size (each doc emits B band
+  keys); only same-bucket pairs are verified. No O(n²) anywhere.
+- SimHash: 64-bit signature per doc (Arrow-vectorized), Hamming-ball
+  candidate pairs via 4×16-bit band buckets (pigeonhole: distance ≤ 3 ⇒
+  at least one of 4 bands equal).
+- n-gram Jaccard: exact verification metric, run only on candidate pairs
+  (or bounded subsets for the oracle twin).
+
+The reference's nearest concept is the inverted index's per-key distinct
+set (/root/reference/mapreduce_inverted.py:11) — dedup generalizes "group
+identical keys" to "group near-identical documents".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pythonmapreduce_spark.catalog import load
+from pythonmapreduce_spark.plans.registry import register
+from pythonmapreduce_spark.sources.text_corpus import tokens_col
+
+# MinHash parameters: 64 hashes in 16 bands of 4 rows ⇒ candidate-pair
+# probability ~ 1-(1-j^4)^16 (steep S-curve around j≈0.7).
+_NUM_HASHES = 64
+_BANDS = 16
+_ROWS_PER_BAND = _NUM_HASHES // _BANDS
+_MERSENNE = (1 << 31) - 1  # universal-hash modulus (fits products in int64)
+_M32 = 1 << 32
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per identical text.
+
+    Hash first (sha2-256), so the shuffle key is a fixed 64-byte digest
+    rather than the document body — at 100 TB only (digest, doc_id, meta)
+    columns move, never text. Window row_number picks the survivor
+    deterministically.
+    """
+    w = W.partitionBy("text_hash").orderBy("doc_id")
+    return (
+        load(spark, sf_dir, "documents")
+        .withColumn("text_hash", F.sha2("text", 256))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def _shingles(tokens: F.Column, n: int = 3) -> F.Column:
+    """n-gram token shingles via a sequence of slice positions (pure
+    Column expressions — JVM-side, no UDF)."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.array_join(F.slice(tokens, i, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(tokens, " ")))
+
+
+def _minhash_signature(shingles: F.Column) -> F.Column:
+    """64 minhash values from one base xxhash64 per shingle.
+
+    Universal hashing h_i(x) = (a_i * x + b_i) mod p over the 32-bit-folded
+    base hash; a_i/b_i are fixed odd constants so signatures are fully
+    deterministic across runs and engines.
+    """
+    base = F.array_distinct(F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_M32))))
+
+    def _universal(a: int, b: int):
+        # closure factory: a plain lambda with default args would change the
+        # visible arity pyspark infers for the higher-order function
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE))
+
+    sigs = []
+    for i in range(_NUM_HASHES):
+        a = 2 * i + 1 + 104729  # odd multipliers from a fixed prime offset
+        b = 7919 * (i + 1)
+        sigs.append(F.array_min(F.transform(base, _universal(a, b))))
+    return F.array(*sigs)
+
+
+def minhash_candidates(docs: DataFrame) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) from banded minhash signatures.
+
+    Linear pipeline: per doc emit one (band_idx, band_hash) key per band;
+    self-join on the band key produces only same-bucket pairs. The band
+    hash is xxhash64 of the band's slice of the signature.
+    """
+    sig = (
+        docs.select("doc_id", tokens_col().alias("toks"))
+        .select("doc_id", _shingles(F.col("toks")).alias("sh"))
+        .select("doc_id", _minhash_signature(F.col("sh")).alias("sig"))
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(F.slice(F.col("sig"), b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND), ",")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    left = bands.select(F.col("doc_id").alias("id_a"), "band", "bucket")
+    right = bands.select(F.col("doc_id").alias("id_b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _token_set_jaccard(a: F.Column, b: F.Column) -> F.Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / union
+
+
+@register("dedup_near")  # approximate candidate generation → rows-only
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs: MinHash-LSH candidates verified by exact
+    token-set Jaccard ≥ 0.6.
+
+    Verification joins the (small) candidate pair list back to the token
+    arrays — at scale this is two hash joins on doc_id, never a cross
+    product. Output is the verified pair list with its similarity.
+    """
+    docs = load(spark, sf_dir, "documents")
+    cands = minhash_candidates(docs)
+    toks = docs.select("doc_id", F.array_distinct(tokens_col()).alias("tset"))
+    ta = toks.select(F.col("doc_id").alias("id_a"), F.col("tset").alias("set_a"))
+    tb = toks.select(F.col("doc_id").alias("id_b"), F.col("tset").alias("set_b"))
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("jaccard", F.round(_token_set_jaccard(F.col("set_a"), F.col("set_b")), 4))
+        .where(F.col("jaccard") >= 0.6)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register(
+    "dedup_ngram",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                   AS tset
+        FROM documents
+        WHERE doc_id <= 300
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(LEN(list_intersect(a.tset, b.tset)) AS DOUBLE)
+                 / LEN(list_distinct(list_concat(a.tset, b.tset))), 4) AS jaccard
+    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(LEN(list_intersect(a.tset, b.tset)) AS DOUBLE)
+          / LEN(list_distinct(list_concat(a.tset, b.tset))) >= 0.4
+    """,
+)
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard over a bounded, lang-blocked pair space.
+
+    The oracle twin makes the *verification metric* of the LSH pipeline
+    independently checkable in SQL. Blocking on lang bounds the pair count;
+    doc_id ≤ 300 keeps the oracle cross-join tractable. (In production the
+    block key is the LSH bucket, not lang — see dedup_near.)
+    """
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+    toks = docs.select("doc_id", "lang", F.array_distinct(tokens_col()).alias("tset"))
+    a = toks.select(F.col("doc_id").alias("id_a"), "lang", F.col("tset").alias("set_a"))
+    b = toks.select(F.col("doc_id").alias("id_b"), "lang", F.col("tset").alias("set_b"))
+    jac = _token_set_jaccard(F.col("set_a"), F.col("set_b"))
+    return (
+        a.join(b, "lang")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(jac >= 0.4)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash dedup
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import types as T
+
+
+@F.pandas_udf(T.LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash per document, Arrow-vectorized.
+
+    Token hash = first 8 bytes of blake2b (deterministic across runs and
+    machines, unlike Python's salted hash()); signature bit j is the sign
+    of the sum over tokens of (+1/-1 per bit j).
+    """
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        toks = text.split() if isinstance(text, str) else []
+        if not toks:
+            continue
+        hs = np.frombuffer(
+            b"".join(hashlib.blake2b(t.encode(), digest_size=8).digest() for t in toks),
+            dtype=np.uint64,
+        )
+        # bits matrix: (n_tokens, 64) of {0,1} -> {+1,-1} summed per column
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+        votes = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for j in np.nonzero(votes > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(j)
+        out[i] = np.int64(sig)
+    return pd.Series(out)
+
+
+@register("dedup_simhash")  # signature-based → rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ 3.
+
+    Pigeonhole banding: split the 64-bit signature into 4×16-bit bands;
+    any pair within distance 3 agrees on ≥1 band, so an equi-join per band
+    finds all such pairs with zero cross product. bit_count verifies the
+    exact distance JVM-side.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _simhash64(F.col("text")).alias("sig")
+    )
+    bands = docs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    a = bands.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .distinct()
+    )

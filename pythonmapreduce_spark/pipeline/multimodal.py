@@ -1,0 +1,111 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Real pipelines carry image/audio/video as ``binary`` columns with a typed
+metadata struct, and run decode / feature-extraction as Arrow-batched
+Python over ``mapInPandas``. The decode libs (PIL/ffmpeg/librosa) are NOT
+in this container, so the *decode step* is stubbed — ``decode_image``
+raises NotImplementedError, and the registered query uses a deterministic
+fake extractor — while everything Spark-side is real and tested: the
+binary column, the metadata struct schema, the mapInPandas batch shape,
+and the partition-preserving plumbing.
+
+Scale notes: payload bytes never shuffle — feature extraction is a
+narrow ``mapInPandas`` over the scan, and only the (id, features) rows
+flow onward. Metadata-only predicates (width/height/format) prune before
+any decode runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pythonmapreduce_spark.catalog import load
+from pythonmapreduce_spark.plans.registry import register
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, width long, height long, channels long, mean_byte double"
+)
+
+
+def decode_image(payload: bytes):  # pragma: no cover - documented stub
+    """Decode an image payload to an ndarray. STUB: the image codec libs
+    are not available in this environment; swap in PIL/ffmpeg in
+    production. The Spark-side plumbing around this call is real."""
+    raise NotImplementedError("image codecs not available in this container")
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach the opaque binary payload + typed metadata struct.
+
+    The payload here is the UTF-8 text bytes standing in for an encoded
+    image; metadata (width/height/channels/format) is derived
+    deterministically so tests are reproducible.
+    """
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 640 + 32).cast("long").alias("width"),
+            (F.col("doc_id") % 480 + 32).cast("long").alias("height"),
+            F.lit(3).cast("long").alias("channels"),
+            F.lit("fake/raw").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched fake feature extractor (deterministic stand-in for a
+    real decoder): byte stats straight off the payload buffer."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n_bytes = payloads.map(len).astype("int64")
+
+        def _mean4(b: bytes) -> float:
+            if not len(b):
+                return 0.0
+            m = float(np.frombuffer(b, dtype=np.uint8).mean())
+            # round half away from zero (SQL ROUND), not banker's rounding
+            return float(np.floor(m * 10000 + 0.5) / 10000)
+
+        mean_byte = payloads.map(_mean4)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes,
+                "width": pdf["meta"].map(lambda m: m["width"]).astype("int64"),
+                "height": pdf["meta"].map(lambda m: m["height"]).astype("int64"),
+                "channels": pdf["meta"].map(lambda m: m["channels"]).astype("int64"),
+                "mean_byte": mean_byte.astype("float64"),
+            }
+        )
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(n_chars % 640 + 32 AS BIGINT)         AS width,
+           CAST(doc_id % 480 + 32 AS BIGINT)          AS height,
+           CAST(3 AS BIGINT)                          AS channels,
+           ROUND(list_avg(list_transform(string_split(text, ''), c -> ascii(c))), 4)
+               AS mean_byte
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction via mapInPandas.
+
+    The oracle cross-checks byte length and metadata in SQL, and — because
+    the synthetic payloads are ASCII — the per-byte mean via a char-level
+    list aggregation. With real image bytes only the rows-only check would
+    apply; the plumbing (schema, batching, narrow execution) is identical.
+    """
+    docs = with_payload(load(spark, sf_dir, "documents"))
+    return docs.mapInPandas(_extract_features, schema=FEATURE_SCHEMA)

@@ -1,0 +1,231 @@
+r"""Text analysis operators for training-data pipelines.
+
+Per-document statistics, language ID (marker-token heuristic), quality
+scoring (length/punctuation/stopword ratios), tokenizer comparison
+(whitespace vs BPE-ish regex), and content fingerprinting — all pure
+Column expressions (whole-stage codegen, no Python), each with a DuckDB
+oracle twin.
+
+These generalize the reference's only text op — whitespace word count
+(/root/reference/mapreduce_wc.py:3-11) — into the per-document feature
+extraction a corpus-curation pipeline runs before dedup/filtering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pythonmapreduce_spark.catalog import load
+from pythonmapreduce_spark.plans.registry import register
+from pythonmapreduce_spark.sources.text_corpus import tokens_col
+
+# Fixed marker vocabularies for the lang-id heuristic (unigram overlap —
+# the n=1 case of n-gram language ID). Deterministic and SQL-expressible.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("data", "query", "table", "join", "index"),
+    "es": ("datos", "consulta", "tabla", "indice", "союз"),
+    "de": ("daten", "abfrage", "tabelle", "verbund", "spalte"),
+}
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+@register(
+    "text_stats",
+    oracle=r"""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(LEN(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT)
+                   AS n_tokens,
+               n_chars
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*)                                   AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT)              AS total_tokens,
+           ROUND(AVG(n_tokens), 4)                    AS avg_tokens,
+           CAST(SUM(n_chars) AS BIGINT)               AS total_chars,
+           ROUND(AVG(n_chars), 4)                     AS avg_chars,
+           CAST(MAX(n_tokens) AS BIGINT)              AS max_tokens,
+           CAST(MIN(n_tokens) AS BIGINT)              AS min_tokens
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics over per-doc token/char counts."""
+    per_doc = load(spark, sf_dir, "documents").select(
+        "lang", F.size(tokens_col()).cast("long").alias("n_tokens"), "n_chars"
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+    )
+
+
+def _marker_array_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang]) + "]"
+
+
+@register(
+    "lang_id",
+    oracle=rf"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               LEN(list_intersect(
+                   list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> '')),
+                   {_marker_array_sql("en")})) AS s_en,
+               LEN(list_intersect(
+                   list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> '')),
+                   {_marker_array_sql("es")})) AS s_es,
+               LEN(list_intersect(
+                   list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> '')),
+                   {_marker_array_sql("de")})) AS s_de
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_de > s_en AND s_de > s_es THEN 'de'
+                WHEN s_es > s_en AND s_es >= s_de THEN 'es'
+                ELSE 'en' END AS predicted_lang,
+           CAST(GREATEST(s_en, s_es, s_de) AS BIGINT) AS marker_hits
+    FROM scored
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (unigram-overlap heuristic).
+
+    Scores each document's distinct-token overlap against fixed per-lang
+    marker sets; argmax with deterministic tiebreak en > es > de (matching
+    the oracle's CASE order). The heuristic mechanism is the point — the
+    synthetic corpus's text need not correlate with its lang column.
+    """
+    tset = F.array_distinct(tokens_col())
+    scores = {
+        lang: F.size(F.array_intersect(tset, F.array(*[F.lit(w) for w in words])))
+        for lang, words in _LANG_MARKERS.items()
+    }
+    pred = (
+        F.when((scores["de"] > scores["en"]) & (scores["de"] > scores["es"]), "de")
+        .when((scores["es"] > scores["en"]) & (scores["es"] >= scores["de"]), "es")
+        .otherwise("en")
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted_lang"),
+        F.greatest(*scores.values()).cast("long").alias("marker_hits"),
+    )
+
+
+_PUNCT_CLASS = r"[.,;:!?]"
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+@register(
+    "quality_score",
+    oracle=rf"""
+    WITH feat AS (
+        SELECT doc_id,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars_actual,
+               CAST(LEN(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT)
+                   AS n_tokens,
+               CAST(LENGTH(text) - LENGTH(regexp_replace(text, '{_PUNCT_CLASS}', '', 'g'))
+                    AS BIGINT) AS n_punct,
+               CAST(LEN(list_filter(string_split_regex(text, '\s+'),
+                                    t -> list_contains({_STOP_SQL}, t))) AS BIGINT)
+                   AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(CAST(n_punct AS DOUBLE) / GREATEST(n_chars_actual, 1), 6) AS punct_ratio,
+           ROUND(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1), 6)        AS stopword_ratio,
+           ROUND(CAST(n_chars_actual AS DOUBLE) / GREATEST(n_tokens, 1), 4) AS avg_token_len,
+           (n_tokens >= 5 AND n_tokens <= 5000
+            AND CAST(n_punct AS DOUBLE) / GREATEST(n_chars_actual, 1) < 0.2) AS passes_filter
+    FROM feat
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality features: punctuation ratio, stopword ratio, mean
+    token length, and a boolean keep/drop gate — the standard heuristic
+    pre-filter before expensive pipeline stages."""
+    toks = tokens_col()
+    n_chars_actual = F.length("text").cast("long")
+    n_tokens = F.size(toks).cast("long")
+    n_punct = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), _PUNCT_CLASS, ""))
+    ).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("long")
+    punct_ratio = F.round(n_punct.cast("double") / F.greatest(n_chars_actual, F.lit(1)), 6)
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        F.round(n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(n_chars_actual.cast("double") / F.greatest(n_tokens, F.lit(1)), 4).alias("avg_token_len"),
+        (
+            (n_tokens >= 5)
+            & (n_tokens <= 5000)
+            & (n_punct.cast("double") / F.greatest(n_chars_actual, F.lit(1)) < 0.2)
+        ).alias("passes_filter"),
+    )
+
+
+@register(
+    "token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(LEN(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT)
+               AS ws_tokens,
+           CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+               AS bpe_tokens
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""Token counting two ways: whitespace (the reference's contract) and a
+    BPE-ish pre-tokenizer regex (letter runs | digit runs | single
+    punctuation) — the standard cost estimate for LLM corpus sizing."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens_col()).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(COALESCE(list_sum(
+               list_transform(
+                   list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+                   (t, i) -> i * (ascii(t) * 7 + LENGTH(t)))), 0) AS BIGINT) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted rolling fingerprint over the token stream:
+    sum_i i * (ascii(t_i)*7 + len(t_i)). Order-sensitive (a permutation of
+    the same tokens fingerprints differently), overflow-free, and
+    bit-identical across engines — unlike murmur/xxhash which differ by
+    implementation."""
+    toks = tokens_col()
+    weighted = F.zip_with(
+        toks,
+        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+        lambda t, i: i.cast("long") * (F.ascii(t).cast("long") * 7 + F.length(t).cast("long")),
+    )
+    fp = F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.size(toks) > 0, fp).otherwise(F.lit(0).cast("long")).alias("fingerprint"),
+    )

@@ -1,0 +1,134 @@
+r"""Reference-parity jobs: word count, inverted index, grep.
+
+These are the reference's only two shipped jobs, re-expressed declaratively:
+- word count: map ``[(w, 1) for w in contents.split()]`` + reduce
+  ``sum(int(v, 10))`` (/root/reference/mapreduce_wc.py:3-11)
+- inverted index: map ``[(w, file_name)]`` + reduce ``list(set(files))``
+  (/root/reference/mapreduce_inverted.py:3-11)
+
+Tokenizer contract preserved exactly (SURVEY §2.1 fidelity list): split on
+``\s+``, drop empty tokens, case-SENSITIVE, punctuation kept. The
+reference's nondeterministic Python-set ordering for the inverted index is
+an artifact — we emit a sorted distinct list instead.
+
+Scale shape: explode → groupBy(word) is the canonical shuffle-heavy job; the
+map-side partial aggregation (HashAggregate(partial) before the exchange)
+ships one row per (word, partition) instead of one per token — the combiner
+the reference lacks entirely (/root/reference/mapper_node.py:23-37).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pythonmapreduce_spark.catalog import load
+from pythonmapreduce_spark.plans.registry import register
+
+
+def tokens_col(text_col: str = "text") -> F.Column:
+    r"""The engine-wide tokenizer contract: split \s+, drop empties."""
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+
+
+@register(
+    "wordcount",
+    oracle=r"""
+    SELECT word, COUNT(*) AS cnt
+    FROM (
+        SELECT UNNEST(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS word
+        FROM documents
+    )
+    GROUP BY word
+    """,
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference word count over documents.text (exact integer counts)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(tokens_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "inverted_index",
+    oracle=r"""
+    SELECT word, ARRAY_TO_STRING(list_sort(list_distinct(list(source))), ',') AS sources
+    FROM (
+        SELECT source,
+               UNNEST(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS word
+        FROM documents
+    )
+    GROUP BY word
+    """,
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference inverted index: token → sorted distinct source list.
+
+    ``collect_set`` is the distributed analog of the reference's
+    ``list(set(files))`` reduce; sort_array pins a deterministic order and
+    array_join makes the value-hash representation-independent.
+    """
+    return (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.array_join(F.sort_array(F.collect_set("source")), ",").alias("sources"))
+    )
+
+
+@register(
+    "grep_filter",
+    oracle="""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE contains(text, 'data')
+    """,
+)
+def grep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal-substring grep over the corpus (predicate on the scan)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").contains("data"))
+        .select("doc_id", "source", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text-file ingestion path (byte-level parity with the reference's corpus).
+# Not a driver query (paths are not sf_dir-relative); used by tests.
+# ---------------------------------------------------------------------------
+
+
+def read_text_corpus(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Ingest raw text files as (file_name, line) — the reference's input
+    shape (/root/reference/master.py:25-37) without the #\r# framing."""
+    return (
+        spark.read.text(paths)
+        .select(
+            F.input_file_name().alias("file_name"),
+            F.col("value").alias("line"),
+        )
+    )
+
+
+def wordcount_text(df: DataFrame) -> DataFrame:
+    """Word count over an ingested (file_name, line) corpus."""
+    toks = F.filter(F.split(F.col("line"), r"\s+"), lambda t: t != F.lit(""))
+    return (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def inverted_index_text(df: DataFrame) -> DataFrame:
+    """Inverted index over an ingested corpus: word → sorted distinct files."""
+    toks = F.filter(F.split(F.col("line"), r"\s+"), lambda t: t != F.lit(""))
+    return (
+        df.select("file_name", F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.sort_array(F.collect_set("file_name")).alias("files"))
+    )

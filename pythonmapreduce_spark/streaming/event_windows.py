@@ -1,0 +1,122 @@
+"""Event-time windowed aggregation (batch over the event-time axis).
+
+The reference is strictly batch with no notion of time (SURVEY §2.2 —
+"streaming: none"). These queries give the engine the event-time surface:
+tumbling, sliding, and session windows over ``events.ts``, identical
+semantics batch and streaming (Spark's ``window``/``session_window`` are
+the same expressions Structured Streaming uses — see stream_jobs.py).
+
+Scale: windowed aggregation shuffles on (window, key) — partial aggregation
+applies as usual; sliding windows fan out one input row to
+(window/slide) rows *before* the partial agg, which is why slide should
+never be << window at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pythonmapreduce_spark.catalog import load
+from pythonmapreduce_spark.plans.registry import register
+
+
+@register(
+    "window_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))                   AS window_start,
+           time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*)              AS n_events,
+           ROUND(SUM(value), 2)  AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per 1-hour tumbling window per type."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register("window_sliding")  # overlapping windows — rows-only check
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 minutes (4× row fan-out pre-agg)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "window_session",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - LAG(CAST(ts AS TIMESTAMP))
+                               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), islands AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts)                       AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE  AS session_end,
+           COUNT(*)                      AS n_events,
+           ROUND(SUM(value), 2)          AS total_value
+    FROM islands
+    GROUP BY user_id, sess_no
+    """,
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user via ``session_window``.
+
+    Spark merges an event into the running session iff its gap from the
+    previous event is strictly < 30 min (session windows [ts, ts+gap) merge
+    on overlap); session end = last event + gap. The oracle is the classic
+    gaps-and-islands rewrite with the same >= boundary.
+    """
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

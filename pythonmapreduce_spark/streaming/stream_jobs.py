@@ -1,0 +1,118 @@
+"""Structured Streaming jobs, verified by batch equivalence.
+
+The reference has no streaming surface at all (SURVEY §2.2). Here the
+engine's streaming path reuses the exact batch expressions (tokenizer,
+windowed aggs) over ``readStream`` sources, so a single-pass
+``availableNow`` replay must produce the same result as the batch query —
+that equivalence is the correctness harness, and for ``stream_wordcount``
+the DuckDB oracle is literally the batch wordcount oracle.
+
+Production shape at scale: the same plan over a Kafka source with
+``withWatermark`` bounding state; here the file source replays the test
+parquet. State store is local-disk backed (HDFS/RocksDB state store on a
+real cluster).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pythonmapreduce_spark.catalog import SCHEMAS
+from pythonmapreduce_spark.plans.registry import register
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str) -> tuple[SparkSession, str]:
+    """Run a streaming DataFrame to completion into a memory sink.
+
+    availableNow processes the whole source as one bounded run, then the
+    query stops — the streaming analog of a batch job.
+    """
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession, name
+
+
+@register(
+    "stream_wordcount",
+    oracle=r"""
+    SELECT word, COUNT(*) AS cnt
+    FROM (
+        SELECT UNNEST(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS word
+        FROM documents
+    )
+    GROUP BY word
+    """,
+)
+def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming word count over the documents corpus replayed as a stream.
+
+    Same tokenizer contract as the batch ``wordcount``
+    (/root/reference/mapreduce_wc.py:3-11 semantics); complete-mode memory
+    sink; verified against the *batch* DuckDB oracle — the strongest
+    equivalence check available for a streaming op.
+    """
+    # The file source lists directories; pathGlobFilter selects just this
+    # table's parquet out of sf_dir.
+    src = (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    counts = (
+        src.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    _, name = _run_to_memory(counts, "complete")
+    return spark.table(name)
+
+
+@register("stream_event_window")  # watermark drops nothing in one bounded
+# replay, but late-data semantics aren't SQL-expressible → rows-only
+def stream_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 1-hour tumbling window with a 2-hour watermark.
+
+    The watermark bounds state: windows older than (max event time − 2h)
+    are finalized and evicted — the mechanism that keeps state finite on an
+    unbounded stream. On a bounded availableNow replay it matches the batch
+    tumbling result for all finalized windows.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    _, name = _run_to_memory(agg, "complete")
+    return spark.table(name)
