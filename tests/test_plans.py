@@ -1,0 +1,78 @@
+"""Plan-shape assertions: the optimizations the engine's scale story relies
+on must actually appear in the physical plan (SURVEY §5.2 item 4). A query
+that silently loses its pushdown or broadcast still passes correctness —
+these tests are the regression gate for the 100 TB story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pythonmapreduce_spark.catalog import load
+from pythonmapreduce_spark.plans import registry
+
+registry.load_all()
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_smoke) -> None:
+    df = (
+        load(spark, sf_smoke, "lineitem")
+        .where(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_smoke) -> None:
+    df = load(spark, sf_smoke, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    # ReadSchema must contain only the two projected columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_star_join_broadcasts_dims(spark, sf_smoke) -> None:
+    plan = _plan(registry.QUERIES["join_star"](spark, sf_smoke))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region
+    assert "CartesianProduct" not in plan
+
+
+def test_agg_has_partial_phase(spark, sf_smoke) -> None:
+    plan = _plan(registry.QUERIES["wordcount"](spark, sf_smoke))
+    # partial + final HashAggregate around the exchange — the combiner the
+    # reference lacks (/root/reference/mapper_node.py:23-37)
+    assert plan.count("HashAggregate") >= 2
+    assert "hashpartitioning(word" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_smoke) -> None:
+    plan = _plan(registry.QUERIES["topk"](spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_broadcast_join_no_lineitem_shuffle(spark, sf_smoke) -> None:
+    plan = _plan(registry.QUERIES["join_broadcast"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    # the only shuffle should be the aggregation's, keyed by n_name
+    exchanges = [ln for ln in plan.splitlines() if "hashpartitioning(" in ln]
+    assert exchanges and all("n_name" in ln for ln in exchanges)
+
+
+def test_range_join_is_not_nested_loop(spark, sf_smoke) -> None:
+    plan = _plan(registry.QUERIES["join_range"](spark, sf_smoke))
+    # banded rewrite ⇒ hash join on band, never BroadcastNestedLoopJoin
+    # over the full cross product
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_broadcasts_queries_not_corpus(spark, sf_smoke) -> None:
+    plan = _plan(registry.QUERIES["knn_cosine"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

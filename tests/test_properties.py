@@ -1,0 +1,92 @@
+"""Property-based invariants (SURVEY §5.2 item 6): relationships that must
+hold regardless of data values — conservation laws for the operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pythonmapreduce_spark.catalog import load
+from pythonmapreduce_spark.plans import registry
+from pythonmapreduce_spark.sources.text_corpus import tokens_col
+
+registry.load_all()
+
+
+def test_wordcount_conserves_tokens(spark, sf_smoke) -> None:
+    """sum(counts) == total token occurrences in the corpus."""
+    total_tokens = (
+        load(spark, sf_smoke, "documents")
+        .select(F.size(tokens_col()).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    wc_sum = (
+        registry.QUERIES["wordcount"](spark, sf_smoke).agg(F.sum("cnt")).collect()[0][0]
+    )
+    assert wc_sum == total_tokens
+
+
+def test_dedup_exact_idempotent(spark, sf_smoke) -> None:
+    """Dedup of a deduped corpus removes nothing, and survivors' texts are
+    pairwise distinct."""
+    survivors = registry.QUERIES["dedup_exact"](spark, sf_smoke)
+    docs = load(spark, sf_smoke, "documents")
+    kept = docs.join(survivors.select("doc_id"), "doc_id", "left_semi")
+    n_kept = kept.count()
+    assert kept.select("text").distinct().count() == n_kept
+    assert docs.select("text").distinct().count() == n_kept
+
+
+def test_set_op_cardinality_algebra(spark, sf_smoke) -> None:
+    """|A| + |B| == |A ∪all B|; |A ∩ B| + |A \\ B| == |A distinct|."""
+    seg = (
+        load(spark, sf_smoke, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    bal = (
+        load(spark, sf_smoke, "customer")
+        .where(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+    assert registry.QUERIES["union_all"](spark, sf_smoke).count() == seg.count() + bal.count()
+    n_int = registry.QUERIES["intersect_op"](spark, sf_smoke).count()
+    n_exc = registry.QUERIES["except_op"](spark, sf_smoke).count()
+    assert n_int + n_exc == seg.distinct().count()
+
+
+def test_window_rank_bounds(spark, sf_smoke) -> None:
+    """row_number is a permutation per partition: max rn == partition size;
+    dense_rank <= rank <= row_number everywhere."""
+    df = registry.QUERIES["window_rank"](spark, sf_smoke)
+    bad = df.where((F.col("drnk") > F.col("rnk")) | (F.col("rnk") > F.col("rn"))).count()
+    assert bad == 0
+    per_cust = df.groupBy("o_custkey").agg(
+        F.max("rn").alias("max_rn"), F.count(F.lit(1)).alias("n")
+    )
+    assert per_cust.where(F.col("max_rn") != F.col("n")).count() == 0
+
+
+def test_knn_matches_ann_on_probed_truth(spark, sf_smoke) -> None:
+    """IVF results are a subset relation: every ANN hit's cosine is ≤ the
+    exact-kNN cosine at the same rank (ANN can miss, never invent)."""
+    exact = {
+        (r["q_id"], r["rank"]): r["cosine"]
+        for r in registry.QUERIES["knn_cosine"](spark, sf_smoke).collect()
+    }
+    for r in registry.QUERIES["ann_ivf"](spark, sf_smoke).collect():
+        assert r["cosine"] <= exact[(r["q_id"], r["rank"])] + 1e-9
+
+
+def test_simhash_identical_texts_zero_distance(spark, sf_smoke) -> None:
+    """Exact duplicate texts must land at Hamming distance 0 — planted
+    duplicates via a self-union of the corpus."""
+    from pythonmapreduce_spark.pipeline.dedup import _simhash64
+
+    docs = load(spark, sf_smoke, "documents").limit(20)
+    a = docs.select(F.col("doc_id").alias("id"), _simhash64(F.col("text")).alias("sig_a"))
+    b = docs.select(F.col("doc_id").alias("id"), _simhash64(F.col("text")).alias("sig_b"))
+    joined = a.join(b, "id").select(
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("d")
+    )
+    assert joined.where(F.col("d") != 0).count() == 0
