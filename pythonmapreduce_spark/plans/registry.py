@@ -67,13 +67,19 @@ def load_all() -> None:
     # circular imports are impossible.
     from pythonmapreduce_spark.operators import (  # noqa: F401
         aggregates,
+        asof,
         joins,
         relational,
+        reshape,
         windows,
     )
     from pythonmapreduce_spark.functions import scalar, udfs  # noqa: F401
-    from pythonmapreduce_spark.sources import text_corpus  # noqa: F401
-    from pythonmapreduce_spark.streaming import event_windows, stream_jobs  # noqa: F401
+    from pythonmapreduce_spark.sources import readers, text_corpus  # noqa: F401
+    from pythonmapreduce_spark.streaming import (  # noqa: F401
+        event_windows,
+        stateful,
+        stream_jobs,
+    )
     from pythonmapreduce_spark.pipeline import (  # noqa: F401
         dedup,
         multimodal,

@@ -1,0 +1,66 @@
+"""Source connectors beyond parquet: CSV and JSON(L), with explicit
+schemas (never inferSchema in production paths — it forces an extra full
+scan), plus round-trip queries proving sink+source fidelity.
+
+The reference reads exactly one format — newline-delimited text files
+(/root/reference/master.py:25-31). This module is the engine's format
+surface: text (text_corpus.py), parquet (catalog.py), CSV, JSON here;
+JDBC/Kafka need driver jars not present in this environment and are
+stubbed with a clear error.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pythonmapreduce_spark.catalog import SCHEMAS, load
+from pythonmapreduce_spark.plans.registry import register
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, table: str) -> DataFrame:
+    return spark.read.schema(SCHEMAS[table]).option("header", True).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, table: str) -> DataFrame:
+    return spark.read.schema(SCHEMAS[table]).json(path)
+
+
+def read_jdbc(spark: SparkSession, url: str, dbtable: str) -> DataFrame:
+    """JDBC connector stub: no JDBC drivers ship in this environment."""
+    raise NotImplementedError(
+        "JDBC drivers are not available in this environment; on a real "
+        "cluster: spark.read.format('jdbc').option('url', url)"
+        ".option('dbtable', dbtable).load()"
+    )
+
+
+def _scratch(name: str) -> str:
+    return os.path.join(tempfile.gettempdir(), "pmr_spark_io", name)
+
+
+@register("source_roundtrip_csv", oracle="SELECT * FROM nation")
+def source_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → CSV sink → CSV source must be lossless (header + explicit
+    schema; no type inference)."""
+    path = _scratch("nation_csv")
+    write_csv(load(spark, sf_dir, "nation"), path)
+    return read_csv(spark, path, "nation")
+
+
+@register("source_roundtrip_json", oracle="SELECT * FROM region")
+def source_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region → JSONL sink → JSONL source must be lossless."""
+    path = _scratch("region_json")
+    write_jsonl(load(spark, sf_dir, "region"), path)
+    return read_jsonl(spark, path, "region")
