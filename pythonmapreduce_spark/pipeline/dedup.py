@@ -72,54 +72,43 @@ def _shingles(tokens: F.Column, n: int = 3) -> F.Column:
     ).otherwise(F.array(F.array_join(tokens, " ")))
 
 
-def _minhash_signature(shingles: F.Column) -> F.Column:
-    """64 minhash values from one base xxhash64 per shingle.
-
-    Universal hashing h_i(x) = (a_i * x + b_i) mod p over the 32-bit-folded
-    base hash; a_i/b_i are fixed odd constants so signatures are fully
-    deterministic across runs and engines.
-    """
-    base = F.array_distinct(F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_M32))))
-
-    def _universal(a: int, b: int):
-        # closure factory: a plain lambda with default args would change the
-        # visible arity pyspark infers for the higher-order function
-        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE))
-
-    sigs = []
-    for i in range(_NUM_HASHES):
-        a = 2 * i + 1 + 104729  # odd multipliers from a fixed prime offset
-        b = 7919 * (i + 1)
-        sigs.append(F.array_min(F.transform(base, _universal(a, b))))
-    return F.array(*sigs)
-
-
 def minhash_candidates(docs: DataFrame) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) from banded minhash signatures.
 
-    Linear pipeline: per doc emit one (band_idx, band_hash) key per band;
-    self-join on the band key produces only same-bucket pairs. The band
-    hash is xxhash64 of the band's slice of the signature.
+    Shape chosen for scale AND local speed: explode shingles to rows, hash
+    each once (xxhash64 folded to 32 bits), then compute all 64 minhashes
+    as plain min-aggregates over universal hashes h_i(x) = (a_i·x+b_i) mod p
+    — scalar expressions inside whole-stage codegen with map-side partial
+    aggregation, rather than per-element higher-order-function evaluation
+    over arrays (~10× slower interpreted). One shuffle of (doc, 64 longs);
+    band keys are xxhash64 over each 4-signature band; self-join on the
+    band key yields only same-bucket pairs. Fully deterministic.
     """
-    sig = (
+    hashed = (
         docs.select("doc_id", tokens_col().alias("toks"))
-        .select("doc_id", _shingles(F.col("toks")).alias("sh"))
-        .select("doc_id", _minhash_signature(F.col("sh")).alias("sig"))
+        .select("doc_id", F.explode(_shingles(F.col("toks"))).alias("sh"))
+        .select("doc_id", F.pmod(F.xxhash64("sh"), F.lit(_M32)).alias("h"))
     )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(F.slice(F.col("sig"), b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND), ",")
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    mins = []
+    for i in range(_NUM_HASHES):
+        a = 2 * i + 1 + 104729  # odd multipliers from a fixed prime offset
+        b = 7919 * (i + 1)
+        mins.append(
+            F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE))).alias(f"s{i}")
+        )
+    sig = hashed.groupBy("doc_id").agg(*mins)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"s{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]).alias(
+                "bucket"
+            ),
+        )
+        for b in range(_BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bucket"
+    )
     left = bands.select(F.col("doc_id").alias("id_a"), "band", "bucket")
     right = bands.select(F.col("doc_id").alias("id_b"), "band", "bucket")
     return (
