@@ -214,3 +214,32 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
     )
+
+
+@register(
+    "percentile_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           ROUND(MAX(l_extendedprice), 2)                 AS p_max
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ≡
+    SQL quantile_cont). At 100 TB the exact form needs a per-group sort of
+    values — switch to ``approx_percentile`` (t-digest sketch, mergeable,
+    constant memory) when groups stop fitting; the exact twin here is the
+    oracle for calibrating that sketch's error.
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+            F.round(F.max("l_extendedprice"), 2).alias("p_max"),
+        )
+    )

@@ -250,3 +250,62 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.join(
         top_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
     ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate: orders 50% above the mean price.
+
+    Decorrelated form: the scalar aggregate is computed once and joined as
+    a 1-row broadcast (what Catalyst produces for the SQL form as well) —
+    no per-row recomputation.
+    """
+    orders = load(spark, sf_dir, "orders")
+    threshold = orders.agg((F.avg("o_totalprice") * 1.5).alias("thr"))
+    return (
+        orders.join(F.broadcast(threshold))
+        .where(F.col("o_totalprice") > F.col("thr"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "join_salted",
+    oracle="""
+    SELECT l_orderkey, l_extendedprice, o_orderpriority
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join, result-identical to the plain join.
+
+    The fact side appends a random-free deterministic salt (hash of its
+    row identity mod N) to the key; the dimension side explodes each row N
+    ways. A hot key's rows then spread over N shuffle partitions instead of
+    one straggler. This is the manual fallback where AQE skew-join can't
+    see the skew (e.g. pre-shuffle aggregation absent); the oracle proves
+    salting never changes results.
+    """
+    n_salt = 8
+    lineitem = load(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt))
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+    )
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        lineitem["salt"] == orders["salt"]
+    )
+    return lineitem.join(orders, cond, "inner").select(
+        "l_orderkey", "l_extendedprice", "o_orderpriority"
+    )

@@ -1,0 +1,101 @@
+"""Streaming semantics the single-replay oracle checks can't cover:
+watermark-driven late-data drop and window finalization in append mode.
+
+Timeline (three micro-batches via maxFilesPerTrigger=1):
+  batch 0: three events in [10:00, 11:00) + one at 14:05
+           → after batch 0 the watermark is 13:05 (14:05 − 1h)
+  batch 1: one event at 18:05 — during this batch the [10:00,11:00)
+           window's end passes the watermark, so it is emitted and its
+           state evicted; afterwards the watermark is 17:05
+  batch 2: one LATE event at 10:10 — behind the watermark AND its window
+           state is already evicted → dropped
+           (numRowsDroppedByWatermark = 1)
+
+Append mode emits a window exactly once when its end passes the watermark,
+so the output must show [10:00,11:00) with count 3 — late event excluded —
+and must NOT contain the still-open [18:00,19:00) window.
+
+(Observed engine nuance, pinned by the batch structure here: a late row that
+arrives in the SAME batch in which its window is being finalized still
+merges into the state before emission; the watermark drop is guaranteed
+only once the state is evicted. That is Spark's documented "too-late"
+semantics — the watermark bounds how long state is kept, it is not a
+row-level filter against the instantaneous watermark.)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+import time
+import uuid
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+    ]
+)
+
+
+def _ts(h: int, m: int) -> dt.datetime:
+    return dt.datetime(2024, 3, 1, h, m, 0)
+
+
+def test_watermark_drops_late_data(spark) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    staging = tempfile.mkdtemp(prefix="pmr_stream_")
+    ckpt = tempfile.mkdtemp(prefix="pmr_ckpt_")
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    try:
+        batches = [
+            [(_ts(10, 0), 1), (_ts(10, 20), 2), (_ts(10, 40), 3), (_ts(14, 5), 4)],
+            [(_ts(18, 5), 5)],
+            [(_ts(10, 10), 99)],  # late: watermark 17:05, state evicted
+        ]
+        for rows in batches:
+            spark.createDataFrame(rows, schema=_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(staging)
+            time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+        counts = (
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = {r["ws"]: r["n"] for r in spark.table(name).collect()}
+        dropped = sum(
+            p["stateOperators"][0]["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            if p["stateOperators"]
+        )
+
+        # the late 10:10 event must NOT be in the finalized 10:00 window
+        assert out[_ts(10, 0)] == 3
+        # ...and the engine must account for it as watermark-dropped
+        assert dropped == 1
+        # the 14:00 window finalized once the watermark hit 17:05
+        assert out[_ts(14, 0)] == 1
+        # the 18:00 window is still open — append mode must not emit it
+        assert _ts(18, 0) not in out
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
