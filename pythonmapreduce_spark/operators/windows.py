@@ -91,3 +91,39 @@ def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("value").over(w).alias("next_value"),
         F.round(F.col("value") - F.coalesce(lag_v, F.lit(0.0)), 4).alias("delta"),
     )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn AS rank
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the grouped top-k pattern.
+
+    Window row_number + filter; Spark pushes the rank limit into the sort
+    (WindowGroupLimit) so each partition keeps only k rows per key before
+    the full window evaluates — the scalable grouped top-k.
+    """
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rank").cast("long").alias("rank"))
+    )

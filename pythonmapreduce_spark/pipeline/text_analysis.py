@@ -229,3 +229,97 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(F.size(toks) > 0, fp).otherwise(F.lit(0).cast("long")).alias("fingerprint"),
     )
+
+
+@register(
+    "tfidf_terms",
+    oracle=r"""
+    WITH tokens AS (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> '')))
+                   AS term
+        FROM documents
+    ), n_docs AS (
+        SELECT COUNT(*) AS n FROM documents
+    ), df AS (
+        SELECT term, COUNT(*) AS doc_freq FROM tokens GROUP BY term
+    ), tf AS (
+        SELECT doc_id,
+               UNNEST(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS term
+        FROM documents
+    ), tf_counts AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term
+    )
+    SELECT doc_id, term,
+           ROUND(tf * LN(CAST(n AS DOUBLE) / doc_freq), 6) AS tfidf
+    FROM tf_counts JOIN df USING (term) CROSS JOIN n_docs
+    WHERE doc_id <= 100
+    """,
+)
+def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (document, term): tf · ln(N / df).
+
+    Two aggregations over one explode — term frequency per doc and document
+    frequency per term — joined back; the document count is a 1-row
+    broadcast. The df table is term-cardinality-sized, far smaller than the
+    corpus, so the join is the cheap side at scale. Output bounded to
+    doc_id ≤ 100 to keep the oracle comparison tractable.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar, computed once driver-side
+    exploded = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = (
+        exploded.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    return (
+        tf.join(df_tbl, "term")
+        .where(F.col("doc_id") <= 100)
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "ngram_bigrams",
+    oracle=r"""
+    WITH toks AS (
+        SELECT list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        FROM documents
+    ), bigrams AS (
+        SELECT UNNEST(list_filter(
+                   list_transform(l, (x, i) -> CASE WHEN i < LEN(l)
+                                               THEN x || ' ' || l[i + 1] END),
+                   b -> b IS NOT NULL)) AS bigram
+        FROM toks
+    )
+    SELECT bigram, COUNT(*) AS cnt
+    FROM bigrams
+    GROUP BY bigram
+    HAVING COUNT(*) >= 5
+    """,
+)
+def ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (n-gram generation as expressions: zip each
+    token with its successor, no UDF), thresholded to frequent pairs."""
+    toks = tokens_col()
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 5)
+    )

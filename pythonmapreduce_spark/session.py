@@ -17,6 +17,7 @@ Design notes for 100 TB scale (tested on local[*]):
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -49,6 +50,13 @@ def get_spark(app_name: str = "pythonmapreduce-spark", cpus: str | None = None) 
         # Quiet local runs.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Managed-table warehouse + metastore scratch outside the repo
+        # (bucketed tables for co-located joins land here in local runs).
+        .config("spark.sql.warehouse.dir", os.path.join(tempfile.gettempdir(), "pmr_warehouse"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.system.home={os.path.join(tempfile.gettempdir(), 'pmr_derby')}",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

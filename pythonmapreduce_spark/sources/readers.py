@@ -16,6 +16,8 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from pythonmapreduce_spark.catalog import SCHEMAS, load
 from pythonmapreduce_spark.plans.registry import register
 
@@ -64,3 +66,25 @@ def source_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch("region_json")
     write_jsonl(load(spark, sf_dir, "region"), path)
     return read_jsonl(spark, path, "region")
+
+
+@register("sink_partitioned_parquet", oracle="SELECT doc_id, lang, n_chars FROM documents")
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → parquet sink partitionBy(lang) → read back, lossless.
+
+    Hive-style partitioned layout (one directory per lang) is the physical
+    organization that makes partition pruning work at 100 TB: a later
+    ``WHERE lang = 'en'`` scan touches only that directory. The oracle
+    proves the round trip preserves every row and value.
+    """
+    path = _scratch("documents_by_lang")
+    (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(path)
+    )
+    out = spark.read.parquet(path)
+    # partition column comes back typed as read; restore column order/type
+    return out.select("doc_id", "lang", F.col("n_chars").cast("long"))
