@@ -243,3 +243,90 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l_extendedprice"), 2).alias("p_max"),
         )
     )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS qty_stddev,
+           ROUND(VAR_SAMP(l_quantity), 4) AS qty_var,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS qty_price_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation/covariance.
+
+    All four are single-pass partial-aggregatable (Welford-style moment
+    merging), so they combine map-side like sum/count — no second scan.
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        )
+    )
+
+
+@register(
+    "agg_minmax_by",
+    oracle="""
+    SELECT o_orderpriority,
+           ARG_MAX(o_totalprice, o_orderkey) AS latest_price,
+           ARG_MIN(o_totalprice, o_orderkey) AS first_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregates: the value at the extreme of another column.
+
+    Anchored on the unique o_orderkey so the answer is deterministic (ties
+    on a non-unique ordering column would make max_by engine-dependent).
+    """
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_totalprice", "o_orderkey").alias("latest_price"),
+            F.min_by("o_totalprice", "o_orderkey").alias("first_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT o_custkey, LIST(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_custkey <= 50
+    GROUP BY o_custkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-to-array aggregate, sorted for a deterministic value hash.
+
+    collect_list order is partition-arrival order in Spark — an artifact,
+    not a semantic — so the contract here is the SORTED list. Bounded to
+    50 customers: collected arrays are driver-memory-shaped, not a
+    fact-table-scale construct.
+    """
+    return (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= 50)
+        .groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

@@ -309,3 +309,78 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lineitem.join(orders, cond, "inner").select(
         "l_orderkey", "l_extendedprice", "o_orderpriority"
     )
+
+
+@register(
+    "join_full",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer FULL JOIN orders
+      ON c_custkey = o_custkey AND o_totalprice > 300000
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: unmatched rows of BOTH sides survive with nulls.
+
+    Orders below the price threshold fail the join condition and come back
+    customer-less; customers with no qualifying order come back order-less.
+    """
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (F.col("o_totalprice") > 300000)
+    return customer.join(orders, cond, "full").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two fixed-cardinality dims (5 × 25 rows).
+
+    Cross joins only belong on provably tiny inputs; Spark plans this as
+    BroadcastNestedLoopJoin. Anything fact-sized must be banded/bucketed
+    first (see join_range) — an unbounded cross join at 100 TB is a bug.
+    """
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    return region.crossJoin(F.broadcast(nation)).select("r_name", "n_name")
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    SELECT c_custkey, n_name
+    FROM (SELECT c_custkey,
+                 CASE WHEN c_nationkey = 5 THEN NULL ELSE c_nationkey END AS ck
+          FROM customer) c
+    JOIN (SELECT n_name,
+                 CASE WHEN n_nationkey = 7 THEN NULL ELSE n_nationkey END AS nk
+          FROM nation) n
+      ON c.ck IS NOT DISTINCT FROM n.nk
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=>): NULL keys match each other.
+
+    Keys are nulled asymmetrically (customer nation 5, nation 7) so the
+    null-bucket match is observable: nation-5 customers land on nation 7.
+    Null-safe equality stays a hash join (null is just another key value),
+    unlike `a = b OR (a IS NULL AND b IS NULL)` which degrades to
+    nested-loop.
+    """
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_nationkey") == 5, None).otherwise(F.col("c_nationkey")).alias("ck"),
+    )
+    nation = load(spark, sf_dir, "nation").select(
+        "n_name",
+        F.when(F.col("n_nationkey") == 7, None).otherwise(F.col("n_nationkey")).alias("nk"),
+    )
+    return customer.join(
+        F.broadcast(nation), F.col("ck").eqNullSafe(F.col("nk")), "inner"
+    ).select("c_custkey", "n_name")

@@ -1,0 +1,94 @@
+"""Time-series resampling: calendar densification + forward fill.
+
+The classic gap-fill operator: aggregate an event stream to a fixed grain
+(daily), materialize the FULL calendar for every series (days with no
+events included), and forward-fill each gap with the most recent observed
+value. The reference cannot express this at all — it has no notion of time,
+ordering, or missing data (SURVEY §2.2: no sort operator, no window
+functions).
+
+Scale shape: the calendar grid is |series| × |days| — tiny relative to the
+event table (it's the *output* grain) — and is built by exploding a
+per-series date sequence, never by a driver-side loop. The forward fill is
+one window sort per series partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pythonmapreduce_spark.catalog import load
+from pythonmapreduce_spark.plans.registry import register
+
+
+@register(
+    "resample_ffill",
+    oracle="""
+    WITH span AS (
+        SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+    ), days AS (
+        SELECT CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                                           CAST(d1 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span
+    ), series AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id <= 20
+    ), grid AS (
+        SELECT user_id, day FROM series CROSS JOIN days
+    ), observed AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               ROUND(ARG_MAX(value, event_id), 4) AS day_value
+        FROM events
+        WHERE user_id <= 20
+        GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT g.user_id, CAST(g.day AS VARCHAR) AS day,
+           LAST_VALUE(o.day_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+    FROM grid g LEFT JOIN observed o
+      ON g.user_id = o.user_id AND g.day = o.day
+    """,
+)
+def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample of `events.value` per user with forward fill.
+
+    Per (user, day) the observed value is arg_max(value, event_id) — the
+    value of that day's latest event, anchored on the unique event_id so
+    the pick is deterministic. Days before a series' first observation
+    stay NULL (nothing to fill from).
+    """
+    events = load(spark, sf_dir, "events").where(F.col("user_id") <= 20)
+    day = F.to_date("ts")
+
+    # Global day span: one row, broadcast into the grid build.
+    span = load(spark, sf_dir, "events").agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    series = events.select("user_id").distinct()
+    grid = series.crossJoin(F.broadcast(days))
+
+    observed = events.groupBy(F.col("user_id"), day.alias("day")).agg(
+        F.round(F.max_by("value", "event_id"), 4).alias("day_value")
+    )
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(observed, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            # ISO string: DATE round-trips differently through pandas in the
+            # two engines; the string form is compare-stable.
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.last("day_value", ignorenulls=True).over(w).alias("value_ffill"),
+        )
+    )

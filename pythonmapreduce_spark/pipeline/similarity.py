@@ -195,3 +195,34 @@ def dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos_raw") >= 0.4)
         .select("id_a", "id_b", F.round("cos_raw", 4).alias("cosine"))
     )
+
+
+@register(
+    "embedding_centroid",
+    oracle="""
+    SELECT label, pos, ROUND(AVG(CAST(val AS DOUBLE)), 6) AS centroid_val
+    FROM (
+        SELECT label,
+               UNNEST(range(len(embedding))) AS pos,
+               UNNEST(embedding) AS val
+        FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors (mean pooling).
+
+    Emitted FLAT — one row per (label, dimension) — rather than
+    re-assembled into arrays: flat rows partial-aggregate map-side like any
+    numeric agg, and the comparison contract stays scalar. posexplode is a
+    generator expression, not a UDF, so the whole plan is codegen'd. At
+    100 TB this is the shape of per-cluster mean computation: |labels|×dim
+    output rows regardless of corpus size.
+    """
+    return (
+        load(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"))
+    )

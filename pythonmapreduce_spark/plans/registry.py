@@ -71,9 +71,10 @@ def load_all() -> None:
         joins,
         relational,
         reshape,
+        timeseries,
         windows,
     )
-    from pythonmapreduce_spark.functions import scalar, udfs  # noqa: F401
+    from pythonmapreduce_spark.functions import complex, scalar, udfs  # noqa: F401
     from pythonmapreduce_spark.sources import readers, text_corpus  # noqa: F401
     from pythonmapreduce_spark.streaming import (  # noqa: F401
         event_windows,
