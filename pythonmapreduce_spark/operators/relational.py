@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from pythonmapreduce_spark.catalog import load
 from pythonmapreduce_spark.plans.registry import register
@@ -171,4 +172,40 @@ def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(25)
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM (
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_custkey) AS rn
+        FROM customer
+    )
+    WHERE rn % 10 = 1
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified 1-in-10 sample: every stratum (market
+    segment) keeps exactly ⌈n/10⌉ rows, systematically by key order.
+
+    Random `sampleBy` gives binomial per-stratum counts and engine-specific
+    RNG streams; the systematic form is reproducible everywhere — the
+    property a training-data pipeline needs for auditable subsampling. One
+    window sort per stratum, no shuffle beyond the partitionBy.
+    """
+    w = W.partitionBy("c_mktsegment").orderBy("c_custkey")
+    return (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") % 10 == 1)
+        .drop("rn")
     )

@@ -116,3 +116,67 @@ def stream_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, name = _run_to_memory(agg, "complete")
     return spark.table(name)
+
+
+@register(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: first occurrence of each (user, event_type).
+
+    ``dropDuplicates`` on a stream keeps per-key state and emits only the
+    first arrival; ``withWatermark`` bounds that state on an unbounded
+    stream (keys older than the watermark are evicted — the knob that makes
+    streaming dedup feasible forever). A bounded availableNow replay emits
+    exactly the batch DISTINCT, which is the oracle.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = (
+        src.withWatermark("ts", "1 day")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    _, name = _run_to_memory(deduped, "append")
+    return spark.table(name)
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT event_id, user_id, c_mktsegment, value
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE event_type = 'purchase'
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ static dimension: enrich events with customer attributes.
+
+    The static side is a plain batch DataFrame broadcast into every
+    micro-batch — no state, no watermark needed for an inner equi-join.
+    This is the canonical streaming-enrichment topology (stream from Kafka,
+    dim from the lakehouse); stateless append mode makes the bounded replay
+    exactly the batch join, which is the oracle.
+    """
+    from pythonmapreduce_spark.catalog import load
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .where(F.col("event_type") == "purchase")
+    )
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = src.join(
+        F.broadcast(customer), F.col("user_id") == F.col("c_custkey"), "inner"
+    ).select("event_id", "user_id", "c_mktsegment", "value")
+    _, name = _run_to_memory(joined, "append")
+    return spark.table(name)

@@ -90,3 +90,23 @@ def test_simhash_identical_texts_zero_distance(spark, sf_smoke) -> None:
         F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("d")
     )
     assert joined.where(F.col("d") != 0).count() == 0
+
+
+def test_ann_lsh_recall_vs_exact(spark, sf_smoke) -> None:
+    """Random-hyperplane LSH must recover most of the exact top-10 (recall
+    ≥ 0.6 with 2×8-bit bands on unit vectors) and never invent a better
+    neighbor than the exact baseline at the same rank."""
+    exact_rows = registry.QUERIES["knn_cosine"](spark, sf_smoke).collect()
+    exact_sets: dict[int, set[int]] = {}
+    exact_at_rank = {}
+    for r in exact_rows:
+        exact_sets.setdefault(r["q_id"], set()).add(r["n_id"])
+        exact_at_rank[(r["q_id"], r["rank"])] = r["cosine"]
+
+    lsh_rows = registry.QUERIES["ann_lsh"](spark, sf_smoke).collect()
+    hits = sum(1 for r in lsh_rows if r["n_id"] in exact_sets.get(r["q_id"], set()))
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.6, f"LSH recall {hits}/{total}"
+    for r in lsh_rows:
+        if (r["q_id"], r["rank"]) in exact_at_rank:
+            assert r["cosine"] <= exact_at_rank[(r["q_id"], r["rank"])] + 1e-9
