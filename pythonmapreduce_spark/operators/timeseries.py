@@ -92,3 +92,51 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("day_value", ignorenulls=True).over(w).alias("value_ffill"),
         )
     )
+
+
+@register(
+    "rollup_time",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY CAST(ts AS DATE), event_type
+    """,
+)
+def rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup: hourly aggregates cascaded into daily.
+
+    The hypertable/continuous-aggregate pattern: the daily tier re-aggregates
+    the HOURLY aggregate (sum of sums, sum of counts, max of maxes) instead
+    of re-scanning raw events. At 100 TB the hourly tier is the materialized
+    rollup (24×|types| rows/day regardless of event volume) and every
+    coarser grain derives from it — the oracle proves the cascade is exact
+    by computing daily straight from the raw table. Only works for
+    decomposable aggregates (sum/count/min/max — avg must be carried as
+    sum+count, which is why the hourly tier stores those, not the ratio).
+    """
+    events = load(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", "hour"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("total_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )

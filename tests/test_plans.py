@@ -76,3 +76,30 @@ def test_range_join_is_not_nested_loop(spark, sf_smoke) -> None:
 def test_knn_broadcasts_queries_not_corpus(spark, sf_smoke) -> None:
     plan = _plan(registry.QUERIES["knn_cosine"](spark, sf_smoke))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_grouped_topk_uses_window_group_limit(spark, sf_smoke) -> None:
+    plan = _plan(registry.QUERIES["topk_per_group"](spark, sf_smoke))
+    # rank-limit pushdown: each partition keeps k rows per key pre-window
+    assert "WindowGroupLimit" in plan
+
+
+def test_bigrams_stay_codegen(spark, sf_smoke) -> None:
+    plan = _plan(registry.QUERIES["ngram_bigrams"](spark, sf_smoke))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_engine_wide_plan_audit(spark, sf_smoke) -> None:
+    """Every batch query's physical plan is free of the two scale killers:
+    CartesianProduct (unbounded O(n²)) and BatchEvalPython (row-at-a-time
+    Python in the hot path — Arrow-batched pandas_udf is the sanctioned
+    Python escape hatch and plans as ArrowEvalPython / mapInPandas)."""
+    skip_prefixes = ("stream_",)  # streaming queries execute on build
+    eager = {"source_roundtrip_csv", "source_roundtrip_json", "sink_partitioned_parquet"}
+    for name in registry.query_names():
+        if name.startswith(skip_prefixes) or name in eager:
+            continue
+        plan = _plan(registry.QUERIES[name](spark, sf_smoke))
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
