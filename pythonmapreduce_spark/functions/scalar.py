@@ -219,3 +219,67 @@ def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("42").cast("long").alias("const_num"),
         (F.col("o_orderkey") % 2 == 1).alias("key_odd"),
     )
+
+
+@register(
+    "fuzzy_match",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE a.p_partkey <= 500 AND b.p_partkey <= 500
+      AND levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: name pairs within Levenshtein distance 3.
+
+    Blocked on p_brand so the pair space is |brand-group|² instead of n² —
+    the edit-distance predicate itself can't be pushed into a join key, so
+    blocking is what keeps fuzzy matching feasible at scale (same shape as
+    the LSH band join: cheap equi-join candidate gen, expensive verify on
+    the survivors only).
+    """
+    part = load(spark, sf_dir, "part").where(F.col("p_partkey") <= 500)
+    a = part.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"), "p_brand"
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"), "p_brand"
+    )
+    return (
+        a.join(b, "p_brand")
+        .where(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .where(F.col("edit_dist") <= 3)
+        .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+    )
+
+
+@register(
+    "bit_funcs",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id << 2 AS shifted,
+           xor(event_id, 12345) AS xored,
+           bit_count(event_id) AS popcount
+    FROM events
+    WHERE event_id <= 1000
+    """,
+)
+def bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar functions: and/shift/xor/popcount."""
+    return (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_id") <= 1000)
+        .select(
+            "event_id",
+            F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+            F.shiftleft(F.col("event_id"), 2).alias("shifted"),
+            F.col("event_id").bitwiseXOR(F.lit(12345)).alias("xored"),
+            F.bit_count("event_id").cast("long").alias("popcount"),
+        )
+    )

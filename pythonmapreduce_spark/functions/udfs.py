@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pythonmapreduce_spark.catalog import load
+from pythonmapreduce_spark.catalog import load, register_views
 from pythonmapreduce_spark.plans.registry import register
 
 
@@ -92,4 +92,50 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             _zscore_group,
             schema="o_custkey long, o_orderkey long, o_totalprice double, z_price double",
         )
+    )
+
+
+@register(
+    "udtf_tokenize",
+    oracle=r"""
+    SELECT word, COUNT(*) AS cnt
+    FROM (
+        SELECT UNNEST(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS word
+        FROM documents
+    )
+    GROUP BY word
+    """,
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count through a Python UDTF — the reference's map surface, 1:1.
+
+    The reference's user map fn is exactly a `(key, value) -> list[(k, v)]`
+    table function (/root/reference/mapper_node.py:51-57,
+    mapreduce_wc.py:3-4); a Python UDTF in a SQL LATERAL join is its
+    modern, typed equivalent — with cloudpickle (closures/imports work) in
+    place of bare marshal'd code objects. Arrow-batched execution keeps it
+    off the row-at-a-time path; the built-in-expression wordcount remains
+    the preferred plan (this exists for surface parity, not speed).
+    """
+    from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(returnType="word: string")
+    class Tokenize:
+        def eval(self, text: str):
+            # Reference tokenizer contract: str.split() ≡ split on \s+,
+            # drop empties, case-sensitive, punctuation kept.
+            if text:
+                for w in text.split():
+                    yield (w,)
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        """
+        SELECT t.word, COUNT(*) AS cnt
+        FROM documents, LATERAL tokenize_udtf(text) t
+        GROUP BY t.word
+        """
     )

@@ -384,3 +384,35 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.join(
         F.broadcast(nation), F.col("ck").eqNullSafe(F.col("nk")), "inner"
     ).select("c_custkey", "n_name")
+
+
+@register(
+    "subquery_correlated",
+    oracle="""
+    SELECT c_custkey, c_name,
+           (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey)
+               AS max_order
+    FROM customer
+    WHERE c_acctbal > 8000
+    """,
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, submitted through the SQL entry point.
+
+    Written as SQL text (not DataFrame calls) to exercise the parser →
+    analyzer → optimizer path end-to-end; Catalyst decorrelates the per-row
+    subquery into a left outer aggregate-join (RewriteCorrelatedScalarQuery)
+    — it never executes once per customer row.
+    """
+    from pythonmapreduce_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey)
+                   AS max_order
+        FROM customer
+        WHERE c_acctbal > 8000
+        """
+    )
