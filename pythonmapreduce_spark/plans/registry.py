@@ -72,6 +72,7 @@ def load_all() -> None:
         relational,
         reshape,
         timeseries,
+        tpch,
         windows,
     )
     from pythonmapreduce_spark.functions import complex, scalar, udfs  # noqa: F401

@@ -99,3 +99,50 @@ def test_watermark_drops_late_data(spark) -> None:
     finally:
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_checkpoint_restart_is_exactly_once(spark, sf_smoke) -> None:
+    """The checkpoint makes restarts exactly-once: a finished availableNow
+    run restarted on the SAME checkpoint emits nothing new; adding one new
+    input file then restarting processes exactly that delta."""
+    import os
+
+    from pythonmapreduce_spark.catalog import SCHEMAS
+    from pythonmapreduce_spark.sources.text_corpus import tokens_col
+
+    base = tempfile.mkdtemp(prefix="ckpt_eo_")
+    in_dir, out_dir, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+    os.makedirs(in_dir)
+    src_file = os.path.join(sf_smoke, "documents.parquet")
+    shutil.copy(src_file, os.path.join(in_dir, "part0.parquet"))
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(SCHEMAS["documents"])
+            .parquet(in_dir)
+            .select(F.explode(tokens_col()).alias("word"))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        run_once()
+        n1 = spark.read.parquet(out_dir).count()
+        assert n1 > 0
+
+        run_once()  # restart, no new input → no duplicates
+        assert spark.read.parquet(out_dir).count() == n1
+
+        # one new file → exactly one more file's worth of tokens
+        shutil.copy(src_file, os.path.join(in_dir, "part1.parquet"))
+        run_once()
+        assert spark.read.parquet(out_dir).count() == 2 * n1
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
