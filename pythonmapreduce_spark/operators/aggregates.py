@@ -330,3 +330,29 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@register("approx_quantile")  # sketch-based (GK/KLL-style) → rows-only
+def approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the mergeable quantile sketch.
+
+    approx_percentile keeps a bounded sketch per partition and merges
+    map-side — one narrow pass + tiny shuffle at ANY scale, versus the
+    exact percentile's full sort per group. accuracy=10000 bounds rank
+    error at 1/10000; the property test checks the estimates against the
+    exact percentiles. This is the only percentile that works at 100 TB.
+    """
+    qs = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+    )
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(qs.alias("q"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("q")[0], 4).alias("p50"),
+            F.round(F.col("q")[1], 4).alias("p90"),
+            F.round(F.col("q")[2], 4).alias("p99"),
+        )
+    )

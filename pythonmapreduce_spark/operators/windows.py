@@ -158,3 +158,80 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id, epoch_s,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY epoch_s
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS hour_sum
+    FROM (SELECT event_id, user_id, value,
+                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s
+          FROM events)
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: trailing 1-hour sum of value per user.
+
+    rangeBetween bounds are on the ORDER-BY *value* (epoch seconds), not
+    row position — the frame holds every event within the last hour
+    regardless of how many rows that is, and peers (equal timestamps)
+    enter the frame together. This is the sliding-aggregate shape that
+    rows-frames cannot express on irregular event times.
+    """
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.unix_timestamp("ts").alias("epoch_s"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "epoch_s",
+            F.round(F.sum("value").over(w), 4).alias("hour_sum"),
+        )
+    )
+
+
+@register(
+    "window_firstlast",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_totalprice) OVER w AS biggest,
+           LAST_VALUE(o_totalprice) OVER w AS smallest,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_biggest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with an explicit full-partition frame.
+
+    The default frame (unbounded-preceding → current-row) makes last_value
+    just "current row" — the classic window gotcha; pinning the frame to
+    the whole partition gives the per-group extreme/second-best shape.
+    """
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("biggest"),
+        F.last("o_totalprice").over(w).alias("smallest"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_biggest"),
+    )

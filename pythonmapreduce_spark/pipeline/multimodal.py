@@ -109,3 +109,59 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = with_payload(load(spark, sf_dir, "documents"))
     return docs.mapInPandas(_extract_features, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, n_frames long, n_sampled long, checksum long"
+_FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched frame sampler over the opaque payload.
+
+    Stands in for video frame extraction (ffmpeg not in this container):
+    the payload is treated as fixed-width frames of `width` bytes; every
+    _FRAME_STRIDE-th frame is kept and checksummed. With a real codec only
+    the per-frame decode changes — batching, schema, and stride logic stay.
+    """
+    for pdf in batches:
+        rows = []
+        for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+            w = int(meta["width"])
+            buf = np.frombuffer(payload, dtype=np.uint8)
+            n_frames = -(-len(buf) // w) if len(buf) else 0
+            idxs = range(0, n_frames, _FRAME_STRIDE)
+            checksum = sum(int(buf[i * w : (i + 1) * w].sum()) for i in idxs)
+            rows.append((int(doc_id), n_frames, len(idxs), checksum))
+        yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "n_sampled", "checksum"])
+
+
+@register(
+    "frame_sample",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, text,
+               n_chars % 640 + 32 AS w,
+               CAST(CEIL(CAST(LENGTH(text) AS DOUBLE) / (n_chars % 640 + 32)) AS BIGINT)
+                   AS nf
+        FROM documents
+    )
+    SELECT doc_id, nf AS n_frames,
+           CAST(LEN(range(0, nf, 4)) AS BIGINT) AS n_sampled,
+           CAST(COALESCE(list_sum(list_transform(range(0, nf, 4),
+                i -> list_sum(list_transform(
+                         string_split(substr(text, CAST(i * w + 1 AS BIGINT),
+                                             CAST(w AS BIGINT)), ''),
+                         c -> ascii(c))))), 0) AS BIGINT) AS checksum
+    FROM f
+    """,
+)
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frame sampling over binary payloads (video-style).
+
+    The oracle recomputes frame count, sample count, and the sampled-frame
+    byte checksum character-wise in SQL (payloads are ASCII here), proving
+    the mapInPandas chunking math exactly. Narrow plan: payload bytes never
+    shuffle; only (doc_id, 3 longs) leave the scan stage.
+    """
+    docs = with_payload(load(spark, sf_dir, "documents"))
+    return docs.mapInPandas(_sample_frames, schema=FRAME_SCHEMA)

@@ -110,3 +110,21 @@ def test_ann_lsh_recall_vs_exact(spark, sf_smoke) -> None:
     for r in lsh_rows:
         if (r["q_id"], r["rank"]) in exact_at_rank:
             assert r["cosine"] <= exact_at_rank[(r["q_id"], r["rank"])] + 1e-9
+
+
+def test_approx_quantile_error_bound(spark, sf_smoke) -> None:
+    """Sketch percentiles must land within 1% (relative) of the exact
+    percentiles at accuracy=10000."""
+    approx = {
+        r["l_returnflag"]: (r["p50"], r["p90"], r["p99"])
+        for r in registry.QUERIES["approx_quantile"](spark, sf_smoke).collect()
+    }
+    exact_df = (
+        load(spark, sf_smoke, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("q"))
+        .collect()
+    )
+    for r in exact_df:
+        for got, want in zip(approx[r["l_returnflag"]], r["q"]):
+            assert abs(got - want) / want < 0.01, (r["l_returnflag"], got, want)
