@@ -76,3 +76,105 @@ def struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s.key") * 2).alias("doubled_key"),
         )
     )
+
+
+@register(
+    "array_hof",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM documents
+        WHERE doc_id <= 200
+    )
+    SELECT doc_id,
+           CAST(LEN(list_filter(toks, x -> LENGTH(x) > 5)) AS BIGINT) AS n_long,
+           CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS BIGINT) AS total_chars,
+           CAST(LEN(toks) > 0 AND LEN(list_filter(toks, x -> LENGTH(x) >= 2)) = LEN(toks)
+                AS BOOLEAN) AS all_ge2,
+           CAST(LEN(list_filter(toks, x -> x LIKE 'a%')) > 0 AS BOOLEAN) AS any_a
+    FROM t
+    """,
+)
+def array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions: filter / transform+aggregate / forall /
+    exists — per-element logic as JVM lambda expressions, the idiomatic
+    replacement for 90% of would-be Python UDFs."""
+    from pythonmapreduce_spark.sources.text_corpus import tokens_col
+
+    toks = tokens_col()
+    return (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 200)
+        .select(
+            "doc_id",
+            F.size(F.filter(toks, lambda x: F.length(x) > 5)).cast("long").alias("n_long"),
+            F.aggregate(
+                F.transform(toks, lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("total_chars"),
+            F.forall(toks, lambda x: F.length(x) >= 2).alias("all_ge2"),
+            F.exists(toks, lambda x: x.startswith("a")).alias("any_a"),
+        )
+    )
+
+
+@register(
+    "explode_null",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN n_chars < 600
+                    THEN list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                    ELSE [] END AS toks
+        FROM documents
+        WHERE doc_id <= 100
+    )
+    SELECT doc_id, UNNEST(CASE WHEN LEN(toks) = 0 THEN [NULL] ELSE toks END) AS token
+    FROM t
+    """,
+)
+def explode_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with empty arrays survive with a NULL element.
+
+    Plain explode silently DROPS parents with empty arrays — the outer
+    variant is the left-join-shaped generator that keeps every input row,
+    which is what joins back to the source table without losing documents.
+    """
+    from pythonmapreduce_spark.sources.text_corpus import tokens_col
+
+    toks = F.when(F.col("n_chars") < 600, tokens_col()).otherwise(
+        F.array().cast("array<string>")
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 100)
+        .select("doc_id", F.explode_outer(toks).alias("token"))
+    )
+
+
+@register(
+    "regex_funcs",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '[a-z]+') AS first_word,
+           LEN(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
+           regexp_replace(p_name, ' ', '_', 'g') AS snaked,
+           regexp_matches(p_type, 'ST') AS has_st
+    FROM part
+    """,
+)
+def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family: extract / extract_all / replace / match.
+
+    Patterns restricted to the syntax subset where Java regex (Spark) and
+    RE2 (DuckDB) agree — anchors, classes, literals; no lookaround.
+    """
+    return load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.regexp_extract("p_name", "[a-z]+", 0).alias("first_word"),
+        F.size(F.regexp_extract_all("p_name", F.lit("[aeiou]"), 0)).cast("long").alias("n_vowels"),
+        F.regexp_replace("p_name", " ", "_").alias("snaked"),
+        F.col("p_type").rlike("ST").alias("has_st"),
+    )
