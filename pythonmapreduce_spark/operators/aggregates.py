@@ -356,3 +356,51 @@ def approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("q")[2], 4).alias("p99"),
         )
     )
+
+
+@register(
+    "agg_bool",
+    oracle="""
+    SELECT o_orderpriority,
+           BOOL_AND(o_totalprice > 1000) AS all_over_1k,
+           BOOL_OR(o_totalprice > 400000) AS any_jumbo,
+           COUNT_IF(o_orderstatus = 'F') AS n_finished
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregates: bool_and / bool_or / count_if."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        )
+    )
+
+
+@register(
+    "agg_stringagg",
+    oracle="""
+    SELECT n_regionkey,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation with deterministic ordering.
+
+    Spark has no ordered string_agg; sort_array(collect_list) → array_join
+    is the canonical equivalent (ordering pinned, unlike bare collect_list
+    whose order is partition arrival)."""
+    return (
+        load(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
+        )
+    )

@@ -209,3 +209,52 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") % 10 == 1)
         .drop("rn")
     )
+
+
+@register(
+    "sort_nulls",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+    FROM customer
+    ORDER BY bal DESC NULLS FIRST, c_custkey
+    """,
+)
+def sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit null placement in sort order (NULLS FIRST on DESC).
+
+    Engines disagree on default null order (Spark: nulls last on DESC,
+    DuckDB: nulls last too, but SQL dialects vary) — production sorts pin
+    it explicitly. Negative balances are nulled to create the null bucket.
+    """
+    bal = F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal"))
+    return (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", bal.alias("bal"))
+        .orderBy(F.col("bal").desc_nulls_first(), F.col("c_custkey"))
+    )
+
+
+@register(
+    "paginate",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-stable pagination: total order + OFFSET/LIMIT (page 3 of 20).
+
+    Valid only over a TOTAL order (the o_orderkey tiebreak); at scale
+    prefer keyset pagination (WHERE key > last_seen) — OFFSET must still
+    sort-and-skip everything before the page.
+    """
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(40)
+        .limit(20)
+    )

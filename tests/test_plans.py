@@ -103,3 +103,14 @@ def test_engine_wide_plan_audit(spark, sf_smoke) -> None:
         plan = _plan(registry.QUERIES[name](spark, sf_smoke))
         assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+def test_aqe_replans_at_runtime(spark, sf_smoke) -> None:
+    """AQE must re-plan at shuffle boundaries: after execution the final
+    adaptive plan exists and has coalesced the small shuffle partitions
+    (32 configured partitions collapse for smoke-scale data)."""
+    df = registry.QUERIES["join_star"](spark, sf_smoke)
+    df.collect()  # materialize so AQE finalizes
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan isFinalPlan=true" in executed
+    assert "coalesced" in executed or "AQEShuffleRead" in executed

@@ -1,0 +1,77 @@
+"""Regenerate PLANS.md: annotated formatted physical plans for the headline
+queries. Run from the repo root: ``python tools/gen_plans.py``."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pythonmapreduce_spark.plans.registry import QUERIES, load_all  # noqa: E402
+from pythonmapreduce_spark.session import get_spark  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+NOTES = {
+    "join_star": (
+        "lineitem (the 100 TB fact) is joined without ever shuffling: "
+        "orders/customer arrive via shuffle exchanges only on THEIR side at "
+        "larger SFs, nation/region are broadcast; one exchange for the final "
+        "aggregation."
+    ),
+    "agg_basic": (
+        "partial HashAggregate before the exchange (map-side combine) — only "
+        "|groups| rows shuffle, not |lineitem|; the reference ships every "
+        "(word,1) pair uncombined."
+    ),
+    "wordcount": (
+        "explode stays inside WholeStageCodegen; partial+final aggregate pair "
+        "around one exchange keyed by word."
+    ),
+    "topk": (
+        "TakeOrderedAndProject: per-partition top-k, k rows per partition to "
+        "the driver — no global sort."
+    ),
+    "topk_per_group": (
+        "WindowGroupLimit prunes each partition to k rows per key BEFORE the "
+        "window sort — grouped top-k without materializing full partitions."
+    ),
+    "join_broadcast": (
+        "supplier⋈nation dim chain broadcast to every executor; the fact "
+        "table's only exchange is the final agg on n_name."
+    ),
+    "tpch_q6": (
+        "all four predicates in PushedFilters at the parquet scan; single-row "
+        "combine, no shuffle of data rows."
+    ),
+    "knn_cosine": (
+        "corpus never shuffles: queries broadcast (BroadcastNestedLoopJoin "
+        "over 20 rows), scoring inside codegen, per-query top-k via window."
+    ),
+}
+
+
+def main() -> None:
+    load_all()
+    spark = get_spark(cpus="8")
+    jvm = spark._jvm
+    out = [
+        "# PLANS — annotated physical plans (generated at sf0.01, local[8])",
+        "",
+        "Regenerate: `python tools/gen_plans.py`. These are the plans the scale",
+        "story depends on; `tests/test_plans.py` asserts the load-bearing shapes",
+        "(pushdown, broadcast, partial agg, WindowGroupLimit, AQE re-plan) so",
+        "regressions fail CI rather than silently degrading at 100 TB.",
+        "",
+    ]
+    for name, note in NOTES.items():
+        df = QUERIES[name](spark, SF)
+        plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        out.append(f"## {name}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
+    with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as fh:
+        fh.write("\n".join(out))
+
+
+if __name__ == "__main__":
+    main()
