@@ -267,3 +267,110 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 3)
         .distinct()
     )
+
+
+@register("dedup_clusters")  # iterative (label propagation) → rows-only
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over verified near-dup pairs: the step that
+    turns a pair list into dedup DECISIONS (one survivor per cluster).
+
+    Iterative min-label propagation: every node repeatedly adopts the
+    smallest doc_id reachable over an edge, until a fixpoint. Each round is
+    two hash joins + a min-aggregate — all DataFrame ops; the driver loop
+    only controls iteration count (log-diameter rounds; near-dup clusters
+    are tiny, so ≤ 8 rounds is generous). localCheckpoint truncates the
+    exponentially-growing lineage each round — the standard pattern for
+    iterative algorithms on Spark (GraphX's CC does the same shape).
+
+    Output: (doc_id, cluster_id, is_survivor) for every doc in some
+    near-dup cluster; survivor = the cluster's min doc_id.
+    """
+    pairs = QUERIES["dedup_near"](spark, sf_dir).select("id_a", "id_b")
+    # Undirected edge list, both directions.
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("id_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(8):
+        # Each node's candidate label: min over neighbors' current labels.
+        neighbor_min = (
+            edges.join(labels, edges["id_b"] == labels["doc_id"])
+            .groupBy(edges["id_a"].alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
+    )
+
+
+from pythonmapreduce_spark.plans.registry import QUERIES  # noqa: E402
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=r"""
+    WITH survivors AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    ), clean AS (
+        SELECT d.doc_id, d.lang, d.n_chars,
+               LEN(list_filter(string_split_regex(d.text, '\s+'), t -> t <> ''))
+                   AS n_tokens
+        FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
+        WHERE d.n_chars >= 100
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM clean
+    GROUP BY lang
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data cleaning pipeline: length filter → exact
+    dedup → per-language corpus stats.
+
+    The end-to-end shape a 100 TB pretraining pipeline runs nightly; each
+    stage is one of this engine's operators chained as DataFrames, so
+    Catalyst fuses the whole thing into one plan (the dedup's hash shuffle
+    is the only wide stage — filters run before it, pruning pushdown-style).
+    """
+    from pythonmapreduce_spark.sources.text_corpus import tokens_col
+
+    docs = load(spark, sf_dir, "documents").where(F.col("n_chars") >= 100)
+    w = W.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    clean = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars", F.size(tokens_col()).alias("n_tokens"))
+    )
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )

@@ -128,3 +128,22 @@ def test_approx_quantile_error_bound(spark, sf_smoke) -> None:
     for r in exact_df:
         for got, want in zip(approx[r["l_returnflag"]], r["q"]):
             assert abs(got - want) / want < 0.01, (r["l_returnflag"], got, want)
+
+
+def test_dedup_clusters_are_consistent(spark, sf_smoke) -> None:
+    """Every verified near-dup pair must land in ONE cluster; each cluster's
+    id is its min member (the survivor); exactly one survivor per cluster."""
+    labels = {
+        r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+        for r in registry.QUERIES["dedup_clusters"](spark, sf_smoke).collect()
+    }
+    pairs = registry.QUERIES["dedup_near"](spark, sf_smoke).collect()
+    assert pairs, "fixture should contain near-dup pairs"
+    for p in pairs:
+        assert labels[p["id_a"]][0] == labels[p["id_b"]][0], (p, "split cluster")
+    clusters: dict[int, list[int]] = {}
+    for doc, (cid, _) in labels.items():
+        clusters.setdefault(cid, []).append(doc)
+    for cid, members in clusters.items():
+        assert cid == min(members)
+        assert sum(1 for m in members if labels[m][1]) == 1
