@@ -84,60 +84,65 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
     band keys are xxhash64 over each 4-signature band; self-join on the
     band key yields only same-bucket pairs. Fully deterministic.
     """
-    # Shingle hashes WITHOUT building shingle strings: hash each token once,
-    # then combine consecutive token hashes with an order-sensitive
-    # xor/shift mix (ANSI-safe, no overflow). Measured 3.4× faster than
-    # array_join(slice)+xxhash64-per-shingle at sf0.1 — string assembly was
-    # the cost, not the min-aggregates. Docs with <3 tokens fall back to a
-    # single whole-text shingle (same as the string path's fallback).
+    # Shingle hashing stays fully scalar: explode the shingle POSITIONS,
+    # then hash the 3 tokens at each position with one multi-arg xxhash64 —
+    # no shingle strings, no higher-order functions (transform/zip_with are
+    # interpreted per element and measured 2.6× slower here at sf0.1).
+    # F.get is 0-based and null-safe past the end, and xxhash64 skips null
+    # inputs, so docs with <3 tokens degrade to hashing their 1–2 tokens.
+    # Plan construction cost matters too: every Python-side F.* call is a
+    # Py4J JVM round trip, and building the 64-hash aggregate from Column
+    # objects measured ~0.85 s of pure driver time per invocation. SQL
+    # expression strings (selectExpr / F.expr) parse JVM-side in one round
+    # trip each — same analyzed plan, ~8× cheaper construction.
     toks = tokens_col()
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-    m = F.greatest(F.size(th) - 2, F.lit(1))
-
-    def _mix(a: F.Column, b: F.Column) -> F.Column:
-        return (
-            F.shiftleft(a, 13)
-            .bitwiseXOR(F.shiftrightunsigned(a, 7))
-            .bitwiseXOR(b)
-        )
-
-    combined = F.zip_with(
-        F.zip_with(F.slice(th, 1, m), F.slice(th, 2, m), _mix),
-        F.slice(th, 3, m),
-        _mix,
+    pos = docs.select("doc_id", toks.alias("toks")).selectExpr(
+        "doc_id", "toks", "explode(sequence(0, greatest(size(toks) - 3, 0))) AS i"
     )
-    shingle_hashes = F.when(F.size(toks) >= 3, combined).otherwise(
-        F.array(F.xxhash64(F.array_join(toks, " ")))
+    hashed = pos.selectExpr(
+        "doc_id",
+        f"pmod(xxhash64(get(toks, i), get(toks, i + 1), get(toks, i + 2)), {_M32}) AS h",
     )
-    hashed = docs.select(
-        "doc_id", F.explode(shingle_hashes).alias("sh")
-    ).select("doc_id", F.pmod(F.col("sh"), F.lit(_M32)).alias("h"))
     mins = []
     for i in range(_NUM_HASHES):
         a = 2 * i + 1 + 104729  # odd multipliers from a fixed prime offset
         b = 7919 * (i + 1)
-        mins.append(
-            F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE))).alias(f"s{i}")
-        )
+        mins.append(F.expr(f"min(pmod({a} * h + {b}, {_MERSENNE})) AS s{i}"))
     sig = hashed.groupBy("doc_id").agg(*mins)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"s{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]).alias(
-                "bucket"
-            ),
+    band_structs = ", ".join(
+        "struct({b} AS band, xxhash64({cols}) AS bucket)".format(
+            b=b,
+            cols=", ".join(f"s{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)),
         )
         for b in range(_BANDS)
-    ]
-    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "doc_id", "bb.band", "bb.bucket"
     )
-    left = bands.select(F.col("doc_id").alias("id_a"), "band", "bucket")
-    right = bands.select(F.col("doc_id").alias("id_b"), "band", "bucket")
+    bands = sig.selectExpr("doc_id", f"inline(array({band_structs}))")
+    # Pair generation WITHIN buckets (groupBy + combination explode), not a
+    # band-key self-join: a self-join would evaluate the whole signature
+    # pipeline twice (Spark does not share common subplans across join
+    # sides) and add a second shuffle. Bucket member lists are tiny for any
+    # sane banding, so the per-bucket pair expansion is cheap; a
+    # pathological bucket (s members → s²/2 pairs) is a data-quality signal
+    # either way, and at 100 TB would be capped upstream.
+    return _pairs_in_buckets(bands, ["band", "bucket"])
+
+
+def _pairs_in_buckets(bands: DataFrame, keys: list[str]) -> DataFrame:
+    """All (id_a < id_b) pairs of doc_ids sharing a bucket key.
+
+    One shuffle (the groupBy); output deduplicated across buckets.
+    """
+    grouped = (
+        bands.groupBy(*keys)
+        .agg(F.expr("sort_array(collect_list(doc_id)) AS ids"))
+        .where("size(ids) > 1")
+    )
     return (
-        left.join(right, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.selectExpr(
+            "inline(flatten(transform(sequence(0, size(ids) - 2),"
+            " i -> transform(sequence(i + 1, size(ids) - 1),"
+            " j -> struct(ids[i] AS id_a, ids[j] AS id_b)))))"
+        )
         .distinct()
     )
 
@@ -159,11 +164,18 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     cands = minhash_candidates(docs)
+    # Verification: broadcast the TINY side explicitly. Left to its own
+    # devices the planner broadcasts the tokenized corpus (token arrays fit
+    # under the 64 MB threshold locally but are the 100 TB side in
+    # production); forcing broadcast(pairs) keeps the corpus streaming
+    # through two scan-side hash joins with no shuffle and no giant
+    # broadcast. The first join's output (pairs + set_a) is itself tiny, so
+    # it broadcasts into the second scan.
     toks = docs.select("doc_id", F.array_distinct(tokens_col()).alias("tset"))
     ta = toks.select(F.col("doc_id").alias("id_a"), F.col("tset").alias("set_a"))
     tb = toks.select(F.col("doc_id").alias("id_b"), F.col("tset").alias("set_b"))
     return (
-        cands.join(ta, "id_a")
+        F.broadcast(F.broadcast(cands).join(ta, "id_a"))
         .join(tb, "id_b")
         .withColumn("jaccard", F.round(_token_set_jaccard(F.col("set_a"), F.col("set_b")), 4))
         .where(F.col("jaccard") >= 0.6)
@@ -277,15 +289,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "sig", "bb.band", "bb.bucket")
-    a = bands.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket")
-    b = bands.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket")
+    # In-bucket pair generation (see minhash_candidates): the signature UDF
+    # runs once, not once per join side, and there is no self-join shuffle.
+    # Members carry (doc_id, sig) so Hamming verification needs no join-back.
+    grouped = (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    n = F.size("ms")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, n - 1),
+                lambda j: F.struct(
+                    F.get("ms", i).alias("a"), F.get("ms", j).alias("b")
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
+        grouped.select(F.explode(pair_structs).alias("p"))
         .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+            F.col("p.a.doc_id").alias("id_a"),
+            F.col("p.b.doc_id").alias("id_b"),
+            F.bit_count(F.col("p.a.sig").bitwiseXOR(F.col("p.b.sig"))).alias("hamming"),
         )
         .where(F.col("hamming") <= 3)
         .distinct()
