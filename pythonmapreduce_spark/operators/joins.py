@@ -416,3 +416,62 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_acctbal > 8000
         """
     )
+
+
+@register(
+    "subquery_exists",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL entry point.
+
+    Catalyst's RewritePredicateSubquery turns this into a left-semi join on
+    the correlation key with the extra predicate pushed below the join —
+    the subquery never executes per outer row. (The reference's fixed
+    two-stage pipeline cannot express any subquery — SURVEY §2.2.)
+    """
+    from pythonmapreduce_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+        """
+    )
+
+
+@register(
+    "subquery_not_exists",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_partkey = p_partkey AND l_quantity > 45
+    )
+    """,
+)
+def subquery_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS with a non-key predicate, as a left-anti join.
+
+    The filter on the inner side (quantity > 45) runs BEFORE the anti join,
+    so at scale the anti join's build side is the filtered subset, not the
+    full fact table — same plan Catalyst produces for the SQL form.
+    """
+    part = load(spark, sf_dir, "part")
+    heavy = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return part.join(
+        heavy, F.col("p_partkey") == F.col("l_partkey"), "left_anti"
+    ).select("p_partkey", "p_name", "p_retailprice")

@@ -140,3 +140,69 @@ def rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_value").alias("max_value"),
         )
     )
+
+
+@register(
+    "funnel_steps",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_signup
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= s1.t_signup
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= s2.t_click
+        GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'signup' AS name, (SELECT COUNT(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 2, 'click_after_signup', (SELECT COUNT(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase_after_click', (SELECT COUNT(*) FROM s3)
+    """,
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: signup → first click after signup →
+    purchase after that click; one row per step with surviving user count.
+
+    Each stage is a groupBy on user_id joined to the previous stage's
+    per-user timestamp — at scale all three stages shuffle on the SAME key
+    (user_id), so the exchanges line up and AQE reuses the partitioning;
+    no per-user driver logic, no window over the full event stream.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") >= F.col("t_click"))
+        .select("user_id")
+        .distinct()
+    )
+
+    def _level(df: DataFrame, step: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(step).alias("step"), F.lit(name).alias("name"), "n_users"
+        )
+
+    return (
+        _level(s1, 1, "signup")
+        .unionByName(_level(s2, 2, "click_after_signup"))
+        .unionByName(_level(s3, 3, "purchase_after_click"))
+    )

@@ -323,3 +323,63 @@ def ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= 5)
     )
+
+
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): plain character classes, no lookaround.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"555-01[0-9]{2}"
+
+
+@register(
+    "pii_scrub",
+    oracle=r"""
+    WITH tagged AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-01'
+                    || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           LEN(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS n_emails,
+           LEN(regexp_extract_all(t, '555-01[0-9]{2}')) AS n_phones,
+           LENGTH(regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                              '[EMAIL]', 'g'),
+               '555-01[0-9]{2}', '[PHONE]', 'g')) AS clean_len
+    FROM tagged
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: count and replace email/phone patterns.
+
+    The fixture corpus carries no real PII, so the query first APPENDS a
+    deterministic synthetic email + phone per document (derived from
+    doc_id, identically in Spark and the oracle), then scrubs — proving
+    the counting and global-replace semantics end to end. Pure JVM regex
+    expressions in one codegen stage: at 100 TB this runs at scan
+    throughput with no shuffle at all.
+    """
+    tagged = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("t"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace("t", F.lit(_EMAIL_RE), F.lit("[EMAIL]")),
+        F.lit(_PHONE_RE),
+        F.lit("[PHONE]"),
+    )
+    return tagged.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.length(clean).alias("clean_len"),
+    )

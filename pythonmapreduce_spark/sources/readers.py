@@ -88,3 +88,16 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.read.parquet(path)
     # partition column comes back typed as read; restore column order/type
     return out.select("doc_id", "lang", F.col("n_chars").cast("long"))
+
+
+@register("source_roundtrip_orc", oracle="SELECT * FROM supplier")
+def source_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → ORC sink → ORC source must be lossless.
+
+    ORC is Spark's other built-in columnar format (vectorized reader,
+    predicate pushdown, zlib/zstd) — the interchange format when the
+    surrounding warehouse is Hive/Trino-based rather than parquet-native.
+    """
+    path = _scratch("supplier_orc")
+    load(spark, sf_dir, "supplier").write.mode("overwrite").orc(path)
+    return spark.read.schema(SCHEMAS["supplier"]).orc(path)

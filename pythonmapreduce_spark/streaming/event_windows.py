@@ -52,9 +52,31 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("window_sliding")  # overlapping windows — rows-only check
+@register(
+    "window_sliding",
+    oracle="""
+    WITH fanout AS (
+        SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+                   - n * INTERVAL '15 minutes' AS window_start,
+               value
+        FROM events, (SELECT UNNEST(range(4)) AS n)
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM fanout
+    GROUP BY window_start
+    """,
+)
 def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour window sliding every 15 minutes (4× row fan-out pre-agg)."""
+    """1-hour window sliding every 15 minutes (4× row fan-out pre-agg).
+
+    Oracle: every event belongs to exactly duration/slide = 4 sliding
+    windows, whose starts are the event's 15-min bucket minus 0..3 slides —
+    the same epoch-aligned fan-out Spark's window() generator produces, so
+    the overlapping-window semantics are exactly SQL-checkable.
+    """
     return (
         load(spark, sf_dir, "events")
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
