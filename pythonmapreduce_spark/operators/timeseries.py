@@ -206,3 +206,104 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_level(s2, 2, "click_after_signup"))
         .unionByName(_level(s3, 3, "purchase_after_click"))
     )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS DATE)
+                   AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS DATE)
+                   AS active_week
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,
+           CAST(date_diff('day', cohort_week, active_week) / 7 AS BIGINT)
+               AS week_offset,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    in each subsequent active week.
+
+    The cohort table (one row per user) joins back to the event stream on
+    user_id — the same key the first-seen aggregation shuffled on, so the
+    exchange is reused; the retention matrix itself is tiny (weeks²).
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("active_week"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        # dates cross the comparison boundary as ISO strings: pandas
+        # promotes SQL DATE to Timestamp, which would never hash-match
+        # Spark's datetime.date
+        .withColumn("cohort_week", F.col("cohort_week").cast("string"))
+    )
+
+
+@register(
+    "event_pattern",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           MIN(CAST(e.ts AS TIMESTAMP)) AS first_error_ts
+    FROM events p
+    JOIN events e
+      ON e.user_id = p.user_id
+     AND e.event_type = 'error'
+     AND CAST(e.ts AS TIMESTAMP) > CAST(p.ts AS TIMESTAMP)
+     AND CAST(e.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.user_id, p.event_id, p.ts
+    """,
+)
+def event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence pattern: purchases followed by an error within one hour for
+    the same user (first matching error per purchase).
+
+    Equi-join on user_id carries the heavy lifting (hash/sort-merge,
+    co-partitioned); the time-range predicates evaluate inside the join.
+    Both sides filter to their event type BEFORE the join, so at 100 TB the
+    shuffle moves only the two relevant event slices, not the full stream.
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("error_ts")
+    )
+    return (
+        p.join(
+            e,
+            (F.col("e_user") == F.col("user_id"))
+            & (F.col("error_ts") > F.col("purchase_ts"))
+            & (F.col("error_ts") <= F.col("purchase_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("user_id", "purchase_id", "purchase_ts")
+        .agg(F.min("error_ts").alias("first_error_ts"))
+    )

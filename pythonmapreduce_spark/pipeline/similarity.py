@@ -321,3 +321,81 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+_KNN_BLOCKS = 8
+
+
+@register(
+    "knn_blocked",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id <= {_KNN_QUERIES}
+    ), c AS (
+        SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings
+    ), scored AS (
+        SELECT q_id, n_id,
+               list_cosine_similarity(qv, nv) AS cos_raw
+        FROM q CROSS JOIN c
+        WHERE q_id <> n_id
+    )
+    SELECT q_id, n_id, ROUND(cos_raw, 4) AS cosine, rn AS rank
+    FROM (
+        SELECT q_id, n_id, cos_raw,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_raw DESC, n_id ASC) AS rn
+        FROM scored
+    )
+    WHERE rn <= {_KNN_K}
+    """,
+)
+def knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-partitioned exact kNN: the 100 TB formulation of knn_cosine,
+    with the SAME oracle — the hash-compare proves blocking never changes
+    results.
+
+    Two-stage top-k: corpus vectors are hashed into B blocks, local top-k
+    runs per (query, block), and only B·k survivors per query reach the
+    global ranking. Why it matters at scale: a single window partitioned by
+    q_id funnels the ENTIRE scored corpus for one query through one task
+    (20 queries = 20 straggler partitions on a 1000-executor cluster);
+    partitioning by (q_id, block) spreads the heavy ranking over B× more
+    tasks and the final per-query merge sees only B·k tiny rows.
+    Correctness: every global top-k row is in some block, and its rank
+    within that block can only be ≤ its global rank, so per-block top-k is
+    a superset of the global answer.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    corpus = with_norm(emb).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("n_nrm"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(_KNN_BLOCKS)).alias("block"),
+    )
+    queries = with_norm(emb.where(F.col("vec_id") <= _KNN_QUERIES)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("q_nrm")
+    )
+    scored = corpus.join(F.broadcast(queries), F.col("q_id") != F.col("n_id")).withColumn(
+        "cos_raw", _dot(F.col("qv"), F.col("nv")) / (F.col("q_nrm") * F.col("n_nrm"))
+    )
+    order = (F.col("cos_raw").desc(), F.col("n_id").asc())
+    local_w = W.partitionBy("q_id", "block").orderBy(*order)
+    survivors = (
+        scored.withColumn("lrank", F.row_number().over(local_w))
+        .where(F.col("lrank") <= _KNN_K)
+        .select("q_id", "n_id", "cos_raw")
+    )
+    global_w = W.partitionBy("q_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(global_w))
+        .where(F.col("rank") <= _KNN_K)
+        .select(
+            "q_id",
+            "n_id",
+            F.round("cos_raw", 4).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
