@@ -404,3 +404,36 @@ def agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
         )
     )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+    SELECT CASE WHEN l_quantity < 0 THEN 0
+                WHEN l_quantity >= 50 THEN 11
+                ELSE CAST(FLOOR(l_quantity / 5) + 1 AS BIGINT) END AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(l_quantity), 2) AS lo,
+           ROUND(MAX(l_quantity), 2) AS hi
+    FROM lineitem
+    GROUP BY bucket
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound equi-width histogram via the SQL-standard width_bucket.
+
+    Fixed bounds (not data-dependent min/max) make this a single partial+
+    final aggregate — one pass, no pre-scan for extrema, which is the only
+    formulation that stays one-pass at 100 TB. 10 buckets over [0, 50).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.width_bucket("l_quantity", F.lit(0), F.lit(50), F.lit(10)).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_quantity"), 2).alias("lo"),
+            F.round(F.max("l_quantity"), 2).alias("hi"),
+        )
+    )

@@ -307,3 +307,42 @@ def event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "purchase_id", "purchase_ts")
         .agg(F.min("error_ts").alias("first_error_ts"))
     )
+
+
+@register(
+    "scd2_snapshot",
+    oracle="""
+    SELECT user_id,
+           value,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           LEAD(CAST(ts AS TIMESTAMP))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           (LEAD(CAST(ts AS TIMESTAMP))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+               AS is_current
+    FROM events
+    WHERE event_type = 'signup' OR event_type = 'purchase'
+    """,
+)
+def scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) intervals from a change stream:
+    each state change becomes a row with [valid_from, valid_to) validity,
+    open-ended (NULL) for the current state.
+
+    The warehouse pattern for turning an event log into a point-in-time
+    joinable dimension. One window sort per user partition; at 100 TB the
+    shuffle key (user_id) is the same key downstream as-of joins use, so
+    the partitioning is reused. Deterministic tiebreak on event_id.
+    """
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("signup", "purchase"))
+        .select(
+            "user_id",
+            "value",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

@@ -101,3 +101,35 @@ def source_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch("supplier_orc")
     load(spark, sf_dir, "supplier").write.mode("overwrite").orc(path)
     return spark.read.schema(SCHEMAS["supplier"]).orc(path)
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    SELECT p_partkey, p_name,
+           CASE WHEN p_partkey % 2 = 0 THEN NULL ELSE p_retailprice END
+               AS p_retailprice
+    FROM part
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches written with different
+    schemas (a column added in batch 2) merge into the union schema, old
+    rows NULL-filled — the append-only ingestion reality of any long-lived
+    100 TB table. ``mergeSchema`` reconciles footers at planning time; the
+    oracle pins exactly which rows carry the late column.
+    """
+    part = load(spark, sf_dir, "part")
+    p1 = _scratch("part_v1")
+    p2 = _scratch("part_v2")
+    part.where(F.col("p_partkey") % 2 == 0).select("p_partkey", "p_name").write.mode(
+        "overwrite"
+    ).parquet(p1)
+    part.where(F.col("p_partkey") % 2 == 1).select(
+        "p_partkey", "p_name", "p_retailprice"
+    ).write.mode("overwrite").parquet(p2)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(p1, p2)
+        .select("p_partkey", "p_name", "p_retailprice")
+    )

@@ -49,6 +49,20 @@ NOTES = {
         "corpus never shuffles: queries broadcast (BroadcastNestedLoopJoin "
         "over 20 rows), scoring inside codegen, per-query top-k via window."
     ),
+    "knn_blocked": (
+        "scale formulation of knn_cosine (same oracle): local top-k per "
+        "(query, block) spreads ranking over 8x more partitions, global "
+        "merge sees only blocks*k rows per query — no per-query straggler "
+        "partition at 1000-executor scale."
+    ),
+    "dedup_near": (
+        "MinHash-LSH: one scan computes 64 signatures via partial+final "
+        "min-aggregates (scalar xxhash64 shingle hashing, no HOFs); pairs "
+        "generated IN-bucket by groupBy+combination-explode so the "
+        "signature pipeline runs once (a band self-join would run it per "
+        "side); Jaccard verify broadcasts the tiny pair list so the corpus "
+        "streams unshuffled."
+    ),
 }
 
 
