@@ -383,3 +383,61 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("t", F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
         F.length(clean).alias("clean_len"),
     )
+
+
+@register(
+    "repetition_filter",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+                   AS tok
+        FROM documents
+    ), counts AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(c) AS BIGINT) AS top_count
+        FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(n_distinct / CAST(n_tokens AS DOUBLE), 4) AS distinct_ratio,
+           ROUND(top_count / CAST(n_tokens AS DOUBLE), 4) AS top_token_ratio,
+           (n_distinct / CAST(n_tokens AS DOUBLE) >= 0.2
+            AND top_count / CAST(n_tokens AS DOUBLE) <= 0.2) AS keep
+    FROM per_doc
+    """,
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher-rules family): flag
+    documents whose token distribution is degenerate — low distinct-token
+    ratio or a single token dominating — the signature of boilerplate,
+    keyword stuffing, and generation loops.
+
+    Emits the keep/drop decision as a column (not a filter) so the oracle
+    checks every document's signals. Shape at 100 TB: explode → two
+    aggregations, both keyed by doc_id, so the second reuses the first's
+    partitioning; partial aggregation collapses each partition's token
+    multiset before the shuffle.
+    """
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens_col()).alias("tok"))
+    )
+    counts = toks.groupBy("doc_id", "tok").count()
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("count").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("count").alias("top_count"),
+    )
+    distinct_ratio = F.col("n_distinct") / F.col("n_tokens").cast("double")
+    top_ratio = F.col("top_count") / F.col("n_tokens").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(top_ratio, 4).alias("top_token_ratio"),
+        ((distinct_ratio >= 0.2) & (top_ratio <= 0.2)).alias("keep"),
+    )

@@ -114,3 +114,46 @@ def test_aqe_replans_at_runtime(spark, sf_smoke) -> None:
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "AdaptiveSparkPlan isFinalPlan=true" in executed
     assert "coalesced" in executed or "AQEShuffleRead" in executed
+
+
+def test_dedup_near_single_signature_pipeline(spark, sf_smoke) -> None:
+    """In-bucket pair generation must keep ONE minhash signature pipeline:
+    a band-key self-join would show two 64-min HashAggregates."""
+    plan = _plan(registry.QUERIES["dedup_near"](spark, sf_smoke))
+    # the 64-way min aggregate appears as ONE partial(+final) pair: exactly
+    # one map-side aggregation line carries the first hash's constants
+    partial_lines = [
+        ln for ln in plan.splitlines() if "partial_min(pmod" in ln and "104730" in ln
+    ]
+    assert len(partial_lines) == 1, f"signature pipeline duplicated:\n{partial_lines}"
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # verify joins broadcast the pair list
+
+
+def test_knn_blocked_two_stage_topk(spark, sf_smoke) -> None:
+    """Block-partitioned kNN: two ranking windows (local per block, global
+    merge), corpus side never broadcast."""
+    plan = _plan(registry.QUERIES["knn_blocked"](spark, sf_smoke))
+    assert plan.count("Window") >= 2
+    assert "WindowGroupLimit" in plan  # rank-limit pushdown on both stages
+    # the only broadcast is the 20-row query set ("Name (n)" counts tree
+    # nodes once; the details section prints "(n) Name" and is excluded)
+    assert plan.count("BroadcastExchange (") == 1
+
+
+def test_funnel_stages_share_shuffle_key(spark, sf_smoke) -> None:
+    """All funnel exchanges hash on user_id — no repartitioning churn
+    between stages."""
+    plan = _plan(registry.QUERIES["funnel_steps"](spark, sf_smoke))
+    ex = [ln for ln in plan.splitlines() if "hashpartitioning(" in ln]
+    assert ex, "expected hash exchanges"
+    assert all("user_id" in ln for ln in ex), f"non-user_id exchange:\n{ex}"
+
+
+def test_event_pattern_filters_before_join(spark, sf_smoke) -> None:
+    """Both event-type filters must reach the scans (PushedFilters), so the
+    join moves only the two relevant slices."""
+    plan = _plan(registry.QUERIES["event_pattern"](spark, sf_smoke))
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "EqualTo(event_type,error)" in plan
+    assert "CartesianProduct" not in plan
