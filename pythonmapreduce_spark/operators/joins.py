@@ -475,3 +475,53 @@ def subquery_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.join(
         heavy, F.col("p_partkey") == F.col("l_partkey"), "left_anti"
     ).select("p_partkey", "p_name", "p_retailprice")
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT o_custkey AS c_custkey, ROUND(SUM(o_totalprice), 2) AS spend
+        FROM orders GROUP BY o_custkey
+        UNION ALL
+        SELECT c_custkey + 1000000, 999.0 FROM customer WHERE c_custkey <= 5
+    )
+    SELECT COALESCE(b.c_custkey, u.c_custkey) AS c_custkey,
+           COALESCE(b.c_name, 'inserted') AS c_name,
+           ROUND(COALESCE(b.c_acctbal, 0) + COALESCE(u.spend, 0) * 0.001, 5)
+               AS c_acctbal
+    FROM customer b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a table format: matched rows update,
+    unmatched source rows insert, unmatched target rows carry over —
+    expressed as one full outer join + coalesce projection.
+
+    This is the engine-level kernel a Delta/Iceberg MERGE lowers to; on a
+    lake table the same plan runs copy-on-write per touched file. The
+    update set derives from orders (per-customer spend) plus synthetic
+    insert keys so BOTH merge branches are exercised deterministically.
+    """
+    base = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    cust = load(spark, sf_dir, "customer")
+    updates = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("u_key"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .unionByName(
+            cust.where(F.col("c_custkey") <= 5).select(
+                (F.col("c_custkey") + 1000000).alias("u_key"), F.lit(999.0).alias("spend")
+            )
+        )
+    )
+    return base.join(updates, F.col("c_custkey") == F.col("u_key"), "full_outer").select(
+        F.coalesce("c_custkey", "u_key").alias("c_custkey"),
+        F.coalesce("c_name", F.lit("inserted")).alias("c_name"),
+        # 5 = the sum's TRUE decimal precision (4dp balance + 2dp spend
+        # x 0.001); rounding below it lands on half boundaries where the
+        # engines' rounding modes diverge
+        F.round(
+            F.coalesce("c_acctbal", F.lit(0.0)) + F.coalesce("spend", F.lit(0.0)) * 0.001, 5
+        ).alias("c_acctbal"),
+    )

@@ -133,3 +133,24 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(p1, p2)
         .select("p_partkey", "p_name", "p_retailprice")
     )
+
+
+@register("sink_compaction", oracle="SELECT doc_id, lang, n_chars FROM documents")
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a fragmented write (one file per shuffle
+    partition) rewritten into few large files, losslessly.
+
+    The nightly operational job every 100 TB table needs — file-count
+    pressure on the metastore/driver listing is a real scale failure mode.
+    ``coalesce`` (not repartition) does the rewrite without a shuffle: it
+    only merges partitions on read. tests/test_sources.py asserts the
+    physical file count actually dropped.
+    """
+    frag = _scratch("documents_fragmented")
+    compact = _scratch("documents_compacted")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.repartition(32).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).coalesce(2).write.mode("overwrite").parquet(compact)
+    return spark.read.parquet(compact).select(
+        "doc_id", "lang", F.col("n_chars").cast("long")
+    )

@@ -180,3 +180,66 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "c_mktsegment", "value")
     _, name = _run_to_memory(joined, "append")
     return spark.table(name)
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - LAG(CAST(ts AS TIMESTAMP))
+                               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), islands AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts)                       AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE  AS session_end,
+           COUNT(*)                      AS n_events,
+           ROUND(SUM(value), 2)          AS total_value
+    FROM islands
+    GROUP BY user_id, sess_no
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows: the same 30-min-gap sessionization as the
+    batch ``window_session``, over a replayed stream — and checked against
+    the same gaps-and-islands SQL oracle, the strongest equivalence
+    available for stateful streaming.
+
+    Session state merges windows incrementally as events arrive (out of
+    order within the replay); complete mode re-emits the merged sessions.
+    In production the same plan runs in append mode with a watermark
+    bounding session state; availableNow + complete keeps the bounded
+    replay exactly batch-equivalent.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        src.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    _, name = _run_to_memory(agg, "complete")
+    return spark.table(name)

@@ -49,3 +49,20 @@ def test_permissive_read_quarantines_corrupt_rows(spark) -> None:
     assert any("not json" in s for s in raw)
     assert any("not-a-number" in s for s in raw)
     df.unpersist()
+
+
+def test_compaction_reduces_file_count(spark, sf_oracle) -> None:
+    import glob
+    import os
+    import tempfile
+
+    from pythonmapreduce_spark.plans import registry
+
+    registry.load_all()
+    df = registry.QUERIES["sink_compaction"](spark, sf_oracle)
+    assert df.count() > 0
+    base = os.path.join(tempfile.gettempdir(), "pmr_spark_io")
+    frag = glob.glob(os.path.join(base, "documents_fragmented", "*.parquet"))
+    comp = glob.glob(os.path.join(base, "documents_compacted", "*.parquet"))
+    assert len(frag) >= 16
+    assert len(comp) <= 2
