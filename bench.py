@@ -53,9 +53,11 @@ def main() -> int:
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        # one warmup execution (codegen/JIT compile), then the timed run —
-        # steady-state throughput is what's comparable across rounds
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        # two warmup executions (first triggers codegen + C1 JIT, second
+        # lets C2 tiering settle), then the timed run — steady-state
+        # throughput is what's comparable across rounds
+        for _ in range(2):
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()

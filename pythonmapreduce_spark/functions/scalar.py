@@ -283,3 +283,71 @@ def bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_count("event_id").cast("long").alias("popcount"),
         )
     )
+
+
+@register(
+    "try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           TRY_CAST(l_returnflag AS INTEGER)          AS flag_as_int,
+           ROUND(l_extendedprice / NULLIF(l_discount, 0.0), 4) AS price_per_disc,
+           CASE WHEN l_quantity = 0 THEN NULL
+                ELSE CAST(FLOOR(l_extendedprice) AS BIGINT)
+                     % CAST(FLOOR(l_quantity) AS BIGINT)
+           END AS price_mod_qty
+    FROM lineitem
+    WHERE l_orderkey <= 500
+    """,
+)
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family under ANSI mode: try_cast, try_divide,
+    try_mod return NULL where strict ANSI evaluation would raise.
+
+    Spark 4 runs ANSI-on by default — a bad cast or division by zero fails
+    the whole job. At 100 TB one malformed row must NOT kill an 8-hour
+    pipeline: the try_ variants turn per-row errors into NULLs that
+    downstream quality filters count and quarantine (see the corrupt-record
+    test for the source-level analog).
+    """
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_to_number(F.col("l_returnflag"), F.lit("9")).cast("int").alias("flag_as_int"),
+        F.round(F.try_divide("l_extendedprice", F.nullif("l_discount", F.lit(0.0))), 4).alias(
+            "price_per_disc"
+        ),
+        # floor() before the integer cast: DuckDB rounds double->BIGINT
+        # casts, Spark truncates — floor pins both to the same integer
+        F.try_mod(
+            F.floor("l_extendedprice").cast("long"), F.floor("l_quantity").cast("long")
+        ).alias("price_mod_qty"),
+    )
+
+
+@register(
+    "json_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_text
+    FROM events
+    WHERE event_id <= 2000
+    """,
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4's VARIANT type: parse_json once,
+    then typed variant_get extraction.
+
+    VARIANT stores a parsed binary form, so repeated path accesses skip
+    re-parsing the JSON text (get_json_object re-parses per call) — the
+    right ingestion shape for 100 TB of semi-structured logs: parse at the
+    edge, extract many times.
+    """
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") <= 2000)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_value"),
+        F.variant_get(v, "$.k", "string").alias("k_text"),
+    )

@@ -85,7 +85,10 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("lang")
         .parquet(path)
     )
-    out = spark.read.parquet(path)
+    # explicit schema on read-back: partition-column discovery needs at
+    # least one partition directory, so an empty write would otherwise fail
+    # schema inference (degenerate-input robustness, tests/test_empty_input)
+    out = spark.read.schema("doc_id long, n_chars long, lang string").parquet(path)
     # partition column comes back typed as read; restore column order/type
     return out.select("doc_id", "lang", F.col("n_chars").cast("long"))
 
