@@ -66,3 +66,12 @@ def test_compaction_reduces_file_count(spark, sf_oracle) -> None:
     comp = glob.glob(os.path.join(base, "documents_compacted", "*.parquet"))
     assert len(frag) >= 16
     assert len(comp) <= 2
+
+
+def test_cli_surface() -> None:
+    """The __main__ CLI: list/oracle work without a SparkSession."""
+    from pythonmapreduce_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    assert main(["oracle", "wordcount"]) == 0
+    assert main(["oracle", "dedup_near"]) == 1  # rows-only
