@@ -399,3 +399,104 @@ def knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+@register(
+    "knn_gemm",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id <= {_KNN_QUERIES}
+    ), c AS (
+        SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings
+    ), scored AS (
+        SELECT q_id, n_id,
+               list_cosine_similarity(qv, nv) AS cos_raw
+        FROM q CROSS JOIN c
+        WHERE q_id <> n_id
+    )
+    SELECT q_id, n_id, ROUND(cos_raw, 4) AS cosine, rn AS rank
+    FROM (
+        SELECT q_id, n_id, cos_raw,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_raw DESC, n_id ASC) AS rn
+        FROM scored
+    )
+    WHERE rn <= {_KNN_K}
+    """,
+)
+def knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN as a per-partition BLAS matmul — the vectorized formulation,
+    sharing knn_cosine's oracle so the hash-compare proves all three kNN
+    variants (HOF-expression, blocked, GEMM) return identical answers.
+
+    Each Arrow batch of corpus vectors becomes one numpy (batch x dim) @
+    (dim x q) GEMM against the broadcast query matrix; the batch emits only
+    its local top-k per query (superset of the global top-k), and one tiny
+    window merges. This is the sanctioned Python escape hatch used RIGHT:
+    Arrow batches amortize the JVM->Python crossing, BLAS does the math,
+    and per-batch pruning keeps the shuffle at k rows per query per batch
+    regardless of corpus size.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    qrows = emb.where(F.col("vec_id") <= _KNN_QUERIES).collect()
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    # empty corpus / query set (degenerate-partition robustness): keep the
+    # matrix 2-D so the norms and GEMM below stay well-defined
+    qm = (
+        np.array([r["v"] for r in qrows], dtype=np.float64)
+        if qrows
+        else np.zeros((0, 1))
+    )
+    qm_n = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+    k = _KNN_K
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("n_id", T.LongType()),
+            T.StructField("cos_raw", T.DoubleType()),
+        ]
+    )
+
+    def score_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(q_ids) == 0:
+                yield pd.DataFrame({"q_id": [], "n_id": [], "cos_raw": []})
+                continue
+            n_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cm = np.array(list(pdf["v"]), dtype=np.float64).reshape(len(pdf), -1)
+            cm_n = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-300)
+            sims = cm_n @ qm_n.T  # (n, q)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                mask = n_ids != qid
+                ids, vals = n_ids[mask], col[mask]
+                if len(ids) == 0:
+                    continue
+                # local top-k with deterministic (cos desc, n_id asc) order
+                order = np.lexsort((ids, -vals))[:k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(ids[order])
+                out_s.extend(vals[order])
+            yield pd.DataFrame({"q_id": out_q, "n_id": out_n, "cos_raw": out_s})
+
+    local = emb.mapInPandas(score_batches, schema)
+    w = W.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("n_id").asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.round("cos_raw", 4).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
