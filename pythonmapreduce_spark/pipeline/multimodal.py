@@ -165,3 +165,68 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = with_payload(load(spark, sf_dir, "documents"))
     return docs.mapInPandas(_sample_frames, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, src_w long, src_h long, dst_w long, dst_h long, resized_len long, corner_byte long"
+_DST_W, _DST_H = 16, 12
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched fake resize: nearest-neighbor sampling of the payload
+    buffer viewed as a (height, width) byte grid — the exact index
+    arithmetic a real nearest-neighbor image resize performs, minus the
+    codec. Deterministic; output length is always dst_w * dst_h."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+            w, h = int(meta["width"]), int(meta["height"])
+            buf = np.frombuffer(payload, dtype=np.uint8)
+            # pad/tile the stand-in buffer to the declared w*h grid, exactly
+            # like the oracle's modular indexing
+            grid = buf[(np.arange(w * h) % max(len(buf), 1))] if len(buf) else np.zeros(
+                w * h, dtype=np.uint8
+            )
+            grid = grid.reshape(h, w)
+            ys = (np.arange(_DST_H) * h) // _DST_H
+            xs = (np.arange(_DST_W) * w) // _DST_W
+            resized = grid[np.ix_(ys, xs)]
+            rows.append(
+                (doc_id, w, h, _DST_W, _DST_H, resized.size, int(resized[0, 0]))
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "src_w", "src_h", "dst_w", "dst_h", "resized_len", "corner_byte",
+            ],
+        )
+
+
+@register(
+    "image_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(n_chars % 640 + 32 AS BIGINT) AS src_w,
+           CAST(doc_id % 480 + 32 AS BIGINT)  AS src_h,
+           CAST({_DST_W} AS BIGINT) AS dst_w,
+           CAST({_DST_H} AS BIGINT) AS dst_h,
+           CAST({_DST_W * _DST_H} AS BIGINT) AS resized_len,
+           CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS corner_byte
+    FROM documents
+    WHERE LENGTH(text) > 0
+    """,
+)
+def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize plumbing over binary image columns.
+
+    The index arithmetic (source grid → strided row/col sample) is the real
+    resize kernel; the codec is the stubbed part (payloads are stand-in
+    bytes — see decode_image). The oracle pins the geometry (src/dst dims,
+    output size) and the top-left sample, which for stand-in payloads is
+    the text's first byte. Narrow plan: one mapInPandas over the scan, no
+    shuffle — at 100 TB this runs at source-read throughput next to the
+    object store.
+    """
+    docs = with_payload(load(spark, sf_dir, "documents")).where(
+        F.length("payload") > 0
+    )
+    return docs.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
