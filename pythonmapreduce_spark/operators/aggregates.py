@@ -364,7 +364,7 @@ def approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            BOOL_AND(o_totalprice > 1000) AS all_over_1k,
            BOOL_OR(o_totalprice > 400000) AS any_jumbo,
-           COUNT_IF(o_orderstatus = 'F') AS n_finished
+           CAST(COUNT_IF(o_orderstatus = 'F') AS BIGINT) AS n_finished
     FROM orders
     GROUP BY o_orderpriority
     """,
