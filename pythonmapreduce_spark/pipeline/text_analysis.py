@@ -441,3 +441,55 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(top_ratio, 4).alias("top_token_ratio"),
         ((distinct_ratio >= 0.2) & (top_ratio <= 0.2)).alias("keep"),
     )
+
+
+# One regex, three anchored groups — identical under Java regex and RE2.
+_URL_HOST = r"^https?://([^/?#]+)"
+_URL_PATH = r"^https?://[^/?#]+(/[^?#]*)"
+_URL_QKEY = r"[?&]utm_source=([^&#]*)"
+
+
+@register(
+    "url_parse",
+    oracle=r"""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://' || source || '.example.' ||
+               CASE WHEN doc_id % 3 = 0 THEN 'com' ELSE 'org' END ||
+               '/docs/' || CAST(doc_id AS VARCHAR) ||
+               CASE WHEN doc_id % 2 = 0
+                    THEN '?utm_source=feed&x=1' ELSE '' END AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]utm_source=([^&#]*)', 1) AS utm_source
+    FROM urls
+    """,
+)
+def url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition for web-corpus curation: host (the dedup/quality
+    blocking key), path, and a tracking parameter.
+
+    URLs are synthesized deterministically from doc metadata (the fixture
+    corpus carries none), identically in both engines. Pure regexp_extract
+    — one codegen stage at scan throughput; the host column is what a
+    100 TB crawl dedup blocks on before any content comparison.
+    """
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example."),
+        F.when(F.col("doc_id") % 3 == 0, "com").otherwise("org"),
+        F.lit("/docs/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, "?utm_source=feed&x=1").otherwise(""),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(url, _URL_HOST, 1).alias("host"),
+        F.regexp_extract(url, _URL_PATH, 1).alias("path"),
+        F.regexp_extract(url, _URL_QKEY, 1).alias("utm_source"),
+    )
