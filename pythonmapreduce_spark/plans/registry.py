@@ -76,7 +76,7 @@ def load_all() -> None:
         windows,
     )
     from pythonmapreduce_spark.functions import complex, scalar, udfs  # noqa: F401
-    from pythonmapreduce_spark.sources import readers, text_corpus  # noqa: F401
+    from pythonmapreduce_spark.sources import bucketing, readers, text_corpus  # noqa: F401
     from pythonmapreduce_spark.streaming import (  # noqa: F401
         event_windows,
         stateful,

@@ -14,8 +14,10 @@ whole input through the KV store (/root/reference/master.py:27-40).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pythonmapreduce_spark.catalog import load
+from pythonmapreduce_spark.plans.registry import register
 
 N_BUCKETS = 8
 
@@ -35,3 +37,49 @@ def write_bucketed(spark: SparkSession, sf_dir: str, table: str, key: str, name:
 def bucketed_join(spark: SparkSession, left: str, right: str, cond) -> DataFrame:
     """Join two identically-bucketed tables — exchange-free by layout."""
     return spark.table(left).join(spark.table(right), cond, "inner")
+
+
+def _morton_sql(a: str, b: str, bits: int = 16) -> str:
+    """SQL expression interleaving the low `bits` of two int columns into a
+    Morton (Z-order) key — identical text works in Spark SQL and DuckDB."""
+    # every term fully parenthesized: DuckDB (PostgreSQL-style) gives all
+    # bitwise operators EQUAL precedence, so an unparenthesized
+    # `x << 1 | y << 3` chain would left-fold into ((x<<1)|y)<<3
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "zorder_key",
+    oracle=f"""
+    SELECT l_orderkey, l_partkey,
+           CAST({_morton_sql('l_orderkey', 'l_partkey')} AS BIGINT) AS zkey
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    ORDER BY zkey, l_orderkey, l_partkey
+    """,
+)
+def zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: bit-interleave two join/filter
+    columns so a single sort co-locates rows that are close in BOTH
+    dimensions — the layout behind multi-column data skipping (Delta
+    OPTIMIZE ZORDER, Iceberg sort orders).
+
+    Why it matters at 100 TB: min/max file statistics prune on one sort
+    column only; a Z-order sort makes range predicates on EITHER column
+    skip most files. The key itself is pure bit arithmetic in one codegen
+    stage; writing the sorted layout is then an ordinary sorted write
+    (sink side exercised by sink_partitioned_parquet/sink_compaction).
+    """
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 200)
+    return (
+        li.selectExpr(
+            "l_orderkey",
+            "l_partkey",
+            f"CAST({_morton_sql('l_orderkey', 'l_partkey')} AS BIGINT) AS zkey",
+        )
+        .orderBy("zkey", "l_orderkey", "l_partkey")
+    )
