@@ -346,3 +346,73 @@ def scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+@register(
+    "point_in_time_join",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id,
+               value AS state_value,
+               CAST(ts AS TIMESTAMP) AS valid_from,
+               COALESCE(
+                   LEAD(CAST(ts AS TIMESTAMP))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   TIMESTAMP '9999-12-31') AS valid_to
+        FROM events
+        WHERE event_type = 'signup' OR event_type = 'purchase'
+    )
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           d.state_value, d.valid_from
+    FROM events e
+    JOIN dim d
+      ON e.user_id = d.user_id
+     AND CAST(e.ts AS TIMESTAMP) >= d.valid_from
+     AND CAST(e.ts AS TIMESTAMP) < d.valid_to
+    WHERE e.event_type = 'click'
+    """,
+)
+def point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correct join: each observation (click) picks up the
+    dimension state that was valid AT ITS TIMESTAMP — the feature-store
+    join that prevents future-data leakage into training examples.
+
+    Built on the scd2_snapshot intervals; the equi key (user_id) carries
+    the join, the validity range evaluates as a residual predicate inside
+    it — never a cross product. Both sides shuffle on user_id once; at
+    100 TB the dimension side is orders of magnitude smaller than the
+    observation stream, so AQE typically broadcasts it.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.where(F.col("event_type").isin("signup", "purchase"))
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("event_id").alias("d_event"),
+            F.col("value").alias("state_value"),
+            F.col("ts").alias("valid_from"),
+        )
+        .withColumn(
+            "valid_to",
+            F.coalesce(
+                # event_id tiebreak matches the oracle's LEAD ordering when
+                # two state changes share a timestamp
+                F.lead("valid_from").over(
+                    W.partitionBy("d_user").orderBy("valid_from", "d_event")
+                ),
+                F.lit("9999-12-31").cast("timestamp"),
+            ),
+        )
+        .drop("d_event")
+    )
+    obs = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    return (
+        obs.join(
+            dim,
+            (F.col("user_id") == F.col("d_user"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (F.col("ts") < F.col("valid_to")),
+        )
+        .select("event_id", "user_id", "ts", "state_value", "valid_from")
+    )
