@@ -493,3 +493,80 @@ def url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(url, _URL_PATH, 1).alias("path"),
         F.regexp_extract(url, _URL_QKEY, 1).alias("utm_source"),
     )
+
+
+@register(
+    "dataset_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT lang,
+               CASE WHEN (doc_id * 2654435761) % 4294967296 % 10 < 8 THEN 'train'
+                    WHEN (doc_id * 2654435761) % 4294967296 % 10 = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs
+    FROM assigned
+    GROUP BY split, lang
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment via a Knuth
+    multiplicative hash of the stable document id — reproducible across
+    runs, machines, and engines (no RNG, no partition dependence), which is
+    the property a training-data split MUST have so re-running the pipeline
+    never leaks val/test documents into train.
+
+    Output is the per-split per-language distribution (the balance check a
+    curation pipeline asserts before shipping).
+    """
+    split = (
+        F.when((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10 < 8, "train")
+        .when((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10 == 8, "val")
+        .otherwise("test")
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(split.alias("split"), "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "decontamination",
+    oracle="""
+    WITH bench AS (
+        SELECT doc_id AS b_id, substring(text, 1, 60) AS snip
+        FROM documents WHERE doc_id % 7 = 0 AND LENGTH(text) >= 60
+    )
+    SELECT DISTINCT d.doc_id, d.lang
+    FROM documents d JOIN bench b
+      ON d.doc_id <> b.b_id AND position(b.snip IN d.text) > 0
+    WHERE d.doc_id % 7 <> 0
+    """,
+)
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents containing a
+    benchmark document's opening snippet (stand-in benchmark: every 7th
+    doc; snippet = 60-char prefix, the n-gram-containment shape real
+    decontamination uses since contaminated copies are rarely byte-exact).
+
+    Scale shape: real benchmark suites are tiny relative to a 100 TB
+    corpus, so the snippet set broadcasts and the corpus streams through
+    one substring-scan stage — no shuffle of the training side; only the
+    flagged doc_ids come back.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bench = (
+        docs.where((F.col("doc_id") % 7 == 0) & (F.length("text") >= 60))
+        .select(F.col("doc_id").alias("b_id"), F.substring("text", 1, 60).alias("snip"))
+    )
+    return (
+        docs.where(F.col("doc_id") % 7 != 0)
+        .join(
+            F.broadcast(bench),
+            (F.col("doc_id") != F.col("b_id")) & (F.instr("text", F.col("snip")) > 0),
+        )
+        .select("doc_id", "lang")
+        .distinct()
+    )
