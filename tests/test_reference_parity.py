@@ -64,3 +64,34 @@ def test_books_inverted_index_golden(spark) -> None:
     _, expected = _pure_python_jobs()
     assert len(got) == len(expected)
     assert got == {w: sorted(fs) for w, fs in expected.items()}
+
+
+def test_hostile_tokens_survive(spark) -> None:
+    """The reference's wire format corrupts on data containing its framing
+    delimiters (#\\r# between records, \\t between key/value, \\r, between
+    rows — /root/reference/mapper_node.py:23-37); this engine must count
+    such tokens exactly. Verified against pure-Python str.split() on
+    strings stuffed with every delimiter the reference uses."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    hostile = [
+        "a\tb a\tb plain",
+        "x#\r#y x#\r#y",
+        "k\r,v k\r,v k\r,v",
+        "quote\"d 'single' back\\slash",
+        "tab\tand\rmix  double  space",
+        "unicode: naïve café 北京 emoji🙂token",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(hostile)], "doc_id long, text string")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    got = {
+        r["word"]: r["cnt"]
+        for r in df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    expected = Counter(w for t in hostile for w in t.split())
+    assert got == dict(expected)
