@@ -139,3 +139,69 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.word
         """
     )
+
+
+@register(
+    "cogroup_reconcile",
+    oracle="""
+    SELECT o.o_orderkey,
+           ROUND(o.o_totalprice, 2) AS order_total,
+           ROUND(COALESCE(SUM(l.l_extendedprice * (1 - l.l_discount)), 0), 2)
+               AS line_revenue,
+           COUNT(l.l_orderkey) AS n_lines
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey <= 400
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+)
+def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: both tables grouped on the same key arrive
+    as aligned pandas frames per key — the reconciliation/audit shape
+    (header total vs sum of detail lines) that needs BOTH sides of a key
+    in one function.
+
+    This completes the engine's Python UDF surface (scalar pandas_udf,
+    grouped applyInPandas, UDTF, mapInPandas, applyInPandasWithState, and
+    cogrouped applyInPandas — superseding the reference's marshal'd
+    map/reduce fns, /root/reference/mapper_node.py:51-57). Both sides
+    shuffle once on the cogroup key; the oracle is the equivalent
+    join+aggregate, proving the cogrouped path agrees with the relational
+    one.
+    """
+    import numpy as np
+    import pandas as pd
+
+    orders = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 400)
+        .select("o_orderkey", "o_totalprice")
+    )
+    lines = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+
+    def reconcile(odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        if odf.empty:
+            return pd.DataFrame(
+                columns=["o_orderkey", "order_total", "line_revenue", "n_lines"]
+            )
+        rev = float((ldf["l_extendedprice"] * (1 - ldf["l_discount"])).sum())
+        # round half away from zero (SQL ROUND semantics, not banker's)
+        r2 = lambda x: float(np.floor(abs(x) * 100 + 0.5) / 100 * (1 if x >= 0 else -1))
+        return pd.DataFrame(
+            {
+                "o_orderkey": odf["o_orderkey"].iloc[:1],
+                "order_total": [r2(float(odf["o_totalprice"].iloc[0]))],
+                "line_revenue": [r2(rev)],
+                "n_lines": [len(ldf)],
+            }
+        )
+
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(lines.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            "o_orderkey long, order_total double, line_revenue double, n_lines long",
+        )
+    )
