@@ -87,3 +87,55 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
     return spark.sql(_Q18)
+
+
+_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_Q12 = """
+SELECT l_returnflag AS shipmode,
+       SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                  OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+           AS high_line_count,
+       SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                 AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END)
+           AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("tpch_q4", oracle=_Q4)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: order-priority checking (correlated EXISTS over lineitem).
+
+    Catalyst decorrelates the EXISTS into a left-semi join on l_orderkey
+    with the l_shipdate > o_orderdate residual inside it; the orders date
+    filter reaches the parquet scan first. (Fixture schema keeps a subset
+    of TPC-H columns; the shape is Q4's.)
+    """
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(_Q4)
+
+
+@register("tpch_q12", oracle=_Q12)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12: shipping-priority distribution via conditional aggregates
+    (the fixture schema has no l_shipmode; l_returnflag plays its role —
+    the CASE-pivot aggregation shape is Q12's).
+    """
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(_Q12)
