@@ -416,3 +416,76 @@ def point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "ts", "state_value", "valid_from")
     )
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis: first-order transition counts between
+    consecutive event types per user (the Markov-chain edge weights behind
+    funnel discovery and anomaly detection).
+
+    One window sort per user partition, then a tiny |types|² aggregate —
+    at 100 TB the shuffle is the same user_id exchange every other
+    event-sequence operator here uses. event_id tiebreaks equal timestamps.
+    """
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.lead("event_type").over(w).alias("next_type"))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "share_of_total",
+    oracle="""
+    WITH rev AS (
+        SELECT c_mktsegment,
+               ROUND(SUM(o_totalprice), 2) AS segment_revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, segment_revenue,
+           ROUND(segment_revenue / SUM(segment_revenue) OVER (), 6) AS revenue_share
+    FROM rev
+    """,
+)
+def share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total: each group's fraction of the grand total via an
+    unpartitioned window over the AGGREGATED result.
+
+    The empty-frame window runs on |groups| rows (5 segments), not the
+    fact table — the aggregate-then-window ordering is what keeps a
+    single-partition window harmless at 100 TB.
+    """
+    rev = (
+        load(spark, sf_dir, "orders")
+        .join(load(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("segment_revenue"))
+    )
+    return rev.select(
+        "c_mktsegment",
+        "segment_revenue",
+        F.round(
+            F.col("segment_revenue") / F.sum("segment_revenue").over(W.partitionBy()), 6
+        ).alias("revenue_share"),
+    )
