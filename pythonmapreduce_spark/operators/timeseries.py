@@ -489,3 +489,72 @@ def share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("segment_revenue") / F.sum("segment_revenue").over(W.partitionBy()), 6
         ).alias("revenue_share"),
     )
+
+
+@register(
+    "pct_change",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               ROUND(SUM(value), 2) AS revenue
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    )
+    SELECT day, revenue,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY day))
+                 / LAG(revenue) OVER (ORDER BY day), 6) AS pct_change
+    FROM daily
+    """,
+)
+def pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period percent change: daily purchase revenue vs the
+    previous day (NULL on the first day).
+
+    Aggregate-then-window: the unpartitioned lag runs on |days| rows, not
+    the event stream, so the single-partition sort is harmless at any
+    scale (same principle as share_of_total).
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    prev = F.lag("revenue").over(W.partitionBy().orderBy("day"))
+    return daily.select(
+        "day",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("pct_change"),
+    )
+
+
+@register(
+    "min_max_scale",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           ROUND(CAST(n_chars - MIN(n_chars) OVER (PARTITION BY lang) AS DOUBLE)
+                 / GREATEST(MAX(n_chars) OVER (PARTITION BY lang)
+                            - MIN(n_chars) OVER (PARTITION BY lang), 1), 6)
+               AS scaled
+    FROM documents
+    """,
+)
+def min_max_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling (the ML-preprocessing normalizer)
+    as full-partition windows — degenerate groups (max = min) divide by the
+    GREATEST(..., 1) floor instead of producing NULL/Inf.
+
+    At 100 TB the equivalent two-pass form (aggregate extrema, broadcast
+    back) avoids materializing window partitions; here the window form is
+    exact and one pass, and the same oracle would verify either plan.
+    """
+    lo = F.min("n_chars").over(W.partitionBy("lang"))
+    hi = F.max("n_chars").over(W.partitionBy("lang"))
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(
+            (F.col("n_chars") - lo).cast("double") / F.greatest(hi - lo, F.lit(1)), 6
+        ).alias("scaled"),
+    )
