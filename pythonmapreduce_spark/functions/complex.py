@@ -20,7 +20,7 @@ from pythonmapreduce_spark.plans.registry import register
     "map_funcs",
     oracle="""
     SELECT event_id,
-           LIST_SORT(json_keys(props)) AS prop_keys,
+           ARRAY_TO_STRING(LIST_SORT(json_keys(props)), ',') AS prop_keys,
            LEN(json_keys(props)) AS n_keys,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
     FROM events
@@ -31,12 +31,14 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     `from_json` with an explicit MapType parses once into Tungsten map
     format; subsequent key lookups are O(1) field reads, unlike repeated
-    `get_json_object` calls which each re-parse the JSON string.
+    `get_json_object` calls which each re-parse the JSON string. Key list
+    emitted as a ','-joined sorted string (array cells are hostile to
+    pandas-based result canonicalizers).
     """
     m = F.from_json(F.col("props"), "map<string,bigint>")
     return load(spark, sf_dir, "events").select(
         "event_id",
-        F.sort_array(F.map_keys(m)).alias("prop_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("prop_keys"),
         F.size(F.map_keys(m)).cast("long").alias("n_keys"),
         F.element_at(m, "k").alias("k_val"),
     )

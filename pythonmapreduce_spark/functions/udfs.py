@@ -176,8 +176,16 @@ def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderkey") <= 400)
         .select("o_orderkey", "o_totalprice")
     )
-    lines = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
+    # The key predicate must be applied on BOTH cogroup sides: cogrouped
+    # applyInPandas is a full-outer cogroup that invokes the Python fn once
+    # per DISTINCT KEY on either side, so an unfiltered detail side drags
+    # every order's lines through the Arrow+Python path just to hit the
+    # odf.empty early-out (measured 39 s vs <1 s at sf0.01 — and at 100 TB
+    # it would be the whole fact table).
+    lines = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") <= 400)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
     )
 
     def reconcile(odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:

@@ -306,7 +306,8 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_collect",
     oracle="""
-    SELECT o_custkey, LIST(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+    SELECT o_custkey,
+           ARRAY_TO_STRING(LIST(o_orderkey ORDER BY o_orderkey), ',') AS orderkeys,
            COUNT(*) AS n_orders
     FROM orders
     WHERE o_custkey <= 50
@@ -314,19 +315,22 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collect-to-array aggregate, sorted for a deterministic value hash.
+    """Collect-to-array aggregate, sorted then serialized for comparison.
 
     collect_list order is partition-arrival order in Spark — an artifact,
-    not a semantic — so the contract here is the SORTED list. Bounded to
-    50 customers: collected arrays are driver-memory-shaped, not a
-    fact-table-scale construct.
+    not a semantic — so the contract here is the SORTED list, emitted as a
+    ','-joined string: array-typed result cells crash column-order-agnostic
+    comparators (pandas sort_values can't factorize lists), so the
+    compare-stable form is the string, exactly as inverted_index does
+    (sources/text_corpus.py). Bounded to 50 customers: collected arrays are
+    driver-memory-shaped, not a fact-table-scale construct.
     """
     return (
         load(spark, sf_dir, "orders")
         .where(F.col("o_custkey") <= 50)
         .groupBy("o_custkey")
         .agg(
-            F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.array_join(F.sort_array(F.collect_list("o_orderkey")), ",").alias("orderkeys"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )

@@ -72,8 +72,8 @@ def _shingles(tokens: F.Column, n: int = 3) -> F.Column:
     ).otherwise(F.array(F.array_join(tokens, " ")))
 
 
-def minhash_candidates(docs: DataFrame) -> DataFrame:
-    """LSH candidate pairs (id_a < id_b) from banded minhash signatures.
+def lsh_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) rows from banded minhash signatures.
 
     Shape chosen for scale AND local speed: explode shingles to rows, hash
     each once (xxhash64 folded to 32 bits), then compute all 64 minhashes
@@ -81,8 +81,7 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
     — scalar expressions inside whole-stage codegen with map-side partial
     aggregation, rather than per-element higher-order-function evaluation
     over arrays (~10× slower interpreted). One shuffle of (doc, 64 longs);
-    band keys are xxhash64 over each 4-signature band; self-join on the
-    band key yields only same-bucket pairs. Fully deterministic.
+    band keys are xxhash64 over each 4-signature band. Fully deterministic.
     """
     # Shingle hashing stays fully scalar: explode the shingle POSITIONS,
     # then hash the 3 tokens at each position with one multi-arg xxhash64 —
@@ -116,19 +115,34 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
         )
         for b in range(_BANDS)
     )
-    bands = sig.selectExpr("doc_id", f"inline(array({band_structs}))")
-    # Pair generation WITHIN buckets (groupBy + combination explode), not a
-    # band-key self-join: a self-join would evaluate the whole signature
-    # pipeline twice (Spark does not share common subplans across join
-    # sides) and add a second shuffle. Bucket member lists are tiny for any
-    # sane banding, so the per-bucket pair expansion is cheap; a
-    # pathological bucket (s members → s²/2 pairs) is a data-quality signal
-    # either way, and at 100 TB would be capped upstream.
-    return _pairs_in_buckets(bands, ["band", "bucket"])
+    return sig.selectExpr("doc_id", f"inline(array({band_structs}))")
 
 
-def _pairs_in_buckets(bands: DataFrame, keys: list[str]) -> DataFrame:
-    """All (id_a < id_b) pairs of doc_ids sharing a bucket key.
+def minhash_candidates(docs: DataFrame) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b): same-bucket pairs over lsh_bands.
+
+    Pair generation WITHIN buckets (groupBy + combination explode), not a
+    band-key self-join: a self-join would evaluate the whole signature
+    pipeline twice (Spark does not share common subplans across join
+    sides) and add a second shuffle.
+    """
+    return _pairs_in_buckets(lsh_bands(docs), ["band", "bucket"])
+
+
+# Pathological-bucket guard: a bucket with s members expands to s(s-1)/2
+# pairs, so ONE degenerate bucket (e.g. millions of empty/boilerplate docs
+# hashing identically) is quadratic at 100 TB. Past the cap we emit the STAR
+# over the bucket's min doc_id (s-1 pairs) instead of all pairs: every member
+# still verifies against the hub, so downstream connected components
+# (dedup_clusters) merges the bucket into one cluster exactly as the full
+# pair set would — recall of the CLUSTERING is preserved while the pair
+# count stays linear in bucket size.
+_BUCKET_CAP = 64
+
+
+def _pairs_in_buckets(bands: DataFrame, keys: list[str], cap: int = _BUCKET_CAP) -> DataFrame:
+    """All (id_a < id_b) pairs of doc_ids sharing a bucket key; buckets
+    larger than ``cap`` degrade to hub-and-spoke pairs (see _BUCKET_CAP).
 
     One shuffle (the groupBy); output deduplicated across buckets.
     """
@@ -139,11 +153,39 @@ def _pairs_in_buckets(bands: DataFrame, keys: list[str]) -> DataFrame:
     )
     return (
         grouped.selectExpr(
-            "inline(flatten(transform(sequence(0, size(ids) - 2),"
-            " i -> transform(sequence(i + 1, size(ids) - 1),"
-            " j -> struct(ids[i] AS id_a, ids[j] AS id_b)))))"
+            f"""inline(CASE WHEN size(ids) <= {cap}
+            THEN flatten(transform(sequence(0, size(ids) - 2),
+                 i -> transform(sequence(i + 1, size(ids) - 1),
+                 j -> struct(ids[i] AS id_a, ids[j] AS id_b))))
+            ELSE transform(sequence(1, size(ids) - 1),
+                 j -> struct(ids[0] AS id_a, ids[j] AS id_b))
+            END)"""
         )
         .distinct()
+    )
+
+
+@register("dedup_lsh_bucket_stats")  # diagnostic over LSH internals → rows-only
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surfaces the LSH bucket-size distribution and how many buckets hit
+    the pathological-bucket cap — the drop-visibility side of _BUCKET_CAP.
+
+    A capped bucket means its pair expansion degraded to the linear star;
+    operators watch this to catch boilerplate floods (cap hits spiking is a
+    data-quality incident, not a silent slowdown).
+    """
+    bands = lsh_bands(load(spark, sf_dir, "documents"))
+    sizes = bands.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bucket_size"))
+    return sizes.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("bucket_size").alias("max_bucket"),
+        F.sum((F.col("bucket_size") > _BUCKET_CAP).cast("long")).alias("capped_buckets"),
+        F.sum(
+            F.when(
+                F.col("bucket_size") > _BUCKET_CAP,
+                (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2 - (F.col("bucket_size") - 1)).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("pairs_avoided"),
     )
 
 
@@ -164,18 +206,23 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     cands = minhash_candidates(docs)
-    # Verification: broadcast the TINY side explicitly. Left to its own
-    # devices the planner broadcasts the tokenized corpus (token arrays fit
-    # under the 64 MB threshold locally but are the 100 TB side in
-    # production); forcing broadcast(pairs) keeps the corpus streaming
-    # through two scan-side hash joins with no shuffle and no giant
-    # broadcast. The first join's output (pairs + set_a) is itself tiny, so
-    # it broadcasts into the second scan.
+    # Verification: two SHUFFLE HASH joins on doc_id, with the pair list
+    # hinted as the build side. NOT a broadcast: the candidate-pair count
+    # grows linearly with corpus size (every near-dup contributes pairs),
+    # so broadcasting it is a driver/executor OOM at 100 TB; and NOT the
+    # planner's default either, which would broadcast the tokenized corpus
+    # (fits under the threshold locally, is the 100 TB side in production).
+    # shuffle_hash partitions both sides by the join key and builds the
+    # hash table from the hinted (pair) side per partition — bounded memory
+    # everywhere, no sort of the corpus (vs sort-merge), scales with
+    # partition count.
     toks = docs.select("doc_id", F.array_distinct(tokens_col()).alias("tset"))
     ta = toks.select(F.col("doc_id").alias("id_a"), F.col("tset").alias("set_a"))
     tb = toks.select(F.col("doc_id").alias("id_b"), F.col("tset").alias("set_b"))
     return (
-        F.broadcast(F.broadcast(cands).join(ta, "id_a"))
+        cands.hint("shuffle_hash")
+        .join(ta, "id_a")
+        .hint("shuffle_hash")
         .join(tb, "id_b")
         .withColumn("jaccard", F.round(_token_set_jaccard(F.col("set_a"), F.col("set_b")), 4))
         .where(F.col("jaccard") >= 0.6)
@@ -297,17 +344,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("ms"))
         .where(F.size("ms") > 1)
     )
-    n = F.size("ms")
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.transform(
-                F.sequence(i + 1, n - 1),
-                lambda j: F.struct(
-                    F.get("ms", i).alias("a"), F.get("ms", j).alias("b")
-                ),
-            ),
-        )
+    # Same pathological-bucket guard as the MinHash path (_BUCKET_CAP):
+    # oversized buckets degrade to hub-and-spoke pairs, linear in size.
+    pair_structs = F.expr(
+        f"""CASE WHEN size(ms) <= {_BUCKET_CAP}
+        THEN flatten(transform(sequence(0, size(ms) - 2),
+             i -> transform(sequence(i + 1, size(ms) - 1),
+             j -> struct(ms[i] AS a, ms[j] AS b))))
+        ELSE transform(sequence(1, size(ms) - 1),
+             j -> struct(ms[0] AS a, ms[j] AS b))
+        END"""
     )
     return (
         grouped.select(F.explode(pair_structs).alias("p"))

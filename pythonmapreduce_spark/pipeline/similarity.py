@@ -65,7 +65,7 @@ def with_norm(df: DataFrame, vec: str = "v") -> DataFrame:
     FROM (
         SELECT q_id, n_id, cos_raw,
                ROW_NUMBER() OVER (PARTITION BY q_id
-                                  ORDER BY cos_raw DESC, n_id ASC) AS rn
+                                  ORDER BY ROUND(cos_raw, 4) DESC, n_id ASC) AS rn
         FROM scored
     )
     WHERE rn <= {_KNN_K}
@@ -92,7 +92,12 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.join(F.broadcast(queries), F.col("q_id") != F.col("n_id"))
         .withColumn("cos_raw", _dot(F.col("qv"), F.col("nv")) / (F.col("q_nrm") * F.col("n_nrm")))
     )
-    w = W.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("n_id").asc())
+    # Rank over the ROUNDED cosine with n_id tiebreak: the raw double is
+    # summation-order-dependent (HOF fold here vs list_cosine_similarity in
+    # the oracle vs BLAS in knn_gemm), so near-ties at the k boundary could
+    # flip membership between engines. 4dp is the emitted precision — making
+    # it the ranking key resolves every tie on the deterministic n_id.
+    w = W.partitionBy("q_id").orderBy(F.round("cos_raw", 4).desc(), F.col("n_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= _KNN_K)
@@ -309,7 +314,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _dot(_as_double(F.col("qv")), _as_double(F.col("v"))) / (
         F.col("q_nrm") * F.col("nrm")
     )
-    w = W.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    w = W.partitionBy("q_id").orderBy(F.round("cos_raw", 4).desc(), F.col("vec_id"))
     return (
         cand.withColumn("cos_raw", cos)
         .withColumn("rank", F.row_number().over(w))
@@ -344,7 +349,7 @@ _KNN_BLOCKS = 8
     FROM (
         SELECT q_id, n_id, cos_raw,
                ROW_NUMBER() OVER (PARTITION BY q_id
-                                  ORDER BY cos_raw DESC, n_id ASC) AS rn
+                                  ORDER BY ROUND(cos_raw, 4) DESC, n_id ASC) AS rn
         FROM scored
     )
     WHERE rn <= {_KNN_K}
@@ -381,7 +386,9 @@ def knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = corpus.join(F.broadcast(queries), F.col("q_id") != F.col("n_id")).withColumn(
         "cos_raw", _dot(F.col("qv"), F.col("nv")) / (F.col("q_nrm") * F.col("n_nrm"))
     )
-    order = (F.col("cos_raw").desc(), F.col("n_id").asc())
+    # Rounded-cosine ranking (see knn_cosine): per-block top-k under the
+    # same total order is still a superset of the global top-k.
+    order = (F.round("cos_raw", 4).desc(), F.col("n_id").asc())
     local_w = W.partitionBy("q_id", "block").orderBy(*order)
     survivors = (
         scored.withColumn("lrank", F.row_number().over(local_w))
@@ -419,7 +426,7 @@ def knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT q_id, n_id, cos_raw,
                ROW_NUMBER() OVER (PARTITION BY q_id
-                                  ORDER BY cos_raw DESC, n_id ASC) AS rn
+                                  ORDER BY ROUND(cos_raw, 4) DESC, n_id ASC) AS rn
         FROM scored
     )
     WHERE rn <= {_KNN_K}
@@ -481,15 +488,18 @@ def knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ids, vals = n_ids[mask], col[mask]
                 if len(ids) == 0:
                     continue
-                # local top-k with deterministic (cos desc, n_id asc) order
-                order = np.lexsort((ids, -vals))[:k]
+                # local top-k under the SAME total order as the final rank
+                # (rounded cos desc, n_id asc) — pruning by raw cosine
+                # could drop a row that ties on the rounded key but wins
+                # the n_id tiebreak
+                order = np.lexsort((ids, -np.round(vals, 4)))[:k]
                 out_q.extend([qid] * len(order))
                 out_n.extend(ids[order])
                 out_s.extend(vals[order])
             yield pd.DataFrame({"q_id": out_q, "n_id": out_n, "cos_raw": out_s})
 
     local = emb.mapInPandas(score_batches, schema)
-    w = W.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("n_id").asc())
+    w = W.partitionBy("q_id").orderBy(F.round("cos_raw", 4).desc(), F.col("n_id").asc())
     return (
         local.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

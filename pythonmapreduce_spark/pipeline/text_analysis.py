@@ -589,45 +589,46 @@ _HH_THRESHOLD = 400  # tokens appearing more than this many times, corpus-wide
     """,
 )
 def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT corpus-wide heavy hitters via the two-pass sketch pattern:
-    per-partition Misra–Gries candidate tracking (bounded memory, no
-    shuffle), then an exact recount restricted to the merged candidate set.
+    """EXACT corpus-wide heavy hitters via the two-pass candidate pattern:
+    per-partition candidate generation (no shuffle), then an exact recount
+    restricted to the merged candidate set.
 
-    Guarantee: any token with global count > n/k survives some partition's
-    k-counter sketch, so the candidate union is a superset of every true
-    heavy hitter — pass 2's exact counts then drop false positives. At
-    100 TB the first pass reduces the shuffle from |all tokens| to
-    |candidates| × partitions, which is the whole point of sketch-based
-    distributed aggregation; the DuckDB oracle proves the result is still
-    EXACT, not approximate.
+    Candidate rule (pigeonhole, valid at ANY corpus size): a token with
+    global count > T must have local count > T/P in at least one of the P
+    partitions, so emitting each partition's words with exact local count
+    > T/P yields a provable superset of every true heavy hitter; pass 2's
+    exact recount drops the false positives. An earlier revision used a
+    fixed-capacity Misra–Gries sketch (k=256) here, but MG's guarantee is
+    count > N_p/(k+1) PER PARTITION — with fixed k that bound passes T/P
+    only while total tokens ≲ k·T, silently dropping true heavy hitters on
+    bigger corpora. Exact local counts cost partition-vocabulary memory
+    (bounded by spark.sql.files.maxPartitionBytes) and keep the guarantee
+    unconditionally. At 100 TB the first pass reduces the shuffle from
+    |all tokens| to |candidates| (≤ N·P/T across the corpus — operators
+    scale T with corpus size, which also keeps the candidate broadcast
+    small); the DuckDB oracle proves the result is EXACT, not approximate.
     """
+    from collections import Counter
+
     import pandas as pd
 
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens_col()).alias("word"))
 
-    k = 256  # sketch capacity per partition; > vocab/threshold margin
+    # Partition count of the scan (explode is narrow, so the mapInPandas
+    # below runs over exactly these partitions). Known at plan time; no job.
+    n_parts = max(1, toks.rdd.getNumPartitions())
+    local_thresh = _HH_THRESHOLD / n_parts
 
-    def mg_candidates(batches):
-        counters: dict[str, int] = {}
+    def local_candidates(batches):
+        counts: Counter = Counter()
         for pdf in batches:
-            for w in pdf["word"]:
-                if w in counters:
-                    counters[w] += 1
-                elif len(counters) < k:
-                    counters[w] = 1
-                else:
-                    # decrement-all step (evict zeros): the Misra-Gries move
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
-        yield pd.DataFrame({"word": list(counters.keys())})
+            counts.update(pdf["word"])
+        yield pd.DataFrame(
+            {"word": [w for w, c in counts.items() if c > local_thresh]}
+        )
 
-    candidates = toks.mapInPandas(mg_candidates, "word string").distinct()
+    candidates = toks.mapInPandas(local_candidates, "word string").distinct()
     return (
         toks.join(F.broadcast(candidates), "word", "left_semi")
         .groupBy("word")

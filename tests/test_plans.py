@@ -127,7 +127,18 @@ def test_dedup_near_single_signature_pipeline(spark, sf_smoke) -> None:
     ]
     assert len(partial_lines) == 1, f"signature pipeline duplicated:\n{partial_lines}"
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan  # verify joins broadcast the pair list
+
+
+def test_dedup_near_verify_joins_never_broadcast(spark, sf_smoke) -> None:
+    """The verification joins must be SHUFFLED hash joins: the candidate
+    pair list grows linearly with corpus size, so broadcasting it (or the
+    tokenized corpus) is an OOM at 100 TB. Pins the fix for the round-1
+    forced-broadcast plan."""
+    plan = _plan(registry.QUERIES["dedup_near"](spark, sf_smoke))
+    assert "BroadcastHashJoin" not in plan, "unbounded side broadcast in verify join"
+    assert "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_knn_blocked_two_stage_topk(spark, sf_smoke) -> None:

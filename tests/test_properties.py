@@ -147,3 +147,47 @@ def test_dedup_clusters_are_consistent(spark, sf_smoke) -> None:
     for cid, members in clusters.items():
         assert cid == min(members)
         assert sum(1 for m in members if labels[m][1]) == 1
+
+
+def test_lsh_pathological_bucket_stays_linear(spark) -> None:
+    """Adversarial corpus: 10k IDENTICAL documents land in one LSH bucket
+    per band. Uncapped all-pairs expansion would emit s(s-1)/2 ≈ 50M pairs;
+    the _BUCKET_CAP star degradation must keep the output LINEAR (s-1
+    distinct pairs, every doc still connected to the hub for downstream
+    connected components)."""
+    from pythonmapreduce_spark.pipeline.dedup import minhash_candidates
+
+    n = 10_000
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        "'the same boilerplate text repeated in every single document' AS text",
+    )
+    pairs = minhash_candidates(docs)
+    rows = pairs.count()
+    # star over the bucket min (doc 0): exactly n-1 distinct pairs, all
+    # anchored at the hub
+    assert rows == n - 1, f"expected linear {n - 1} pairs, got {rows}"
+    hub = pairs.agg(F.min("id_a").alias("m"), F.max("id_a").alias("x")).first()
+    assert hub["m"] == 0 and hub["x"] == 0, "star pairs must anchor at the bucket min"
+
+
+def test_lsh_bucket_cap_preserves_small_bucket_pairs(spark) -> None:
+    """Below the cap, pair generation is unchanged: k distinct duplicated
+    texts of m copies each yield m*(m-1)/2 pairs per text."""
+    from pythonmapreduce_spark.pipeline.dedup import minhash_candidates
+
+    k, m = 5, 4
+    texts = [
+        "alpha bravo charlie delta echo foxtrot golf hotel",
+        "one two three four five six seven eight nine",
+        "red orange yellow green blue indigo violet colors",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit",
+        "spark shuffles partitions across executors during wide stages",
+    ]
+    arr = ", ".join(f"'{t}'" for t in texts)
+    docs = spark.range(k * m).selectExpr(
+        "id AS doc_id",
+        f"element_at(array({arr}), CAST(id % {k} AS INT) + 1) AS text",
+    )
+    pairs = minhash_candidates(docs).collect()
+    assert len(pairs) == k * m * (m - 1) // 2
