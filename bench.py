@@ -29,7 +29,11 @@ HEADLINE = [
     "window_tumbling",
     "dedup_exact",
     "dedup_near",
+    "dedup_simhash",
     "knn_cosine",
+    "ann_ivf",
+    "pipeline_clean_corpus",
+    "heavy_hitters",
     "text_stats",
     "topk",
 ]

@@ -118,15 +118,19 @@ def lsh_bands(docs: DataFrame) -> DataFrame:
     return sig.selectExpr("doc_id", f"inline(array({band_structs}))")
 
 
-def minhash_candidates(docs: DataFrame) -> DataFrame:
+def minhash_candidates(docs: DataFrame, cap: int | None = None) -> DataFrame:
     """LSH candidate pairs (id_a < id_b): same-bucket pairs over lsh_bands.
 
     Pair generation WITHIN buckets (groupBy + combination explode), not a
     band-key self-join: a self-join would evaluate the whole signature
     pipeline twice (Spark does not share common subplans across join
-    sides) and add a second shuffle.
+    sides) and add a second shuffle. ``cap`` defaults to _BUCKET_CAP; pass
+    an explicit large cap only for bounded inputs where the full quadratic
+    pair set is wanted (see dedup_near_recall).
     """
-    return _pairs_in_buckets(lsh_bands(docs), ["band", "bucket"])
+    return _pairs_in_buckets(
+        lsh_bands(docs), ["band", "bucket"], cap=cap if cap is not None else _BUCKET_CAP
+    )
 
 
 # Pathological-bucket guard: a bucket with s members expands to s(s-1)/2
@@ -267,6 +271,72 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= 0.4)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+@register(
+    "dedup_near_recall",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM documents
+        WHERE doc_id <= 300
+    ), s AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN LEN(toks) >= 3 THEN
+                   list_transform(range(1, LEN(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+               ELSE [array_to_string(toks, ' ')] END) AS sset
+        FROM t
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(LEN(list_intersect(a.sset, b.sset)) AS DOUBLE)
+                 / LEN(list_distinct(list_concat(a.sset, b.sset))), 4) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE CAST(LEN(list_intersect(a.sset, b.sset)) AS DOUBLE)
+          / LEN(list_distinct(list_concat(a.sset, b.sset))) >= 0.9
+    """,
+)
+def dedup_near_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall contract, driver-checkable: every exact SHINGLE-Jaccard
+    ≥ 0.9 pair (far above the banding S-curve midpoint ≈ 0.7) in a bounded
+    doc range must ALSO be an LSH candidate pair.
+
+    The metric is Jaccard over the same 3-token shingle sets the MinHash
+    signatures estimate — NOT token-set Jaccard: a corpus drawn from a
+    small vocabulary makes token SETS near-identical across unrelated docs
+    while their shingle sequences (what near-dup detection actually
+    targets) stay disjoint.
+
+    The query emits the exact high-Jaccard pairs SEMI-JOINED to the LSH
+    candidate set; the oracle is the exact pair list alone. The hash family
+    is fixed and the pipeline deterministic, so equality holds unless the
+    minhash/banding implementation breaks — a silently corrupted hash
+    family shrinks the semi-join and the external row-count/hash compare
+    goes red. (dedup_near itself stays rows-only: its full output depends
+    on the approximate candidate set; THIS query pins the property that
+    matters, recall over the certain-positive band.)
+
+    Candidates run UNCAPPED here (cap=2^31): the production bucket cap
+    deliberately degrades oversized-bucket pair sets to hub stars, which
+    would drop non-hub pairs of large identical-doc clusters from the
+    semi-join; over a ≤300-doc range the quadratic pair set is bounded and
+    the full-recall property is exactly what this query certifies.
+    """
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+    sh = docs.select(
+        "doc_id", F.array_distinct(_shingles(tokens_col())).alias("sset")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sset").alias("set_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sset").alias("set_b"))
+    jac = _token_set_jaccard(F.col("set_a"), F.col("set_b"))
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(jac >= 0.9)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+    cands = minhash_candidates(docs, cap=1 << 31)
+    return exact.join(cands, ["id_a", "id_b"], "left_semi")
 
 
 # ---------------------------------------------------------------------------

@@ -38,13 +38,52 @@ def read_jsonl(spark: SparkSession, path: str, table: str) -> DataFrame:
     return spark.read.schema(SCHEMAS[table]).json(path)
 
 
-def read_jdbc(spark: SparkSession, url: str, dbtable: str) -> DataFrame:
-    """JDBC connector stub: no JDBC drivers ship in this environment."""
-    raise NotImplementedError(
-        "JDBC drivers are not available in this environment; on a real "
-        "cluster: spark.read.format('jdbc').option('url', url)"
-        ".option('dbtable', dbtable).load()"
+_DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def write_jdbc(df: DataFrame, url: str, dbtable: str, driver: str = _DERBY_DRIVER) -> None:
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", dbtable)
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
     )
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    dbtable: str,
+    driver: str = _DERBY_DRIVER,
+    partition_column: str | None = None,
+    bounds: tuple[int, int] | None = None,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """JDBC source. Exercised locally against embedded Derby (Spark ships
+    the Derby jars for its metastore); any server-grade driver works the
+    same way with its jar on the executor classpath.
+
+    At scale the partitioned form is mandatory: without partitionColumn the
+    whole table streams through ONE task; with it, Spark issues
+    num_partitions range-predicated queries in parallel — the JDBC analog
+    of parquet's split-per-row-group.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", dbtable)
+        .option("driver", driver)
+    )
+    if partition_column is not None and bounds is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(bounds[0]))
+            .option("upperBound", str(bounds[1]))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()
 
 
 def _scratch(name: str) -> str:
@@ -58,6 +97,21 @@ def source_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch("nation_csv")
     write_csv(load(spark, sf_dir, "nation"), path)
     return read_csv(spark, path, "nation")
+
+
+@register("source_roundtrip_jdbc", oracle="SELECT * FROM nation")
+def source_roundtrip_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → JDBC sink → partitioned JDBC source must be lossless.
+
+    Runs against embedded Derby (jars ship with Spark); the read-back uses
+    the partitioned range-query form (4 partitions on n_nationkey), proving
+    the parallel-scan path, not just the single-task one.
+    """
+    url = f"jdbc:derby:{_scratch('derby_db')};create=true"
+    write_jdbc(load(spark, sf_dir, "nation"), url, "nation")
+    return read_jdbc(
+        spark, url, "nation", partition_column="n_nationkey", bounds=(0, 25), num_partitions=4
+    )
 
 
 @register("source_roundtrip_json", oracle="SELECT * FROM region")

@@ -132,3 +132,77 @@ def inverted_index_text(df: DataFrame) -> DataFrame:
         .groupBy("word")
         .agg(F.sort_array(F.collect_set("file_name")).alias("files"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference-corpus golden queries: the two jobs the reference actually ships
+# (/root/reference/mapreduce_wc.py:3-11, mapreduce_inverted.py:3-11), run
+# over the reference's OWN books/ corpus and oracle-checked, so an external
+# verification run certifies byte-level reference parity — not just the
+# pytest goldens. The corpus path is a fixed read-only fixture (sf_dir is
+# accepted for the registry signature but the corpus does not scale with it).
+# ---------------------------------------------------------------------------
+
+# Spark side reads the DIRECTORY (globs trigger a noisy streaming-metadata
+# probe per query); the DuckDB oracle needs the explicit *.txt glob.
+_BOOKS_DIR = "/root/reference/books"
+_BOOKS_GLOB = "/root/reference/books/*.txt"
+
+
+@register(
+    "wordcount_text",
+    oracle=rf"""
+    SELECT word, COUNT(*) AS cnt
+    FROM (
+        SELECT UNNEST(list_filter(string_split_regex(content, '\s+'), t -> t <> ''))
+            AS word
+        -- Spark's text reader strips a leading UTF-8 BOM; read_text keeps
+        -- it, so strip it here for token parity.
+        FROM (SELECT filename, regexp_replace(content, '^\x{{FEFF}}', '') AS content
+              FROM read_text('{_BOOKS_GLOB}'))
+    )
+    GROUP BY word
+    """,
+)
+def wordcount_text_books(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference word count over the reference's books/ corpus.
+
+    Same tokenizer contract as `wordcount` (split \\s+, drop empties,
+    case-sensitive); line-based ingestion is token-equivalent to the
+    oracle's whole-file read because newlines are themselves \\s+.
+    """
+    return wordcount_text(read_text_corpus(spark, [_BOOKS_DIR]))
+
+
+@register(
+    "inverted_index_text",
+    oracle=rf"""
+    SELECT word,
+           ARRAY_TO_STRING(list_sort(list_distinct(list(regexp_extract(filename, '[^/]+$')))), ',')
+               AS files
+    FROM (
+        SELECT filename,
+               UNNEST(list_filter(string_split_regex(content, '\s+'), t -> t <> ''))
+                   AS word
+        -- Spark's text reader strips a leading UTF-8 BOM; read_text keeps
+        -- it, so strip it here for token parity.
+        FROM (SELECT filename, regexp_replace(content, '^\x{{FEFF}}', '') AS content
+              FROM read_text('{_BOOKS_GLOB}'))
+    )
+    GROUP BY word
+    """,
+)
+def inverted_index_text_books(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference inverted index over books/: word → sorted distinct file
+    basenames, ','-joined (array cells are canonicalizer-hostile; the
+    reference's Python-set ordering is an artifact, so sorted is the
+    contract — mapreduce_inverted.py:11's list(set(files)))."""
+    corpus = read_text_corpus(spark, [_BOOKS_DIR]).select(
+        F.element_at(F.split(F.col("file_name"), "/"), -1).alias("file_name"), "line"
+    )
+    toks = F.filter(F.split(F.col("line"), r"\s+"), lambda t: t != F.lit(""))
+    return (
+        corpus.select("file_name", F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.array_join(F.sort_array(F.collect_set("file_name")), ",").alias("files"))
+    )
