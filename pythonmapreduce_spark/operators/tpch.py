@@ -139,3 +139,383 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, ["orders", "lineitem"])
     return spark.sql(_Q12)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 pack: the remaining classic TPC-H optimizer shapes, adapted to the
+# fixture subset schema (no partsupp — lineitem's (l_partkey, l_suppkey,
+# price/qty) plays the supplier-offer role where needed; no l_commitdate —
+# l_shipdate > o_orderdate plays the "late" role in Q21). Each query keeps
+# the *optimizer shape* that makes the original interesting: correlated
+# scalar-agg (Q2, Q17), region-constrained cyclic join (Q5), self-joined
+# dimension (Q7), share-of-window two-level agg (Q8), multi-way profit
+# rollup (Q9), group-then-topk (Q10), join-free ratio agg (Q14), CTE + MAX
+# scalar subquery (Q15), NOT IN + distinct-agg (Q16), OR-of-ANDs DNF
+# pushdown (Q19), EXISTS/NOT EXISTS anti-correlation (Q21), anti-join +
+# scalar-avg filter (Q22).
+# ---------------------------------------------------------------------------
+
+_Q2 = """
+WITH offers AS (
+    SELECT l_partkey, l_suppkey,
+           MIN(l_extendedprice / l_quantity) AS unit_cost
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT p_partkey, p_name, s_name, ROUND(o.unit_cost, 4) AS best_cost
+FROM part
+JOIN offers o ON p_partkey = o.l_partkey
+JOIN supplier ON s_suppkey = o.l_suppkey
+WHERE p_size <= 10
+  AND o.unit_cost = (
+      SELECT MIN(o2.unit_cost) FROM offers o2 WHERE o2.l_partkey = p_partkey
+  )
+ORDER BY p_partkey, s_name
+"""
+
+_Q5 = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY n1.n_name, n2.n_name, CAST(YEAR(l_shipdate) AS BIGINT)
+"""
+
+_Q8 = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN r_name = 'ASIA' THEN volume ELSE 0 END)
+             / SUM(volume), 4) AS mkt_share
+FROM (
+    SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           l_extendedprice * (1 - l_discount) AS volume,
+           r_name
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    JOIN part     ON l_partkey = p_partkey
+    WHERE p_type = 'STANDARD'
+) all_nations
+GROUP BY o_year
+"""
+
+_Q9 = """
+SELECT n_name, o_year, ROUND(SUM(amount), 4) AS sum_profit
+FROM (
+    SELECT n_name, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           l_extendedprice * (1 - l_discount)
+             - p_retailprice * l_quantity * 0.1 AS amount
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%a%'
+) profit
+GROUP BY n_name, o_year
+"""
+
+_Q10 = """
+SELECT c_custkey, c_name, n_name, ROUND(c_acctbal, 2) AS acctbal,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+_Q14 = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate <  TIMESTAMP '1996-12-01'
+"""
+
+_Q15 = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-07-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+_Q16 = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+"""
+
+_Q17 = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (
+      SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+_Q19 = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders    ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      JOIN orders o2 ON o2.o_orderkey = l3.l_orderkey
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > o2.o_orderdate
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+_Q22 = """
+SELECT n_name AS cntry, COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+    SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0
+)
+  AND NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey
+  )
+GROUP BY n_name
+"""
+
+
+@register("tpch_q2", oracle=_Q2)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part.
+
+    The fixture schema has no partsupp, so the supplier-offer relation is
+    derived from lineitem (min unit price per (part, supplier)). The
+    interesting part survives intact: a correlated scalar-MIN subquery over
+    the same derived relation, which Catalyst decorrelates into an
+    aggregate + join rather than a per-row re-scan. The offers CTE is
+    evaluated twice (once per side) but shuffles on the same l_partkey both
+    times, so AQE reuses the exchange.
+    """
+    register_views(spark, sf_dir, ["part", "supplier", "lineitem"])
+    return spark.sql(_Q2)
+
+
+@register("tpch_q5", oracle=_Q5)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: local-supplier volume — the cyclic-join showcase.
+
+    The c_nationkey = s_nationkey residual closes a cycle in the join
+    graph (customer-orders-lineitem-supplier-nation), so the optimizer
+    must pick an order that keeps the big fact tables from re-shuffling;
+    nation/region broadcast below the autoBroadcast threshold.
+    """
+    register_views(
+        spark, sf_dir, ["customer", "orders", "lineitem", "supplier", "nation", "region"]
+    )
+    return spark.sql(_Q5)
+
+
+@register("tpch_q7", oracle=_Q7)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: volume shipping between distinct nation pairs.
+
+    nation joins twice under different roles (supplier side, customer
+    side) — alias-resolution plus two independent broadcasts of the same
+    25-row dim; the <> predicate is applied after both are attached.
+    """
+    register_views(spark, sf_dir, ["supplier", "lineitem", "orders", "customer", "nation"])
+    return spark.sql(_Q7)
+
+
+@register("tpch_q8", oracle=_Q8)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: market share — a ratio of conditional aggregates.
+
+    Five-way star join feeding a single GROUP BY with a CASE-guarded
+    numerator; one shuffle on o_year at the top, everything below is
+    broadcast dims against the lineitem spine.
+    """
+    register_views(
+        spark, sf_dir, ["lineitem", "orders", "supplier", "nation", "region", "part"]
+    )
+    return spark.sql(_Q8)
+
+
+@register("tpch_q9", oracle=_Q9)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: product-type profit by nation and year.
+
+    p_retailprice * quantity stands in for ps_supplycost (no partsupp in
+    the fixture schema); the LIKE filter prunes part before the fact join,
+    and the profit expression is computed pre-shuffle so only (nation,
+    year, amount) crosses the exchange.
+    """
+    register_views(spark, sf_dir, ["part", "lineitem", "supplier", "orders", "nation"])
+    return spark.sql(_Q9)
+
+
+@register("tpch_q10", oracle=_Q10)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item reporting, top 20 customers by lost revenue.
+
+    Group-then-topk: the ORDER BY ... LIMIT on the rounded aggregate
+    becomes TakeOrderedAndProject above the final HashAggregate — only 20
+    rows ever reach the driver. Ranking on the rounded alias keeps the
+    cross-engine order deterministic (c_custkey tiebreak).
+    """
+    register_views(spark, sf_dir, ["customer", "orders", "lineitem", "nation"])
+    return spark.sql(_Q10)
+
+
+@register("tpch_q14", oracle=_Q14)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promotion revenue ratio — two aggregates in one pass.
+
+    Both SUMs share a single scan+join; the date filter reaches the
+    lineitem parquet scan, and part broadcasts.
+    """
+    register_views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(_Q14)
+
+
+@register("tpch_q15", oracle=_Q15)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier by revenue (CTE + scalar MAX subquery).
+
+    The revenue CTE feeds both the join and the MAX; rounding the per-
+    supplier totals to 2dp BEFORE the max-equality comparison makes the
+    tie test stable across engines (raw double sums can differ in the last
+    ulp between summation orders).
+    """
+    register_views(spark, sf_dir, ["supplier", "lineitem"])
+    return spark.sql(_Q15)
+
+
+@register("tpch_q16", oracle=_Q16)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: supplier count by part attributes, excluding flagged
+    suppliers (NOT IN on a not-null key → null-safe anti join) with a
+    COUNT(DISTINCT) on top."""
+    register_views(spark, sf_dir, ["part", "lineitem", "supplier"])
+    return spark.sql(_Q16)
+
+
+@register("tpch_q17", oracle=_Q17)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: small-quantity-order revenue.
+
+    The correlated AVG-per-part subquery decorrelates into a groupBy on
+    l_partkey joined back to the filtered fact — one extra shuffle of
+    (partkey, avg) instead of a per-row re-scan.
+    """
+    register_views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(_Q17)
+
+
+@register("tpch_q19", oracle=_Q19)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive brand/size/quantity predicates.
+
+    The OR-of-ANDs can't be pushed as a whole, but its common sub-
+    predicates (p_size lower bounds, l_quantity range hull) are extracted
+    and pushed to both scans; the rest evaluates post-join in one codegen
+    stage.
+    """
+    register_views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(_Q19)
+
+
+@register("tpch_q21", oracle=_Q21)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the sole late shipper.
+
+    l_shipdate > o_orderdate plays the late role (no l_commitdate /
+    l_receiptdate in the fixture schema). EXISTS becomes a left-semi and
+    NOT EXISTS a left-anti join against the same lineitem-orders spine —
+    three scans of lineitem, all shuffled on l_orderkey so the exchanges
+    line up.
+    """
+    register_views(spark, sf_dir, ["supplier", "lineitem", "orders"])
+    return spark.sql(_Q21)
+
+
+@register("tpch_q22", oracle=_Q22)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: high-balance customers who never ordered.
+
+    The uncorrelated AVG scalar computes once and broadcasts as a literal
+    filter; NOT EXISTS lowers to a left-anti join against orders' custkey
+    projection (2 columns scanned, not the whole orders table).
+    """
+    register_views(spark, sf_dir, ["customer", "nation", "orders"])
+    return spark.sql(_Q22)

@@ -107,7 +107,10 @@ def source_roundtrip_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partitioned range-query form (4 partitions on n_nationkey), proving
     the parallel-scan path, not just the single-task one.
     """
-    url = f"jdbc:derby:{_scratch('derby_db')};create=true"
+    # Embedded Derby allows exactly one JVM to boot a given database
+    # directory; a pid-unique path keeps concurrent harnesses (pytest +
+    # external verifier) and stale locks from a killed JVM from colliding.
+    url = f"jdbc:derby:{_scratch(f'derby_db_{os.getpid()}')};create=true"
     write_jdbc(load(spark, sf_dir, "nation"), url, "nation")
     return read_jdbc(
         spark, url, "nation", partition_column="n_nationkey", bounds=(0, 25), num_partitions=4
