@@ -542,3 +542,57 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+_DUP_SPANS_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+    FROM documents
+), pos AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS p
+    FROM toks WHERE len(t) >= 8
+)
+SELECT array_to_string(t[p:p+7], ' ') AS span,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM pos
+GROUP BY 1
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+@register("dup_ngram_spans", oracle=_DUP_SPANS_ORACLE)
+def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate detection: every 8-token span that occurs
+    in >= 2 distinct documents, with document and occurrence counts.
+
+    This is the signal behind exact-substring dedup of training corpora
+    (boilerplate headers, license blocks, templated text that document-
+    level dedup misses): explode each document into its overlapping 8-token
+    windows — sequence() + explode keeps the blowup linear, |tokens| rows
+    per doc, never quadratic — then a single hash aggregate on the span
+    with a distinct-doc count. At 100 TB you group on xxhash64(span)
+    instead of the span text (8 bytes shuffled per window instead of ~50)
+    and keep min(span) per hash for reporting; the string form here is the
+    oracle-checkable twin. Whole pipeline is two codegen stages around one
+    exchange; no Python in the row path.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", tokens_col().alias("t"))
+    spans = (
+        docs.where(F.size("t") >= 8)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 7)).alias("p"),
+            "t",
+        )
+        .select("doc_id", F.array_join(F.slice("t", F.col("p"), 8), " ").alias("span"))
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

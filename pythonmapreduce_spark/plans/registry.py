@@ -120,6 +120,7 @@ def load_all() -> None:
         stream_jobs,
     )
     from pythonmapreduce_spark.operators import (  # noqa: F401
+        quality,
         timeseries,
         windows,
         reshape,
