@@ -223,3 +223,34 @@ def constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out
+
+
+@register("hll_rollup")  # sketch estimates are engine-specific → rows-only
+def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog rollup: per-day user sketches unioned into a
+    per-event-type distinct-user estimate WITHOUT re-scanning the events.
+
+    This is the two-level sketch pattern every 100 TB metrics pipeline
+    runs: the expensive pass builds small (≤ lgConfigK=12 → 4 KB) HLL
+    sketches at fine grain (event_type × day) once; every coarser rollup
+    (per type, per week, global) is then a cheap union of sketches — an
+    algebraic re-aggregation that never touches the raw data again.
+    approx_count_distinct gives the same estimate but is NOT reusable:
+    its intermediate dies inside one query, while hll_sketch_agg's binary
+    sketch is a storable, mergeable column. Estimates are Datasketches-
+    exact only in expectation → rows-only; tests/test_sketches.py pins
+    the ≤5% error contract against the exact distinct count.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", 12).alias("sketch"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_union_agg("sketch").alias("merged"))
+        .select(
+            "event_type",
+            F.hll_sketch_estimate("merged").alias("approx_users"),
+        )
+    )

@@ -510,3 +510,125 @@ def knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+_GRAM_ORACLE = """
+WITH e AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS i,
+           CAST(UNNEST(embedding) AS DOUBLE) AS v
+    FROM embeddings
+)
+SELECT a.i AS i, b.i AS j, ROUND(SUM(a.v * b.v), 3) AS g
+FROM e a JOIN e b ON a.vec_id = b.vec_id
+GROUP BY a.i, b.i
+"""
+
+
+@register("gram_matrix", oracle=_GRAM_ORACLE)
+def gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix X^T X over the embedding corpus, emitted
+    flat as (i, j, value) — the kernel under PCA/whitening/linear probes.
+
+    Scale shape: each Arrow batch computes its 64x64 partial with one
+    numpy GEMM (the same trick as knn_gemm) and emits 4096 flat rows; the
+    only exchange carries |batches| * 4096 tiny rows into a final
+    groupBy(i, j) sum. The corpus itself never shuffles, and the reduce
+    input is independent of n — this is how a 100 TB corpus yields a 16 KB
+    matrix without any driver-side row loop. float32 inputs are promoted
+    to float64 BEFORE multiplying so per-term products are bit-identical
+    to the oracle's DOUBLE arithmetic.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    dim = 64
+    out_schema = T.StructType(
+        [
+            T.StructField("i", T.LongType()),
+            T.StructField("j", T.LongType()),
+            T.StructField("partial", T.DoubleType()),
+        ]
+    )
+    ii, jj = np.meshgrid(np.arange(1, dim + 1), np.arange(1, dim + 1), indexing="ij")
+
+    def batch_gram(batches):
+        for pdf in batches:
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            if not len(x):
+                continue
+            g = x.T @ x
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "partial": g.ravel()}
+            )
+
+    emb = load(spark, sf_dir, "embeddings").select("embedding")
+    partials = emb.mapInPandas(batch_gram, schema=out_schema)
+    return partials.groupBy("i", "j").agg(F.round(F.sum("partial"), 3).alias("g"))
+
+
+@register("pca_project")  # eigendecomposition is not SQL-expressible → rows-only
+def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA: project every embedding onto the top-2 principal components.
+
+    Two-pass algorithm with nothing unbounded at the driver:
+    pass 1 aggregates the d-dim mean and the d x d Gram matrix
+    distributed (same GEMM-partial shape as gram_matrix), collects only
+    d^2 + d = 4160 numbers, and eigensolves the 64x64 covariance on the
+    driver — O(d^3) work that is independent of corpus size. Pass 2
+    broadcasts the two component vectors as array literals and computes
+    the projections as pure Column expressions (zip_with dot product), so
+    the corpus streams through one codegen stage with no Python in the
+    row path and no shuffle at all.
+
+    Component sign is fixed deterministically (largest-|coefficient|
+    entry made positive) so output is stable across runs/platforms.
+    Eigendecomposition has no DuckDB twin -> rows-only here;
+    tests/test_pca.py pins the contract (variance ordering, component
+    orthonormality, projection reproducibility).
+    """
+    import numpy as np
+
+    dim = 64
+    emb = load(spark, sf_dir, "embeddings")
+    gram_flat = gram_matrix.__wrapped__(spark, sf_dir)  # type: ignore[attr-defined]
+    sums = emb.select(
+        F.posexplode(F.transform("embedding", lambda v: v.cast("double"))).alias(
+            "i", "v"
+        )
+    ).groupBy("i").agg(F.sum("v").alias("s"))
+
+    n = emb.count()
+    g = np.zeros((dim, dim))
+    for r in gram_flat.collect():  # 4096 rows — bounded by d^2, not by n
+        g[r["i"] - 1, r["j"] - 1] = r["g"]
+    mu = np.zeros(dim)
+    for r in sums.collect():  # 64 rows
+        mu[r["i"]] = r["s"] / n
+    if n == 0:  # degenerate corpus: project onto the first two axes
+        mu = np.zeros(dim)
+        g = np.eye(dim)
+        n = 1
+    cov = g / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, np.argsort(vals)[::-1][:2]].T  # (2, dim), descending variance
+    for k in range(2):
+        if comps[k][np.argmax(np.abs(comps[k]))] < 0:
+            comps[k] = -comps[k]
+
+    def proj(k: int) -> F.Column:
+        centered_dot = F.aggregate(
+            F.zip_with(
+                F.transform("embedding", lambda v: v.cast("double")),
+                F.array(*[F.lit(float(c)) for c in comps[k]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.round(centered_dot - F.lit(float(mu @ comps[k])), 3)
+
+    return emb.select(
+        "vec_id", "label", proj(0).alias("pc1"), proj(1).alias("pc2")
+    )

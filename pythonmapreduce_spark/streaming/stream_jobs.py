@@ -243,3 +243,65 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, name = _run_to_memory(agg, "complete")
     return spark.table(name)
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: click events joined to the purchase
+    events that follow them within one hour, per user.
+
+    The canonical two-stream correlation (ad attribution, funnel credit):
+    both sides are unbounded, so the join buffers state keyed by user_id
+    and the event-time range condition + watermarks bound how long a
+    buffered click/purchase must be retained — without them state grows
+    forever. Spark plans this as a StreamingSymmetricHashJoin: each side
+    shuffles on user_id once, rows meet in co-located state stores, and
+    watermark advancement evicts rows older than (max event time − 2h −
+    1h range). A single availableNow replay must equal the batch interval
+    join, which is exactly what the DuckDB oracle runs; lag is emitted in
+    microseconds (both engines floor the source's nanosecond timestamps
+    identically).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def side(alias: str, etype: str) -> DataFrame:
+        return (
+            spark.readStream.schema(SCHEMAS["events"])
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .where(F.col("event_type") == etype)
+            .withWatermark("ts", "2 hours")
+            .alias(alias)
+        )
+
+    clicks, purchases = side("c", "click"), side("p", "purchase")
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c.user_id = p.user_id AND p.ts >= c.ts "
+            "AND p.ts <= c.ts + interval 1 hour"
+        ),
+        "inner",
+    ).select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        (F.unix_micros(F.col("p.ts")) - F.unix_micros(F.col("c.ts"))).alias("lag_us"),
+    )
+    _, name = _run_to_memory(joined, "append")
+    return spark.table(name)

@@ -1,0 +1,61 @@
+"""Contract tests for the ops without a SQL oracle: PCA projection and
+the HLL sketch rollup (gram_matrix, their shared kernel, has a full
+DuckDB oracle in test_oracle_diff)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pythonmapreduce_spark.plans import registry
+
+registry.load_all()
+
+
+@pytest.fixture(scope="module")
+def pca_rows(spark, sf_oracle):
+    return registry.QUERIES["pca_project"](spark, sf_oracle).collect()
+
+
+def test_pca_variance_ordering(pca_rows) -> None:
+    pc1 = np.array([r["pc1"] for r in pca_rows])
+    pc2 = np.array([r["pc2"] for r in pca_rows])
+    # Components are sorted by explained variance, and both are centered.
+    assert pc1.var() >= pc2.var() > 0
+    assert abs(pc1.mean()) < 1e-2 and abs(pc2.mean()) < 1e-2
+
+
+def test_pca_decorrelated(pca_rows) -> None:
+    pc1 = np.array([r["pc1"] for r in pca_rows])
+    pc2 = np.array([r["pc2"] for r in pca_rows])
+    # Projections onto orthogonal eigenvectors are uncorrelated.
+    corr = np.corrcoef(pc1, pc2)[0, 1]
+    assert abs(corr) < 0.05
+
+
+def test_pca_deterministic(spark, sf_oracle, pca_rows) -> None:
+    again = registry.QUERIES["pca_project"](spark, sf_oracle).collect()
+    assert sorted((r["vec_id"], r["pc1"], r["pc2"]) for r in pca_rows) == sorted(
+        (r["vec_id"], r["pc1"], r["pc2"]) for r in again
+    )
+
+
+def test_hll_rollup_error_bound(spark, sf_oracle) -> None:
+    est = {
+        r["event_type"]: r["approx_users"]
+        for r in registry.QUERIES["hll_rollup"](spark, sf_oracle).collect()
+    }
+    from pythonmapreduce_spark.catalog import load
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, sf_oracle, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        # lgConfigK=12 → relative standard error ~1.6%; 5% is a safe gate.
+        assert abs(est[k] - n) / n < 0.05, (k, est[k], n)
