@@ -36,6 +36,13 @@ HEADLINE = [
     "heavy_hitters",
     "text_stats",
     "topk",
+    # round-2 additions: multi-join TPC-H, substring/chunk dedup, the
+    # distributed GEMM kernel, and the profiling pass.
+    "tpch_q9",
+    "dup_ngram_spans",
+    "media_chunk_dedup",
+    "gram_matrix",
+    "profile_columns",
 ]
 
 

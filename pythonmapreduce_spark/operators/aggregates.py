@@ -441,3 +441,48 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l_quantity"), 2).alias("hi"),
         )
     )
+
+
+_BITMAP_ORACLE = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("bitmap_distinct", oracle=_BITMAP_ORACLE)
+def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct count via Roaring-style bitmaps — the
+    precise counterpart of hll_rollup, proven exact by the oracle's plain
+    COUNT(DISTINCT).
+
+    Pattern: ids are split into (bucket, bit-position) pairs
+    (bitmap_bucket_number / bitmap_bit_position, 32k bits per bucket);
+    fine-grain groups build per-bucket bitmaps ONCE with
+    bitmap_construct_agg, every coarser rollup is bitmap_or_agg +
+    bitmap_count — an algebraic merge that never re-touches raw data,
+    unlike COUNT(DISTINCT) whose exact re-aggregation requires the
+    original values. At 100 TB this is how per-hour uniques roll into
+    per-day/per-month uniques exactly: OR-ing kilobyte bitmaps instead of
+    re-shuffling the id universe. Cost scales with the id range per
+    bucket, the reason HLL (hll_rollup) exists as the fixed-size
+    approximate alternative.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.selectExpr(
+            "event_type",
+            "CAST(ts AS DATE) AS day",
+            "bitmap_bucket_number(user_id) AS bkt",
+            "bitmap_bit_position(user_id) AS pos",
+        )
+        .groupBy("event_type", "day", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    merged = (
+        daily.groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.expr("CAST(SUM(bitmap_count(bm)) AS BIGINT)").alias("n_users"))
+    )
+    return merged

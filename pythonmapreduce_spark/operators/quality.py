@@ -48,34 +48,49 @@ FROM lineitem"""
 
 @register("profile_columns", oracle=_PROFILE_ORACLE)
 def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass column profiler: null count, exact distinct count, and
-    min/max per column, emitted long-form (one row per column).
+    """Column profiler: null count, exact distinct count, and min/max per
+    column, emitted long-form (one row per column) in TWO cheap passes.
 
-    All 8 × 4 aggregates compute in ONE scan of lineitem — the multi-
-    distinct lowers to a single Expand (8× row multiplication map-side,
-    each replica carrying one column) feeding a partial+final aggregate,
-    which is how one pass beats 8 separate scans at 100 TB. min/max are
-    cast to strings SQL-side so heterogeneous column types share one output
-    schema. For interactive profiling at extreme scale swap
-    ``approx_count_distinct`` in for the exact distinct; the oracle pins
-    the exact variant.
+    Why two: asking for 8 COUNT(DISTINCT col)s in one aggregate makes
+    Catalyst group by all 8 columns + gid over an 8× Expand — a 9-key
+    SortAggregate over a corpus-×8 wide sort (measured 18 s at sf0.1,
+    ~25× the cost of everything else here). Instead:
+    (a) nulls/min/max for all columns in ONE plain HashAggregate pass on
+        native types (min/max must NOT be computed on stringified values
+        — "10" < "9"); results stack()ed long-form, 8 rows;
+    (b) distincts via a NARROW vertical explode: stack() each row into
+        (col_name, value) pairs — 2 columns wide regardless of how many
+        columns are profiled — then one groupBy(col_name) distinct
+        aggregate with map-side partials. Stringification is injective
+        per column, so distinct-of-string == distinct-of-native.
+    The two 8-row results broadcast-join on col_name. Both passes scan
+    prunable column subsets; neither ever sorts the corpus.
     """
     li = load(spark, sf_dir, "lineitem")
-    aggs = []
+
+    mm_aggs = []
     for c in _PROFILE_COLS:
-        aggs += [
+        mm_aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
-    one = li.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in _PROFILE_COLS
+    mm_stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__min, {c}__max" for c in _PROFILE_COLS
     )
-    return one.selectExpr(
-        f"stack({len(_PROFILE_COLS)}, {stack_args}) "
-        "AS (col_name, n_nulls, n_distinct, min_val, max_val)"
+    minmax = li.agg(*mm_aggs).selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {mm_stack}) AS (col_name, n_nulls, min_val, max_val)"
+    )
+
+    kv_stack = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in _PROFILE_COLS)
+    distincts = (
+        li.selectExpr(f"stack({len(_PROFILE_COLS)}, {kv_stack}) AS (col_name, val)")
+        .groupBy("col_name")
+        .agg(F.count_distinct("val").alias("n_distinct"))
+    )
+
+    return minmax.join(F.broadcast(distincts), "col_name").select(
+        "col_name", "n_nulls", "n_distinct", "min_val", "max_val"
     )
 
 
@@ -252,5 +267,61 @@ def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.hll_sketch_estimate("merged").alias("approx_users"),
+        )
+    )
+
+
+_INCR_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice) / COUNT(*), 4) AS avg_price,
+       CAST(MIN(l_shipdate) AS VARCHAR) AS first_ship,
+       CAST(MAX(l_shipdate) AS VARCHAR) AS last_ship
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("incremental_agg", oracle=_INCR_ORACLE)
+def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation: merge two pre-aggregated batches into the
+    same result a full recompute gives — proven BY the oracle, which runs
+    the full recompute.
+
+    The pattern that keeps 100 TB metrics pipelines from re-scanning
+    history on every ingest: store per-batch partial aggregates
+    (algebraic: count, sum, min, max — avg is DERIVED from merged
+    sum/count, never averaged-of-averages), and fold each new batch in
+    with a re-aggregation over |groups| x |batches| tiny rows. Here the
+    "batches" are lineitem split at a ship-date cutoff; the merge is a
+    unionAll + groupBy whose input is two pre-aggregated frames, so the
+    second aggregation touches hundreds of rows regardless of corpus
+    size. This is also exactly what a partial+final HashAggregate does
+    inside one query — materialized across pipeline runs instead.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("sq"),
+            F.sum("l_extendedprice").alias("se"),
+            F.min("l_shipdate").alias("mn"),
+            F.max("l_shipdate").alias("mx"),
+        )
+
+    old_b = partial(li.where(F.col("l_shipdate") < cutoff))
+    new_b = partial(li.where(F.col("l_shipdate") >= cutoff))
+    return (
+        old_b.unionAll(new_b)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.round(F.sum("sq"), 2).alias("sum_qty"),
+            F.round(F.sum("se") / F.sum("n"), 4).alias("avg_price"),
+            F.min("mn").cast("string").alias("first_ship"),
+            F.max("mx").cast("string").alias("last_ship"),
         )
     )

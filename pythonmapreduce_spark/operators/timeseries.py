@@ -558,3 +558,98 @@ def min_max_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_chars") - lo).cast("double") / F.greatest(hi - lo, F.lit(1)), 6
         ).alias("scaled"),
     )
+
+
+_CONCURRENCY_ORACLE = """
+WITH pts AS (
+    SELECT event_type, ts AS t, 1 AS delta FROM events
+    UNION ALL
+    SELECT event_type, ts + INTERVAL 15 MINUTE, -1 FROM events
+), running AS (
+    SELECT event_type,
+           SUM(delta) OVER (PARTITION BY event_type ORDER BY t) AS live
+    FROM pts
+)
+SELECT event_type, CAST(MAX(live) AS BIGINT) AS max_concurrent
+FROM running
+GROUP BY event_type
+"""
+
+
+@register("interval_overlap", oracle=_CONCURRENCY_ORACLE)
+def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type via a sweep line: each event opens
+    a 15-minute presence interval; max overlap = max running sum of
+    +1/−1 boundary deltas ordered by time.
+
+    The sweep turns an O(n²) interval-overlap join into one sort: explode
+    each interval into two boundary points, running-sum over an ordered
+    window, take the max. The RANGE window frame (default for ORDER BY)
+    sums ALL deltas at equal timestamps together, which makes ties
+    deterministic in both engines AND gives closed-open [start, end)
+    semantics — an interval ending exactly when another starts never
+    counts as overlap. At scale the window partitions by event_type (and
+    a day bucket for longer horizons), so no single sort spans the whole
+    history.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    pts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        ev.select(
+            "event_type",
+            (F.col("ts") + F.expr("INTERVAL 15 MINUTE")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("t")
+    return (
+        pts.withColumn("live", F.sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(F.max("live").cast("long").alias("max_concurrent"))
+    )
+
+
+_ANOMALY_ORACLE = """
+WITH daily AS (
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+           ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders
+    GROUP BY 1
+), stats AS (
+    SELECT day, revenue,
+           AVG(revenue) OVER () AS mu,
+           STDDEV_SAMP(revenue) OVER () AS sigma
+    FROM daily
+)
+SELECT day, revenue,
+       ROUND((revenue - mu) / sigma, 3) + 0.0 AS z,
+       CASE WHEN ABS((revenue - mu) / sigma) > 2 THEN 1 ELSE 0 END AS is_anomaly
+FROM stats
+"""
+
+
+@register("anomaly_zscore", oracle=_ANOMALY_ORACLE)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue anomaly flags: z-score each day against the global
+    mean/stddev, flag |z| > 2.
+
+    Aggregate-then-window: the corpus-sized scan reduces to |days| rows
+    FIRST, so the unpartitioned stats window runs over thousands of rows,
+    not billions — same altitude trick as share_of_total. Streaming
+    deployments replace the global window with a trailing RANGE frame
+    (window_range_frame has the kernel).
+    """
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    )
+    w = W.partitionBy()
+    z = (F.col("revenue") - F.avg("revenue").over(w)) / F.stddev_samp("revenue").over(w)
+    return daily.select(
+        "day",
+        "revenue",
+        (F.round(z, 3) + F.lit(0.0)).alias("z"),  # +0.0 folds IEEE -0.0 to +0.0
+        F.when(F.abs(z) > 2, 1).otherwise(0).alias("is_anomaly"),
+    )

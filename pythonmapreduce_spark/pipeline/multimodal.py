@@ -230,3 +230,67 @@ def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload") > 0
     )
     return docs.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
+
+
+# DuckDB's substring is VARCHAR-only; the corpus is pure ASCII (asserted:
+# octet_length(encode(text)) == length(text) for every row), so 64-char
+# text chunks hash identically to the engine's 64-BYTE binary chunks.
+_CHUNK_ORACLE = """
+WITH chunks AS (
+    SELECT doc_id,
+           UNNEST(generate_series(0, CAST(length(text) / 64 AS BIGINT) - 1)) AS ci,
+           text
+    FROM documents WHERE length(text) >= 64
+)
+SELECT sha256(substring(text, CAST(ci * 64 + 1 AS INT), 64)) AS chunk_hash,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM chunks
+GROUP BY 1
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+@register("media_chunk_dedup", oracle=_CHUNK_ORACLE)
+def media_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup over binary payloads: split every blob into
+    fixed 64-byte chunks, hash each, and report chunks shared by >= 2
+    documents.
+
+    The binary-column twin of dup_ngram_spans, and the mechanism behind
+    content-addressed media storage: re-encoded or partially-edited
+    assets share most chunks even when whole-file hashes differ. The
+    chunk explode is a pure Column pipeline (sequence + substring on the
+    binary — no Python touches the bytes), and ONLY the 32-byte sha2
+    digests shuffle, never the payloads: shuffle volume is
+    bytes/chunk_size * 32 regardless of blob size. A production variant
+    uses content-defined (rolling-hash) boundaries so insertions don't
+    shift every subsequent chunk; fixed-size here keeps the oracle
+    expressible, and the rolling-hash kernel already exists in
+    doc_fingerprint (text_analysis.py).
+    """
+    docs = with_payload(load(spark, sf_dir, "documents"))
+    chunks = (
+        docs.where(F.length("payload") >= 64)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), (F.length("payload") / F.lit(64)).cast("long") - 1)
+            ).alias("ci"),
+            "payload",
+        )
+        .select(
+            "doc_id",
+            F.sha2(
+                F.expr("substring(payload, CAST(ci * 64 + 1 AS INT), 64)"), 256
+            ).alias("chunk_hash"),
+        )
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

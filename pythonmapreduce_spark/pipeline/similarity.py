@@ -111,45 +111,66 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     K=16 clusters (centroids = the first 16 vectors — deterministic), then
     answer each query by scanning only its nprobe=4 closest clusters.
 
-    Scale path: the corpus pass is one broadcast join against 16 centroids
-    + max_by argmax; at query time each query scores ~K/nprobe of the data.
-    Recall is approximate ⇒ rows-only check; the exact twin is knn_cosine.
+    Plan shape (single job, zero corpus shuffle): the 16 centroids are
+    pre-normalized and packed into ONE row as an array<struct> (a 16-row
+    aggregate — the only exchange on the build side), then broadcast-
+    cross-joined against the corpus with a 1× row multiplier. Cluster
+    assignment is a per-row higher-order-function argmax fused into the
+    scan; the earlier formulation exploded the corpus 16× and shuffled
+    every 64-dim vector through a groupBy/max_by. Probe selection (top-4
+    clusters per query) reuses the same packed array: array_sort by
+    descending sim + slice(4) + explode, all narrow. Only the probed
+    ~nprobe/K fraction of (query, vector) pairs reaches the top-k window,
+    and the corpus crosses an exchange exactly once (the probe join's
+    window). Recall is approximate ⇒ rows-only; the exact twin is
+    knn_cosine.
     """
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
     emb = with_norm(emb)
-    centroids = emb.where(F.col("vec_id") <= 16).select(
-        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("c_nrm")
+    packed = (
+        emb.where(F.col("vec_id") <= 16)
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.transform("v", lambda x: x / F.col("nrm")).alias("cu"),
+        )
+        .agg(F.collect_list(F.struct("c_id", "cu")).alias("cents"))
     )
-    # One pass: assign every vector to its nearest centroid.
-    sim = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("c_nrm"))
+    # scored_arr[i] = (sim, c_id) per centroid; struct ordering gives a
+    # deterministic argmax (max sim, ties to the larger c_id).
+    scored_arr = (
+        "transform(cents, c -> struct("
+        "aggregate(zip_with(v, c.cu, (x, y) -> x * y), 0D, (a, x) -> a + x) / nrm AS sim, "
+        "c.c_id AS c_id))"
+    )
     assigned = (
-        emb.crossJoin(F.broadcast(centroids))
-        .withColumn("sim", sim)
-        .groupBy("vec_id")
-        .agg(
-            F.max_by("c_id", "sim").alias("cluster"),
-            F.first("v").alias("v"),
-            F.first("nrm").alias("nrm"),
+        emb.join(F.broadcast(packed))
+        .withColumn("cluster", F.expr(f"array_max({scored_arr}).c_id"))
+        .drop("cents")
+    )
+    # Probe sets: top-4 clusters per query vector, same packed centroids.
+    probes = (
+        emb.where(F.col("vec_id") <= _KNN_QUERIES)
+        .join(F.broadcast(packed))
+        .withColumn(
+            "probe",
+            F.expr(
+                f"explode(slice(array_sort({scored_arr}, "
+                "(l, r) -> CASE WHEN l.sim > r.sim THEN -1 WHEN l.sim < r.sim THEN 1 "
+                "WHEN l.c_id < r.c_id THEN -1 ELSE 1 END), 1, 4))"
+            ),
+        )
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("probe.c_id").alias("cluster"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("q_nrm"),
         )
     )
-    # Query side: nprobe=4 closest clusters per query vector.
-    queries = assigned.where(F.col("vec_id") <= _KNN_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("q_nrm")
-    )
-    qsim = _dot(F.col("qv"), F.col("cv")) / (F.col("q_nrm") * F.col("c_nrm"))
-    wq = W.partitionBy("q_id").orderBy(F.col("qsim").desc(), F.col("c_id").asc())
-    probes = (
-        queries.crossJoin(F.broadcast(centroids))
-        .withColumn("qsim", qsim)
-        .withColumn("pr", F.row_number().over(wq))
-        .where(F.col("pr") <= 4)
-        .select("q_id", "qv", "q_nrm", F.col("c_id").alias("cluster"))
-    )
-    # Score only vectors in probed clusters.
+    # Score only vectors in probed clusters; probes (n_queries*4) broadcast.
     scored = (
-        probes.join(assigned, "cluster")
+        assigned.join(F.broadcast(probes), "cluster")
         .where(F.col("q_id") != F.col("vec_id"))
         .withColumn("cos_raw", _dot(F.col("qv"), F.col("v")) / (F.col("q_nrm") * F.col("nrm")))
     )
@@ -632,3 +653,95 @@ def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", "label", proj(0).alias("pc1"), proj(1).alias("pc2")
     )
+
+
+def _kmeans_assign_partials(cents):
+    """Returns a mapInPandas fn emitting flat per-batch partials: for each
+    (cluster, dim): sum of member coordinates + count, plus the batch's
+    inertia contribution as (cluster, -1, sq_dist_sum, n)."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray(cents, dtype=np.float64)  # (K, dim)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)  # (n, K)
+            a = d2.argmin(axis=1)  # first min → deterministic
+            rows = {"cluster": [], "pos": [], "s": [], "n": []}
+            for k in range(len(c)):
+                mask = a == k
+                nk = int(mask.sum())
+                if not nk:
+                    continue
+                sums = x[mask].sum(axis=0)
+                rows["cluster"] += [k] * len(sums) + [k]
+                rows["pos"] += list(range(len(sums))) + [-1]
+                rows["s"] += list(sums) + [float(d2[mask, k].sum())]
+                rows["n"] += [nk] * (len(sums) + 1)
+            yield pd.DataFrame(rows)
+
+    return fn
+
+
+def kmeans_history(spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3):
+    """Run Lloyd's k-means; returns (per-iteration inertia list, final
+    per-cluster (size, inertia) rows). Each iteration is ONE distributed
+    job: a mapInPandas pass emits K×(dim+1) partial rows per Arrow batch
+    (cluster coordinate sums + counts + inertia), the groupBy reduces
+    |batches|×K×65 tiny rows, and only K×65 numbers ever reach the
+    driver — the same bounded-collect contract as pca_project. Init is
+    the first k vectors (deterministic, like ann_ivf's centroids)."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    init = sorted(
+        emb.where(F.col("vec_id") <= k).collect(), key=lambda r: r["vec_id"]
+    )
+    if not init:
+        return [], []
+    cents = np.array([r["v"] for r in init], dtype=np.float64)
+    schema = "cluster long, pos long, s double, n long"
+    history = []
+    final_rows = []
+    for _ in range(iters):
+        partials = (
+            emb.mapInPandas(_kmeans_assign_partials(cents), schema=schema)
+            .groupBy("cluster", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        counts = {}
+        inertia = 0.0
+        for r in partials:
+            if r["pos"] == -1:
+                inertia += r["s"]
+                counts[r["cluster"]] = r["n"]
+            else:
+                new[r["cluster"], r["pos"]] = r["s"] / r["n"]
+        history.append(inertia)
+        final_rows = sorted(
+            (int(c), int(n) ) for c, n in counts.items()
+        )
+        cents = new
+    return history, final_rows
+
+
+@register("kmeans_iter")  # iterative, centroids engine-internal → rows-only
+def kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering (K=8, 3 Lloyd iterations, deterministic init):
+    the iterative-convergence showcase next to dedup_clusters' label
+    propagation. Emits final cluster sizes; tests/test_pca.py pins the
+    contract (monotonically non-increasing inertia, all vectors
+    assigned). Iterative re-estimation is not SQL-expressible → rows-only.
+    """
+    history, rows = kmeans_history(spark, sf_dir)
+    if not rows:
+        return spark.createDataFrame([], "cluster long, n_vecs long")
+    return spark.createDataFrame(rows, "cluster long, n_vecs long")

@@ -635,3 +635,77 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") > _HH_THRESHOLD)
     )
+
+
+_TRAIN_PREP_ORACLE = r"""
+WITH survivors AS (
+    SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+), bench AS (
+    SELECT substring(text, 1, 60) AS snip
+    FROM documents WHERE doc_id % 7 = 0 AND LENGTH(text) >= 60
+), clean AS (
+    SELECT d.doc_id, d.lang,
+           CASE WHEN (d.doc_id * 2654435761) % 4294967296 % 10 < 8 THEN 'train'
+                WHEN (d.doc_id * 2654435761) % 4294967296 % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d
+    JOIN survivors s ON d.doc_id = s.doc_id
+    WHERE d.n_chars >= 100
+      AND LEN(list_filter(string_split_regex(d.text, '\s+'), t -> t <> '')) >= 10
+      AND NOT EXISTS (
+          SELECT 1 FROM bench b WHERE contains(d.text, b.snip)
+      )
+)
+SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM clean
+GROUP BY split, lang
+"""
+
+
+@register("pipeline_train_prep", oracle=_TRAIN_PREP_ORACLE)
+def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data preparation: length + token-count quality
+    gate → exact dedup (first-doc survivor) → benchmark decontamination →
+    deterministic train/val/test split → per-(split, lang) counts.
+
+    The full nightly chain a pretraining corpus runs, composed from this
+    engine's operators as ONE Catalyst plan: the quality filters evaluate
+    scan-side, the dedup window shuffles on the text hash, the
+    decontamination snippet set broadcasts (the corpus side never
+    re-shuffles for it), and the split is the Knuth multiplicative hash —
+    no RNG, stable across engines and runs. Composability is the point:
+    each stage is an already-certified operator (pipeline_clean_corpus,
+    dedup_exact, decontamination, dataset_split) and the composition
+    still hash-matches a single-statement SQL oracle.
+    """
+    from pythonmapreduce_spark.sources.text_corpus import tokens_col
+
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    bench = (
+        docs.where((F.col("doc_id") % 7 == 0) & (F.length("text") >= 60))
+        .select(F.substring("text", 1, 60).alias("snip"))
+    )
+    clean = (
+        docs.where(F.col("n_chars") >= 100)
+        .where(F.size(tokens_col()) >= 10)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(
+            F.broadcast(bench),
+            F.expr("contains(text, snip)"),
+            "left_anti",
+        )
+    )
+    split = (
+        F.when((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10 < 8, "train")
+        .when((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10 == 8, "val")
+        .otherwise("test")
+    )
+    return (
+        clean.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -59,3 +59,17 @@ def test_hll_rollup_error_bound(spark, sf_oracle) -> None:
     for k, n in exact.items():
         # lgConfigK=12 → relative standard error ~1.6%; 5% is a safe gate.
         assert abs(est[k] - n) / n < 0.05, (k, est[k], n)
+
+
+def test_kmeans_inertia_monotone(spark, sf_oracle) -> None:
+    from pythonmapreduce_spark.pipeline.similarity import kmeans_history
+
+    history, rows = kmeans_history(spark, sf_oracle)
+    assert len(history) == 3
+    # Lloyd's algorithm never increases inertia (allow fp slack).
+    assert history[0] >= history[1] - 1e-6 >= history[2] - 2e-6
+    # Every vector lands in exactly one cluster.
+    n_total = sum(n for _, n in rows)
+    from pythonmapreduce_spark.catalog import load
+
+    assert n_total == load(spark, sf_oracle, "embeddings").count()

@@ -168,3 +168,25 @@ def test_event_pattern_filters_before_join(spark, sf_smoke) -> None:
     assert "EqualTo(event_type,purchase)" in plan
     assert "EqualTo(event_type,error)" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_profile_columns_no_corpus_sort(spark, sf_smoke) -> None:
+    """The profiler must never sort the corpus: the 18s-at-sf0.1 failure
+    mode was the 8-way multi-distinct lowering to a 9-grouping-key
+    SortAggregate over an 8× Expand, whose required ordering inserted a
+    corpus-wide Sort. The two-pass form has NO Sort operator anywhere
+    (zero-key SortAggregates for string min/max are sort-free) and the
+    distinct pass stays hash-based."""
+    plan = _plan(registry.QUERIES["profile_columns"](spark, sf_smoke))
+    assert "+- Sort (" not in plan and ": Sort (" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_ann_ivf_corpus_never_shuffles(spark, sf_smoke) -> None:
+    """IVF assignment is a narrow expression: the only hash exchanges are
+    on the tiny probed/scored side (q_id window), never a corpus-wide
+    repartition, and there is no 16× centroid Expand."""
+    plan = _plan(registry.QUERIES["ann_ivf"](spark, sf_smoke))
+    assert "Expand" not in plan
+    ex = [ln for ln in plan.splitlines() if "hashpartitioning(" in ln]
+    assert all("q_id" in ln for ln in ex), f"unexpected exchange:\n{ex}"
