@@ -454,10 +454,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup cluster; survivor = the cluster's min doc_id.
     """
     pairs = QUERIES["dedup_near"](spark, sf_dir).select("id_a", "id_b")
-    # Undirected edge list, both directions.
-    edges = pairs.unionByName(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).distinct()
+    # Undirected edge list, both directions. Materialized ONCE
+    # (localCheckpoint) before the loop: edges is derived from the whole
+    # MinHash-LSH candidate+verify pipeline, and without the checkpoint
+    # every round's neighbor join would re-execute that entire upstream
+    # plan — measured as ~8 of dedup_clusters' 9.6 s at sf0.01.
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("id_a").alias("doc_id"))
         .distinct()

@@ -283,31 +283,37 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_width = n_bits // n_bands
     planes = _hyperplanes(n_bits, 64)
 
-    def bits(vec: F.Column) -> list[F.Column]:
-        cols = []
-        for p in planes:
-            h = F.array(*[F.lit(float(x)) for x in p])
-            cols.append(F.when(_dot(_as_double(vec), h) >= 0, "1").otherwise("0"))
-        return cols
+    # The hyperplane matrix rides in as a BROADCAST single-row table and
+    # the signature is a higher-order function over that COLUMN — not a
+    # 32×64-literal expression tree. The literal form cost ~6 s of Py4J
+    # plan construction (as 2k Column objects) or ~2×2 s of whole-stage-
+    # codegen compile (as one inlined array literal, compiled once per
+    # side); a column reference keeps the generated code tiny. Same
+    # lesson as ann_ivf's packed centroids.
+    planes_df = spark.createDataFrame([(planes,)], "_planes array<array<double>>")
+    bits_sql = (
+        "transform(_planes, p -> "
+        "CASE WHEN aggregate(zip_with(transform(v, x -> CAST(x AS DOUBLE)), p, "
+        "(x, y) -> x * y), 0D, (a, x) -> a + x) >= 0 THEN '1' ELSE '0' END)"
+    )
+    bands_sql = (
+        f"explode(transform(sequence(0, {n_bands - 1}), b -> "
+        f"struct(CAST(b AS INT) AS band, "
+        f"array_join(slice(_bits, b * {band_width} + 1, {band_width}), '') AS key)))"
+    )
 
     def with_bands(df: DataFrame, vec: str) -> DataFrame:
         """One row per (vector, band): band id + that band's bit-string key.
         Exploding bands into rows turns "collide in ANY band" into a single
         equi-join on (band, key) — one hash join regardless of n_bands,
         instead of a union of n_bands joins."""
-        b = bits(F.col(vec))
-        bands = F.array(
-            *[
-                F.struct(
-                    F.lit(band).alias("band"),
-                    F.concat(*b[band * band_width : (band + 1) * band_width]).alias("key"),
-                )
-                for band in range(n_bands)
-            ]
+        return (
+            df.join(F.broadcast(planes_df))
+            .withColumn("_bits", F.expr(bits_sql))
+            .select("*", F.expr(bands_sql).alias("bk"))
+            .select("*", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+            .drop("bk", "_bits", "_planes")
         )
-        return df.select(
-            "*", F.explode(bands).alias("bk")
-        ).select("*", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")).drop("bk")
 
     emb = with_norm(
         load(spark, sf_dir, "embeddings").select(

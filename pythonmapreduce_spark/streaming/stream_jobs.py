@@ -34,16 +34,29 @@ def _run_to_memory(stream_df: DataFrame, mode: str) -> tuple[SparkSession, str]:
     """
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = stream_df.sparkSession
+    # A streaming query pins its state-store partition count to
+    # spark.sql.shuffle.partitions at first start, and every partition is
+    # a RocksDB/HDFS store instance to create and commit — at test scale
+    # that fixed cost dominates (32 stores ≈ seconds per query). 8 is
+    # plenty for a bounded replay; production picks this per expected
+    # state volume, and it's per-query (each has its own checkpoint), so
+    # the batch-session conf is restored right after start-up.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
-    return stream_df.sparkSession, name
+    return spark, name
 
 
 @register(
