@@ -709,3 +709,145 @@ def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+_PMI_ORACLE = r"""
+WITH toks AS (
+    SELECT list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+    FROM documents
+), uni AS (
+    SELECT UNNEST(l) AS w FROM toks
+), unicnt AS (
+    SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+), big AS (
+    SELECT UNNEST(list_filter(
+               list_transform(l, (x, i) -> CASE WHEN i < LEN(l)
+                                           THEN x || ' ' || l[i + 1] END),
+               b -> b IS NOT NULL)) AS bigram
+    FROM toks
+), bigcnt AS (
+    SELECT bigram, COUNT(*) AS c_ab FROM big GROUP BY bigram
+), tot AS (
+    SELECT (SELECT SUM(c) FROM unicnt) AS n_uni,
+           (SELECT SUM(c_ab) FROM bigcnt) AS n_big
+)
+SELECT b.bigram, CAST(b.c_ab AS BIGINT) AS c_ab,
+       ROUND(LN((b.c_ab * t.n_uni * t.n_uni)
+                / (t.n_big * a.c * z.c)), 3) + 0.0 AS pmi
+FROM bigcnt b
+JOIN unicnt a ON a.w = string_split(b.bigram, ' ')[1]
+JOIN unicnt z ON z.w = string_split(b.bigram, ' ')[2]
+CROSS JOIN tot t
+WHERE b.c_ab >= 10
+"""
+
+
+@register("collocation_pmi", oracle=_PMI_ORACLE)
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information for frequent
+    bigrams — PMI = ln(p(ab) / (p(a)·p(b))) with p(ab) over bigram mass
+    and p(·) over unigram mass.
+
+    The lexical-analysis workhorse for tokenizer/vocab curation (which
+    multiword units deserve merges). Plan: one token explode feeds BOTH
+    the unigram and bigram aggregates; the two count tables then join on
+    the bigram's component words — the unigram side is small (vocab-
+    sized) and broadcasts, so the corpus-proportional work is the two
+    hash aggregates. The scalar totals ride along as a 1-row cross join,
+    and PMI itself is per-row double math (no summation), identical in
+    both engines.
+    """
+    toks = tokens_col()
+    docs = load(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    big = (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= 10)
+    )
+    tot = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+        docs.select(F.explode(bigrams).alias("b")).agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    w2 = F.split(F.col("bigram"), " ").getItem(1)
+    a = uni.select(F.col("w").alias("_w1"), F.col("c").alias("c_a"))
+    z = uni.select(F.col("w").alias("_w2"), F.col("c").alias("c_b"))
+    return (
+        big.withColumn("_w1", w1)
+        .withColumn("_w2", w2)
+        .join(F.broadcast(a), "_w1")
+        .join(F.broadcast(z), "_w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            "c_ab",
+            (
+                F.round(
+                    F.log(
+                        (F.col("c_ab") * F.col("n_uni") * F.col("n_uni"))
+                        / (F.col("n_big") * F.col("c_a") * F.col("c_b"))
+                    ),
+                    3,
+                )
+                + F.lit(0.0)  # fold IEEE -0.0 to +0.0, same as the oracle's + 0.0
+            ).alias("pmi"),
+        )
+    )
+
+
+_QUARANTINE_ORACLE = """
+WITH tagged AS (
+    SELECT event_type,
+           CASE WHEN event_id % 13 = 0 THEN '}{' || props ELSE props END AS s
+    FROM events
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN COALESCE(json_valid(s), FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_valid,
+       CAST(SUM(CASE WHEN COALESCE(json_valid(s), FALSE) THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_quarantined
+FROM tagged
+GROUP BY event_type
+"""
+
+
+@register("bad_records_quarantine", oracle=_QUARANTINE_ORACLE)
+def bad_records_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine: classify every record's JSON payload as
+    parseable or quarantined, per event type — without failing the job.
+
+    The ingest-edge contract at 100 TB: one malformed record must never
+    kill a batch (the reference silently DROPS malformed records,
+    /root/reference/reducer_node.py:41-42 — losing data with no signal;
+    ANSI-strict engines fail the whole job — losing the batch). The
+    middle path is try-semantics: Spark 4's try_parse_json returns NULL
+    on bad input, the quarantine count makes the loss OBSERVABLE, and
+    the bad rows stay routable to a dead-letter sink. Corruption is
+    planted deterministically (every 13th event's payload gets a '}{'
+    PREFIX — a prefix, because Spark's parser tolerates trailing garbage
+    after a complete value while DuckDB's does not), so both engines see
+    the identical mix.
+    """
+    ev = load(spark, sf_dir, "events")
+    s = F.when(F.col("event_id") % 13 == 0, F.concat(F.lit("}{"), "props")).otherwise(
+        F.col("props")
+    )
+    ok = F.expr("try_parse_json(s) IS NOT NULL")
+    return (
+        ev.select("event_type", s.alias("s"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("n_valid"),
+            F.sum(F.when(ok, 0).otherwise(1)).cast("long").alias("n_quarantined"),
+        )
+    )

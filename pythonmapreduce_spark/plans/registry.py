@@ -8,7 +8,11 @@ the driver verbatim.
 Contract (driver compare): the driver sorts columns by name then hashes
 values order-insensitively, so Spark column names MUST equal oracle column
 names, float aggregates are rounded identically on both sides, and any
-collected list is sorted to a deterministic order.
+collected list is sorted to a deterministic order. Rounded floats that can
+land on zero need `+ 0.0` AFTER the round on BOTH sides: ROUND of a tiny
+negative produces IEEE -0.0, engines disagree on which side of zero the
+noise falls, and "-0.0" != "0.0" under stringified compare (bit twice:
+anomaly_zscore's z, collocation_pmi's ln(1)).
 
 The reference's analog of this registry is its job-authoring surface:
 marshal-serialized map/reduce code objects pointed at by master.ini

@@ -97,3 +97,47 @@ def zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey", "zkey")
         .orderBy("zkey", "l_orderkey", "l_partkey")
     )
+
+
+# Bucketed copies are written once per (session, sf_dir) and reused — the
+# entire point of bucketing is paying the shuffle at WRITE time and
+# amortizing it over every subsequent join.
+_BUCKETED_READY: set[tuple[int, str]] = set()
+
+_BUCKETED_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("join_bucketed", oracle=_BUCKETED_ORACLE)
+def join_bucketed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free fact⋈dim join over pre-bucketed tables, aggregated per
+    market segment — identical answers to the plain join (the oracle runs
+    the unbucketed form).
+
+    orders and customer are written bucketBy(8, custkey) + sortBy once;
+    the join then needs NO exchange on either side (SortMergeJoin reads
+    bucket n against bucket n directly — tests/test_bucketing.py pins the
+    exchange-free plan). At 100 TB this is the difference between
+    re-shuffling a fact table on every query and paying that shuffle once
+    at ingest: the physical layout IS the optimization. The aggregate
+    after the join shuffles only |segments| partial rows.
+    """
+    key = (id(spark), sf_dir)
+    if key not in _BUCKETED_READY:
+        write_bucketed(spark, sf_dir, "orders", "o_custkey", "bq_orders")
+        write_bucketed(spark, sf_dir, "customer", "c_custkey", "bq_customer")
+        _BUCKETED_READY.add(key)
+    joined = spark.table("bq_orders").join(
+        spark.table("bq_customer"),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "inner",
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

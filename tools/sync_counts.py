@@ -43,6 +43,11 @@ def main() -> int:
             r"\b\d+/\d+ queries oracle-backed",
             f"{n_o}/{n_q} queries oracle-backed",
         ),
+        (
+            "SURVEY.md",
+            r"\b\d+ registered as of",
+            f"{n_q} registered as of",
+        ),
     ]
     if n_bench is not None:
         edits += [
