@@ -110,7 +110,7 @@ def load_all() -> None:
     """
     # Imports deferred so `import pythonmapreduce_spark` stays cheap and
     # circular imports are impossible.
-    from pythonmapreduce_spark.sources import bucketing, readers, text_corpus  # noqa: F401
+    from pythonmapreduce_spark.sources import bucketing, readers, refwire, text_corpus  # noqa: F401
     from pythonmapreduce_spark.pipeline import (  # noqa: F401
         dedup,
         multimodal,

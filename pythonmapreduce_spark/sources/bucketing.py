@@ -13,6 +13,8 @@ whole input through the KV store (/root/reference/master.py:27-40).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -23,7 +25,23 @@ N_BUCKETS = 8
 
 
 def write_bucketed(spark: SparkSession, sf_dir: str, table: str, key: str, name: str) -> None:
-    """Persist a table bucketed+sorted by its join key as a managed table."""
+    """Persist a table bucketed+sorted by its join key as a managed table.
+
+    The warehouse DIRECTORY outlives the per-session in-memory catalog, so
+    a fresh session's saveAsTable would hit LOCATION_ALREADY_EXISTS on a
+    location left by an earlier session (or a killed run). Drop both the
+    catalog entry and the stale location first — overwrite semantics
+    regardless of which of the two actually exists.
+    """
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if warehouse.startswith(prefix):
+            warehouse = warehouse[len(prefix):]
+            break
+    shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
     (
         load(spark, sf_dir, table)
         .write.mode("overwrite")

@@ -318,3 +318,80 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, name = _run_to_memory(joined, "append")
     return spark.table(name)
+
+
+@register(
+    "sink_foreach_batch_upsert",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch upsert sink: a stream containing REPLAYED DUPLICATES
+    lands in a parquet table that stays keyed-unique — per-type counts end
+    up identical to the clean batch table, which is exactly what the
+    oracle checks.
+
+    The exactly-once-by-idempotence pattern: built-in file sinks are
+    append-only, so keyed upserts go through foreachBatch, where each
+    micro-batch is merged with dropDuplicates(event_id) and written
+    copy-on-write to a NEW versioned directory (never overwriting the
+    version being read — the swap is the atomic pointer update, which is
+    what Delta/Iceberg commit logs industrialize; at 100 TB the rewrite
+    becomes a partition-scoped MERGE, merge_upsert has that kernel). The
+    source replays the events table PLUS every 5th event again, split
+    across files with maxFilesPerTrigger=1, so the merge handles both
+    in-batch and cross-batch duplicates; a re-delivered batch (Spark's
+    at-least-once foreachBatch contract) merges to the same state —
+    idempotent, hence effectively exactly-once.
+    """
+    import shutil
+
+    base = os.path.join(tempfile.gettempdir(), f"fbu_{uuid.uuid4().hex[:12]}")
+    src_dir = os.path.join(base, "src")
+    from pythonmapreduce_spark.catalog import load
+
+    ev = load(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(os.path.join(src_dir, "full"))
+    dups = ev.where(F.col("event_id") % 5 == 0)
+    dups.write.mode("overwrite").parquet(os.path.join(src_dir, "dups"))
+
+    state = {"path": None}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if state["path"] is None:
+            merged = batch_df.dropDuplicates(["event_id"])
+        else:
+            cur = spark.read.parquet(state["path"])
+            merged = cur.unionByName(batch_df).dropDuplicates(["event_id"])
+        new_path = os.path.join(base, f"target_v{batch_id}")
+        merged.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    ckpt = os.path.join(base, "ckpt")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    out = (
+        spark.read.parquet(state["path"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return out
