@@ -525,3 +525,35 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("c_acctbal", F.lit(0.0)) + F.coalesce("spend", F.lit(0.0)) * 0.001, 5
         ).alias("c_acctbal"),
     )
+
+
+_LATERAL = """
+SELECT c_custkey, c_mktsegment, t.o_orderkey,
+       ROUND(t.o_totalprice, 2) AS totalprice
+FROM customer,
+LATERAL (
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 2
+) t
+"""
+
+
+@register("join_lateral", oracle=_LATERAL)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each customer's top-2 orders by price,
+    written as a per-row subquery in the FROM clause.
+
+    The point is what Catalyst does with it: a naive reading re-executes
+    the subquery per outer row (the reference's only analog would be a
+    full re-scan per record), but DecorrelateInnerQuery + the rank-limit
+    rewrite turn this into one orders-side window (row_number ≤ 2 per
+    custkey) joined back to customer — identical machinery to
+    topk_per_group, arrived at from SQL instead of the DataFrame API.
+    Same SQL text runs on DuckDB, which plans it the same way.
+    """
+    from pythonmapreduce_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_LATERAL)
