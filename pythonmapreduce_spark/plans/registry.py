@@ -124,6 +124,7 @@ def load_all() -> None:
         stream_jobs,
     )
     from pythonmapreduce_spark.operators import (  # noqa: F401
+        sql_features,
         quality,
         timeseries,
         windows,
