@@ -519,3 +519,95 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, ["customer", "nation", "orders"])
     return spark.sql(_Q22)
+
+
+_Q3 = """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+_Q11 = """
+WITH partvalue AS (
+    SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS val
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE s_nationkey < 13
+    GROUP BY l_partkey
+)
+SELECT l_partkey AS ps_partkey, ROUND(val, 2) AS part_value
+FROM partvalue
+WHERE val > (SELECT AVG(val) * 1.5 FROM partvalue)
+"""
+
+_Q20 = """
+SELECT s_name, ROUND(s_acctbal, 2) AS acctbal
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'large%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(l_quantity) > 55
+)
+ORDER BY s_name
+"""
+
+
+@register("tpch_q3", oracle=_Q3)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: shipping-priority top-10 (o_orderpriority stands in for
+    the fixture's missing o_shippriority).
+
+    Both date predicates push to their scans before the joins; the top-10
+    lowers to TakeOrderedAndProject (per-partition heap + driver merge of
+    10×P rows, never a full sort). Ranking on the ROUNDED revenue with
+    l_orderkey tiebreak keeps the LIMIT boundary deterministic across
+    engines — the same policy the kNN tier uses for its rank-k edge.
+    """
+    register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(_Q3)
+
+
+@register("tpch_q11", oracle=_Q11)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose derived stock value exceeds a fraction
+    of the national total (lineitem×supplier stands in for partsupp, as in
+    tpch_q2 — the fixture has no partsupp table).
+
+    The interesting plan property survives the adaptation: the same
+    aggregate CTE feeds both the row stream and the uncorrelated scalar
+    total, so the partvalue shuffle is computed once and the scalar side
+    reduces it to a single literal broadcast into the filter — not a
+    re-scan of lineitem.
+    """
+    register_views(spark, sf_dir, ["lineitem", "supplier"])
+    return spark.sql(_Q11)
+
+
+@register("tpch_q20", oracle=_Q20)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers with excess movement in one part family
+    (shipped-quantity-per-(supplier, part) stands in for partsupp
+    availability).
+
+    A two-level reduction inside an IN-subquery: the inner GROUP BY
+    (l_suppkey, l_partkey) + HAVING prunes to qualifying pairs, then the
+    IN collapses to a distinct l_suppkey semi-join against the 10-row
+    supplier dim — supplier broadcasts, lineitem never shuffles twice.
+    The p_name LIKE prefix pushes to the part scan as a range predicate.
+    """
+    register_views(spark, sf_dir, ["supplier", "lineitem", "part"])
+    return spark.sql(_Q20)

@@ -190,3 +190,19 @@ def test_ann_ivf_corpus_never_shuffles(spark, sf_smoke) -> None:
     assert "Expand" not in plan
     ex = [ln for ln in plan.splitlines() if "hashpartitioning(" in ln]
     assert all("q_id" in ln for ln in ex), f"unexpected exchange:\n{ex}"
+
+
+def test_tpch_q3_topk_and_broadcast(spark, sf_smoke) -> None:
+    plan = _plan(registry.QUERIES["tpch_q3"](spark, sf_smoke))
+    # LIMIT 10 over ORDER BY must lower to the heap-merge operator, never a
+    # global sort of the joined fact stream
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q20_part_filter_pushed(spark, sf_smoke) -> None:
+    plan = _plan(registry.QUERIES["tpch_q20"](spark, sf_smoke))
+    # the p_name LIKE 'large%' prefix pushes to the part scan as a range
+    # predicate (StringStartsWith), pruning before the fact join
+    assert "StringStartsWith(p_name,large)" in plan
+    assert "CartesianProduct" not in plan
