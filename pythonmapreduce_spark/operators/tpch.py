@@ -104,12 +104,12 @@ ORDER BY o_orderpriority
 
 _Q12 = """
 SELECT l_returnflag AS shipmode,
-       SUM(CASE WHEN o_orderpriority = '1-URGENT'
-                  OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
-           AS high_line_count,
-       SUM(CASE WHEN o_orderpriority <> '1-URGENT'
-                 AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END)
-           AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                       OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                      AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END)
+            AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'

@@ -112,6 +112,7 @@ def load_all() -> None:
     # circular imports are impossible.
     from pythonmapreduce_spark.sources import bucketing, readers, refwire, text_corpus  # noqa: F401
     from pythonmapreduce_spark.pipeline import (  # noqa: F401
+        curation,
         dedup,
         multimodal,
         similarity,

@@ -206,3 +206,37 @@ def test_tpch_q20_part_filter_pushed(spark, sf_smoke) -> None:
     # predicate (StringStartsWith), pruning before the fact join
     assert "StringStartsWith(p_name,large)" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_smoke) -> None:
+    """Catalyst's runtime bloom-filter injection: when a selective dim side
+    feeds a shuffle join, the fact scan gets a might_contain(bloom) filter
+    built from the dim keys — rows that can't join die at the scan instead
+    of crossing the exchange. Off at test SF only because of the 10 GiB
+    application-side threshold; this pins that the engine's plans pick it
+    up the moment the fact side is big enough to matter (the 100 TB case).
+    """
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        li = load(spark, sf_smoke, "lineitem")
+        od = load(spark, sf_smoke, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+        df = (
+            li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = _plan(df)
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -88,11 +88,17 @@ def main() -> int:
                 elif spark_rows != oracle_rows:
                     status = "ROWS_MISMATCH"
                 else:
-                    a = [tuple(str(v) for v in r) for r in got.itertuples(index=False)]
-                    b = [tuple(str(v) for v in r) for r in want.itertuples(index=False)]
-                    # String-compare is stricter than the driver's rounded hash
-                    # for floats; tests/test_oracle_diff.py does the tolerant
-                    # compare. Here we only flag hard shape problems.
+                    a = sorted(tuple(str(v) for v in r) for r in got.itertuples(index=False))
+                    b = sorted(tuple(str(v) for v in r) for r in want.itertuples(index=False))
+                    # Strict raw-stringify compare — the WORST CASE for an
+                    # unknown external canonicalizer (catches int64-vs-float
+                    # dtype drift that a rounding/normalizing compare hides;
+                    # tests/test_oracle_diff.py does the tolerant compare).
+                    if a != b:
+                        ndiff = sum(1 for x, y in zip(a, b) if x != y)
+                        status = "VALUES_DRIFT"
+                        first = next((x, y) for x, y in zip(a, b) if x != y)
+                        err = f"{ndiff}/{len(a)} rows differ under str(); first: {first}"
             else:
                 status = "rows_only"
         except Exception as e:  # noqa: BLE001
