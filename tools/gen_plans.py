@@ -60,8 +60,42 @@ NOTES = {
         "min-aggregates (scalar xxhash64 shingle hashing, no HOFs); pairs "
         "generated IN-bucket by groupBy+combination-explode so the "
         "signature pipeline runs once (a band self-join would run it per "
-        "side); Jaccard verify broadcasts the tiny pair list so the corpus "
-        "streams unshuffled."
+        "side); Jaccard verify runs as shuffle hash joins on doc_id with "
+        "the pair side hinted as build — nothing corpus-proportional is "
+        "ever broadcast (the pair list grows with the corpus)."
+    ),
+    "tpch_q3": (
+        "both date predicates push to their scans; customer filter prunes "
+        "before the fact joins; LIMIT 10 lowers to TakeOrderedAndProject "
+        "on the rounded-revenue sort key (heap merge, no global sort)."
+    ),
+    "profile_columns": (
+        "exact profiling in two narrow passes: one HashAggregate computes "
+        "nulls/min/max for every column on native types; distincts go "
+        "through a 2-column-wide stack() explode + partial-distinct "
+        "aggregate, so shuffle width is independent of profiled column "
+        "count and the corpus is never sorted."
+    ),
+    "doc_chunks": (
+        "tokenize → sequence(starts) → explode → slice, all inside one "
+        "WholeStageCodegen scan stage: zero exchanges, chunking runs at "
+        "scan bandwidth and scales with input splits."
+    ),
+    "sequence_pack": (
+        "running-sum window PARTITIONED by shard (one exchange on shard), "
+        "then a partial+final aggregate per (shard,bin) — no global window, "
+        "shards pack in parallel."
+    ),
+    "domain_mix": (
+        "per-language rates from a tiny aggregate re-broadcast onto the "
+        "corpus scan (BroadcastHashJoin) followed by a stateless hash "
+        "filter — the corpus is filtered in place, never shuffled or "
+        "ranked; one exchange for the final per-language count."
+    ),
+    "sketch_frequent_items": (
+        "single pass: partial approx_top_k sketches merge map-side "
+        "(ObjectHashAggregate partial+final around one 1-row exchange); "
+        "memory bounded by maxItemsTracked regardless of corpus size."
     ),
 }
 
