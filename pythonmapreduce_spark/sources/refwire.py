@@ -26,7 +26,12 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from pythonmapreduce_spark.plans.registry import register
 
@@ -47,6 +52,9 @@ class RefWireDataSource(DataSource):
     def reader(self, schema) -> "_RefWireReader":  # noqa: ANN001
         return _RefWireReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "_RefWireStreamReader":  # noqa: ANN001
+        return _RefWireStreamReader(self.options)
+
 
 class _RefWireReader(DataSourceReader):
     def __init__(self, options) -> None:  # noqa: ANN001
@@ -63,12 +71,58 @@ class _RefWireReader(DataSourceReader):
     def read(self, partition: InputPartition):
         # errors='ignore' matches the reference's decode everywhere
         # (/root/reference/kvstore.py:14,23,32,51,57).
-        # newline="" disables universal-newline translation: the delimiter
-        # contains a literal \r that text mode would silently fold to \n.
-        with open(partition.value, encoding="utf-8", errors="ignore", newline="") as f:
-            segments = f.read().split(_DELIM)[1:]
-        for i in range(0, len(segments) - 1, 2):
-            yield (segments[i], segments[i + 1])
+        # newline="" in _decode_wire_file disables universal-newline
+        # translation: the delimiter contains a literal \r that text mode
+        # would silently fold to \n.
+        yield from _decode_wire_file(partition.value)
+
+
+def _decode_wire_file(path: str):
+    """Decode one wire file into (file_name, chunk) pairs — the exact
+    re-split loop of /root/reference/mapper_node.py:78-82."""
+    with open(path, encoding="utf-8", errors="ignore", newline="") as f:
+        segments = f.read().split(_DELIM)[1:]
+    for i in range(0, len(segments) - 1, 2):
+        yield (segments[i], segments[i + 1])
+
+
+class _RefWireStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tail of a wire directory — the Spark-native analog of the
+    reference's socket feed (its master pushes framed chunks to mappers as
+    they arrive, /root/reference/master.py:100-106; here new ``.wire``
+    files landing in the directory are the arrival events).
+
+    Offset = number of files consumed in sorted order, so recovery via
+    readBetweenOffsets replays exactly the files a lost batch covered
+    (exactly-once over an append-only directory). The simple-reader API
+    runs decode driver-side per micro-batch; the batch ``reader()`` above
+    is the executor-parallel path — the right split for a tailing source
+    whose per-batch increment is small while backfills go through batch.
+    """
+
+    def __init__(self, options) -> None:  # noqa: ANN001
+        self.path = options.get("path")
+
+    def _files(self) -> list[str]:
+        return sorted(glob.glob(os.path.join(self.path, "*.wire")))
+
+    def initialOffset(self) -> dict:
+        return {"n_files": 0}
+
+    def read(self, start: dict):
+        files = self._files()
+        n0 = start["n_files"]
+        rows: list[tuple] = []
+        for p in files[n0:]:
+            rows.extend(_decode_wire_file(p))
+        return iter(rows), {"n_files": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()
+        rows: list[tuple] = []
+        for p in files[start["n_files"] : end["n_files"]]:
+            rows.extend(_decode_wire_file(p))
+        return iter(rows)
 
 
 _REGISTERED: set[int] = set()
@@ -131,3 +185,40 @@ def wordcount_refwire(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "stream_wordcount_refwire",
+    oracle=r"""
+    SELECT word, COUNT(*) AS cnt
+    FROM (
+        SELECT UNNEST(list_filter(string_split_regex(content, '\s+'), t -> t <> ''))
+            AS word
+        FROM (SELECT regexp_replace(content, '^\x{FEFF}', '') AS content
+              FROM read_text('/root/reference/books/*.txt'))
+    )
+    GROUP BY word
+    """,
+)
+def stream_wordcount_refwire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's word count over its wire format as a STREAM: the
+    custom DataSource's streaming reader tails the wire directory
+    (file-count offsets, exactly-once replay via readBetweenOffsets), and
+    a bounded availableNow run drains it through the same explode +
+    partial-agg wordcount. Shares wordcount_refwire's oracle over the
+    unframed originals — the streamed decode must be byte-identical to
+    the batch decode AND to the plain text files for this to hash-match.
+    """
+    from pythonmapreduce_spark.streaming.stream_jobs import _run_to_memory
+
+    register_refwire(spark)
+    wire_dir = _frame_books(os.path.join(tempfile.gettempdir(), "pmr_spark_io", "refwire_books"))
+    corpus = spark.readStream.format("refwire").option("path", wire_dir).load()
+    toks = F.filter(F.split(F.col("chunk"), r"\s+"), lambda t: t != F.lit(""))
+    counts = (
+        corpus.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    _, name = _run_to_memory(counts, "complete")
+    return spark.table(name)
