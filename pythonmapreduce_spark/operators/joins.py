@@ -557,3 +557,46 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_LATERAL)
+
+
+@register(
+    "join_semi_reduction",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_acctbal, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal > 9000
+    """,
+)
+def join_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction: the fact side is pre-filtered by a broadcast of
+    the selective dimension's DISTINCT JOIN KEYS before the wide shuffle
+    join — the exact-filter form of the runtime Bloom-filter pushdown
+    (Catalyst's InjectRuntimeFilter plants `bloom_filter_agg`/
+    `might_contain` pairs for exactly this shape when the dim side exceeds
+    broadcast size; tests/test_plans.py pins that injection separately).
+
+    Why it matters at 100 TB: a wide dim (big payload columns) can exceed
+    the broadcast threshold while its bare key set still fits in a few MB.
+    Without reduction every fact row shuffles for the join and most die at
+    the probe; with it, non-matching fact rows are dropped INSIDE the scan
+    stage by the broadcast semi join (zero extra shuffle), so the expensive
+    exchange moves only survivors — here ~13% of orders. The wide join is
+    hinted shuffle-hash to model the dim-exceeds-broadcast regime; the
+    result is provably identical to the plain join (the reduction is a
+    superset filter), which is what the oracle checks.
+    """
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+
+    # Bare key set: narrow (one long per row) no matter how wide the dim is.
+    keys = customer.select(F.col("c_custkey").alias("k")).distinct()
+    reduced = orders.join(
+        F.broadcast(keys), F.col("o_custkey") == F.col("k"), "left_semi"
+    )
+    return (
+        reduced.join(
+            customer.hint("shuffle_hash"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("o_orderkey", "o_totalprice", "c_name", "c_acctbal", "c_mktsegment")
+    )

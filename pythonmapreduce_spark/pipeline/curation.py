@@ -231,3 +231,207 @@ def sketch_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s.item").alias("word"), F.col("s.count").alias("n"))
         .where(F.col("n") > 400)
     )
+
+
+_NGRAM_N = 13  # n-gram width for decontamination (the published choice)
+
+
+@register(
+    "ngram_decontaminate",
+    oracle=f"""
+    WITH btoks AS (
+        SELECT list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    bgrams AS (
+        SELECT DISTINCT array_to_string(toks[s : s + {_NGRAM_N - 1}], ' ') AS g
+        FROM btoks, LATERAL (
+            SELECT unnest(generate_series(1, len(toks) - {_NGRAM_N - 1})) AS s
+        ) st
+        WHERE len(toks) >= {_NGRAM_N}
+    ),
+    dtoks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+        FROM documents WHERE doc_id % 7 <> 0
+    ),
+    dgrams AS (
+        SELECT doc_id, lang, array_to_string(toks[s : s + {_NGRAM_N - 1}], ' ') AS g
+        FROM dtoks, LATERAL (
+            SELECT unnest(generate_series(1, len(toks) - {_NGRAM_N - 1})) AS s
+        ) st
+        WHERE len(toks) >= {_NGRAM_N}
+    )
+    SELECT doc_id, lang, COUNT(DISTINCT d.g) AS n_hits
+    FROM dgrams d JOIN bgrams b ON d.g = b.g
+    GROUP BY doc_id, lang
+    """,
+)
+def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-overlap benchmark decontamination: a training document is
+    contaminated if any of its {n}-token n-grams appears in a benchmark
+    document (stand-in benchmark: every 7th doc, as `decontamination`).
+    This is the published eval-leakage method — overlap on fixed-width
+    n-grams instead of `decontamination`'s prefix containment, so it also
+    catches copies with changed openings or interleaved boilerplate.
+
+    Scale shape: benchmark suites are tiny, so the distinct benchmark
+    n-gram set BROADCASTS; the corpus side explodes its n-grams inside the
+    scan stage and dies at the broadcast semi probe — only the matching
+    (doc, n-gram) pairs reach the count-distinct exchange. The corpus is
+    never shuffled at its full exploded width. n-gram strings could further
+    shrink to xxhash64 digests before the probe at the cost of the oracle's
+    exactness; the structure is identical.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+
+    def grams(df: DataFrame, *cols: str) -> DataFrame:
+        toked = df.select(*cols, tok.alias("toks")).where(F.size("toks") >= _NGRAM_N)
+        starts = toked.select(
+            *cols,
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - (_NGRAM_N - 1))).alias("s"),
+        )
+        return starts.select(
+            *cols, F.array_join(F.slice("toks", F.col("s"), _NGRAM_N), " ").alias("g")
+        )
+
+    bgrams = grams(docs.where(F.col("doc_id") % 7 == 0)).distinct()
+    dgrams = grams(docs.where(F.col("doc_id") % 7 != 0), "doc_id", "lang")
+    return (
+        dgrams.join(F.broadcast(bgrams), "g", "left_semi")
+        .groupBy("doc_id", "lang")
+        .agg(F.countDistinct("g").alias("n_hits"))
+    )
+
+
+_VOCAB_TOP = 50
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT word, COUNT(*) AS cnt
+        FROM (
+            SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                AS word
+            FROM documents
+        )
+        GROUP BY word
+    )
+    SELECT word, cnt, rank, ROUND(cum_share, 6) AS cum_share
+    FROM (
+        SELECT word, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rank,
+               SUM(cnt) OVER (ORDER BY cnt DESC, word
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   * 1.0 / SUM(cnt) OVER () AS cum_share
+        FROM vocab
+    )
+    WHERE rank <= {_VOCAB_TOP}
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: rank tokens by corpus frequency and
+    report each top token's CUMULATIVE share of all token occurrences —
+    the tokenizer-design metric (how much of the corpus the first k vocab
+    entries cover; the long-tail complement of heavy_hitters).
+
+    Scale shape: the full corpus reduces to the |vocab|-row frequency
+    table via one partial+final hash aggregate; the ranking window then
+    runs over |vocab| rows (bounded by the language's lexicon, NOT by
+    corpus size), which is the aggregate-then-window policy share_of_total
+    pins. Ties break on the word itself so the curve is deterministic
+    cross-engine.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    order = Window.orderBy(F.col("cnt").desc(), "word")
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    everything = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        vocab.select(
+            "word",
+            "cnt",
+            F.row_number().over(order).alias("rank"),
+            F.round(
+                F.sum("cnt").over(running) * 1.0 / F.sum("cnt").over(everything), 6
+            ).alias("cum_share"),
+        )
+        .where(F.col("rank") <= _VOCAB_TOP)
+    )
+
+
+# Deterministic NFD stress suffix appended to every document: decomposed
+# e+ACUTE and A+RING (NFC-composable) plus tab/double-space (collapsible).
+# Chosen so the normalizer provably fires on a fixture corpus that is
+# otherwise ASCII with single spaces.
+_NFD_SUFFIX = " é  Å\tz"
+
+
+@register(
+    "text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           LENGTH(norm) AS n_chars_norm,
+           RIGHT(norm, 24) AS tail
+    FROM (
+        SELECT doc_id,
+               nfc_normalize(
+                   regexp_replace(
+                       text || ' e' || chr(769) || '  A' || chr(778) || chr(9) || 'z',
+                       '\s+', ' ', 'g')
+               ) AS norm
+        FROM documents
+    )
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization: collapse whitespace runs, then NFC-
+    normalize — the mandatory step BEFORE any hash-based dedup (NFD 'e'+
+    COMBINING ACUTE and NFC 'é' are different bytes, so un-normalized
+    corpora silently miss duplicates; every web-crawl pipeline runs this).
+    The fixture corpus is ASCII, so a deterministic NFD stress suffix is
+    appended to every doc to prove the normalizer actually fires — the
+    oracle (DuckDB `nfc_normalize`) must agree on the composed result.
+
+    Scale shape: whitespace collapse is a JVM regexp in the scan stage; the
+    NFC step is the one genuinely-Python piece (the JVM exposes no Unicode
+    normalizer as a SQL function), so it runs as an Arrow-batched
+    pandas_udf — per-batch columnar transfer, no per-row pickling, fully
+    parallel with zero shuffle. Output is (len, 24-char tail) per doc, not
+    the full normalized body, so the compare stays cheap while still
+    pinning the composed suffix.
+    """
+    import pandas as pd  # noqa: F401 (signature typing)
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def nfc(s):  # type: ignore[no-untyped-def]
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    docs = load(spark, sf_dir, "documents")
+    collapsed = F.regexp_replace(
+        F.concat(F.col("text"), F.lit(_NFD_SUFFIX)), r"\s+", " "
+    )
+    return docs.select(
+        "doc_id", nfc(collapsed).alias("norm")
+    ).select(
+        "doc_id",
+        F.length("norm").alias("n_chars_norm"),
+        F.expr("right(norm, 24)").alias("tail"),
+    )

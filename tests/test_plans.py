@@ -240,3 +240,27 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_smoke) -> None:
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_semi_reduction_filters_before_shuffle(spark, sf_smoke) -> None:
+    """join_semi_reduction: the broadcast KEY semi join must sit BELOW the
+    fact side's shuffle exchange (reduction inside the scan stage), and the
+    wide join must be a shuffle join — the dim-exceeds-broadcast regime the
+    operator models.
+    """
+    plan = _plan(registry.QUERIES["join_semi_reduction"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    # the semi probe happens before (deeper than) the exchange that feeds
+    # the wide join: formatted-plan ids grow from the leaves toward the
+    # root, so the LeftSemi node's id must be smaller than the wide join's
+    import re
+
+    semi = min(
+        int(m) for m in re.findall(r"BroadcastHashJoin LeftSemi \w+ \((\d+)\)", plan)
+    )
+    wide = min(
+        int(m)
+        for m in re.findall(r"(?:ShuffledHashJoin|SortMergeJoin) \w+ \w+ \((\d+)\)", plan)
+    )
+    assert semi < wide
