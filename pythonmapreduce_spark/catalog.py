@@ -11,6 +11,7 @@ events documents embeddings — one parquet file per table under an sf_dir.
 
 from __future__ import annotations
 
+import functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -96,14 +97,14 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # events.ts is parquet TIMESTAMP(NANOS); Spark's TimestampType is µs, so
-    # the raw read schema takes ts as nanosecond longs (legacy nanosAsLong)
-    # and load() converts to a µs timestamp — same truncation DuckDB applies
-    # when casting TIMESTAMP_NS → TIMESTAMP.
+    # events.ts unit varies between data generations (TIMESTAMP(NANOS) vs
+    # TIMESTAMP(MICROS)); load() sniffs the parquet footer once per file and
+    # adapts (see events_read_schema / events_ts_fix). This logical schema is
+    # the µs form every query sees either way.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -137,6 +138,58 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+@functools.lru_cache(maxsize=64)
+def _events_ts_is_nanos(path: str) -> bool:
+    """True when events.ts is parquet TIMESTAMP(NANOS).
+
+    Spark's TimestampType is µs-precision, so nanos files must be read as
+    raw longs (spark.sql.legacy.parquet.nanosAsLong) and floor-divided to
+    µs — the same truncation DuckDB applies casting TIMESTAMP_NS →
+    TIMESTAMP. µs files map 1:1 onto TimestampType. One driver-side footer
+    read per file path, cached for the process lifetime.
+    """
+    import pyarrow.parquet as pq
+
+    ts_type = pq.ParquetFile(path).schema_arrow.field("ts").type
+    return getattr(ts_type, "unit", "us") == "ns"
+
+
+def events_read_schema(sf_dir: str) -> T.StructType:
+    """The physical read schema for events at this sf_dir (ts as raw longs
+    for nanos files, TimestampType for µs files)."""
+    schema = SCHEMAS["events"]
+    if not _events_ts_is_nanos(table_path(sf_dir, "events")):
+        return schema
+    return T.StructType(
+        [
+            T.StructField("ts", T.LongType()) if f.name == "ts" else f
+            for f in schema.fields
+        ]
+    )
+
+
+def events_ts_fix(df: DataFrame, sf_dir: str) -> DataFrame:
+    """Normalize events.ts to a µs TimestampType column (no-op for µs files)."""
+    if _events_ts_is_nanos(table_path(sf_dir, "events")):
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream source over the events table with unit-normalized ts —
+    the shared entry for every streaming job."""
+    if _events_ts_is_nanos(table_path(sf_dir, "events")):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.readStream.schema(events_read_schema(sf_dir))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return events_ts_fix(src, sf_dir)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table with its explicit schema (no inference).
 
@@ -146,13 +199,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
-    if name == "events":
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        if _events_ts_is_nanos(table_path(sf_dir, "events")):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.schema(events_read_schema(sf_dir)).parquet(
+            table_path(sf_dir, name)
+        )
+        return events_ts_fix(df, sf_dir)
+    return spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:

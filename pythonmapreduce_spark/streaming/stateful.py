@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from pythonmapreduce_spark.catalog import SCHEMAS
+from pythonmapreduce_spark.catalog import events_stream_source
 from pythonmapreduce_spark.plans.registry import register
 from pythonmapreduce_spark.streaming.stream_jobs import _run_to_memory
 
@@ -68,13 +68,7 @@ def _update_user_totals(
 def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful per-user totals over the event stream; verified
     against the batch GROUP BY oracle via availableNow replay."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = (
-        spark.readStream.schema(SCHEMAS["events"])
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select("user_id", "value")
-    )
+    src = events_stream_source(spark, sf_dir).select("user_id", "value")
     updated = src.groupBy("user_id").applyInPandasWithState(
         _update_user_totals,
         outputStructType=_OUT_SCHEMA,

@@ -22,7 +22,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pythonmapreduce_spark.catalog import SCHEMAS
+from pythonmapreduce_spark.catalog import SCHEMAS, events_stream_source
 from pythonmapreduce_spark.plans.registry import register
 
 
@@ -105,13 +105,7 @@ def stream_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded stream. On a bounded availableNow replay it matches the batch
     tumbling result for all finalized windows.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = (
-        spark.readStream.schema(SCHEMAS["events"])
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    src = events_stream_source(spark, sf_dir)
     agg = (
         src.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -144,13 +138,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming dedup feasible forever). A bounded availableNow replay emits
     exactly the batch DISTINCT, which is the oracle.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = (
-        spark.readStream.schema(SCHEMAS["events"])
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    src = events_stream_source(spark, sf_dir)
     deduped = (
         src.withWatermark("ts", "1 day")
         .dropDuplicates(["user_id", "event_type"])
@@ -179,13 +167,8 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pythonmapreduce_spark.catalog import load
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = (
-        spark.readStream.schema(SCHEMAS["events"])
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .where(F.col("event_type") == "purchase")
+    src = events_stream_source(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
     )
     customer = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = src.join(
@@ -233,13 +216,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounding session state; availableNow + complete keeps the bounded
     replay exactly batch-equivalent.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = (
-        spark.readStream.schema(SCHEMAS["events"])
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    src = events_stream_source(spark, sf_dir)
     agg = (
         src.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
@@ -286,17 +263,11 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark advancement evicts rows older than (max event time − 2h −
     1h range). A single availableNow replay must equal the batch interval
     join, which is exactly what the DuckDB oracle runs; lag is emitted in
-    microseconds (both engines floor the source's nanosecond timestamps
-    identically).
+    microseconds (both engines see the identical µs-normalized timestamps).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
     def side(alias: str, etype: str) -> DataFrame:
         return (
-            spark.readStream.schema(SCHEMAS["events"])
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            events_stream_source(spark, sf_dir)
             .where(F.col("event_type") == etype)
             .withWatermark("ts", "2 hours")
             .alias(alias)
