@@ -1,0 +1,240 @@
+"""Graph analytics over a relational co-occurrence graph.
+
+Triangle counting and PageRank are THE canonical MapReduce-era graph
+workloads (the reference's lineage — its wordcount/inverted-index jobs,
+/root/reference/mapreduce_wc.py:3-11, are the text half of the same
+classic suite), re-expressed as DataFrame plans.
+
+Graph derivation: parts co-occurring in the same URGENT order form an
+undirected edge. The bipartite projection is degree-bounded by order size
+(TPC-H orders hold ~4 items, and real carts are similarly small), so the
+per-order pair explosion is O(items²)-per-order with a small constant —
+linear in lineitem overall, which is what survives 100 TB. The priority
+filter prunes at the orders scan before anything joins.
+
+Scale notes per operator:
+- triangle_count uses the src-centered wedge join with the src<dst<dst2
+  total order, so each triangle is generated exactly once and wedge
+  volume is Σ deg(v)²/2 over the oriented (lower-endpoint) adjacency —
+  the standard node-iterator bound. All joins are equi-joins on vertex
+  keys (shuffle hash / sort-merge); no cartesian anywhere.
+- pagerank_iter keeps ranks and edges co-partitioned on the vertex key
+  across iterations — the join key never changes, so after the first
+  shuffle each subsequent iteration reuses the partitioning (no new
+  exchange of the edge set). Ranks are O(V) and flow through shuffle
+  joins, never a broadcast (at 100 TB, V-proportional state must not
+  land on the driver).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pythonmapreduce_spark.catalog import load
+from pythonmapreduce_spark.plans.registry import register
+
+# Shared CTE prefix for the DuckDB oracles — identical edge derivation.
+_EDGES_CTE = """
+    WITH urgent AS (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    items AS (
+        SELECT DISTINCT l.l_orderkey, l.l_partkey
+        FROM lineitem l JOIN urgent u ON l.l_orderkey = u.o_orderkey
+    ),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM items a
+        JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+"""
+
+
+def _pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """Full (node, pr) vector after 3 iterations, or None on an empty
+    graph. Factored out of the registered query so tests can assert
+    global invariants (Σ pr = 1) the top-20 projection hides."""
+    e = _edges(spark, sf_dir)
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # |V| is one scalar — computed once, folded into the teleport literal.
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return None
+    teleport = 0.15 / n_nodes
+    ranks = deg.select("src", F.lit(1.0 / n_nodes).alias("pr"))
+    contrib_base = sym.join(deg, "src")
+    for _ in range(3):
+        ranks = (
+            contrib_base.join(ranks, "src")
+            .groupBy("dst")
+            .agg(
+                (F.lit(teleport) + 0.85 * F.sum(F.col("pr") / F.col("d"))).alias(
+                    "pr"
+                )
+            )
+            .withColumnRenamed("dst", "src")
+        )
+    return ranks
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected edge set (src < dst) of the part co-occurrence graph."""
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .join(urgent, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("dst")
+    )
+    return (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("src") < F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+@register(
+    "graph_degree",
+    oracle=_EDGES_CTE
+    + """
+    , deg AS (
+        SELECT node, COUNT(*) AS degree FROM (
+            SELECT src AS node, dst FROM edges
+            UNION ALL
+            SELECT dst AS node, src FROM edges
+        ) GROUP BY node
+    )
+    SELECT degree, COUNT(*) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-occurrence graph.
+
+    The first question asked of any production graph (skew detection:
+    a power-law hub is what breaks the wedge join below). Symmetrize by
+    union, count per node, histogram the counts — two partial-agg
+    exchanges, output is |distinct degrees| rows.
+    """
+    e = _edges(spark, sf_dir)
+    sym = e.select(F.col("src").alias("node")).unionAll(
+        e.select(F.col("dst").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
+    "triangle_count",
+    oracle=_EDGES_CTE
+    + """
+    SELECT COUNT(*) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+    JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count via the node-iterator wedge join.
+
+    Wedges (u<v, u<w, v<w) are built from the lower endpoint's adjacency
+    (self-equi-join on src), then closed against the edge set with one
+    more equi-join — each triangle counted exactly once because the
+    vertex total order orients it uniquely. Both joins shuffle on vertex
+    keys; wedge volume is the classic Σ deg² bound, kept small here by
+    the order-size-bounded co-occurrence degree. One global count at the
+    end (partial counts combine map-side).
+    """
+    e = _edges(spark, sf_dir)
+    e1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = e.select(F.col("src").alias("u2"), F.col("dst").alias("w"))
+    wedges = e1.join(
+        e2, (F.col("u") == F.col("u2")) & (F.col("v") < F.col("w"))
+    ).select("v", "w")
+    closing = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    return wedges.join(closing, ["v", "w"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+@register(
+    "pagerank_iter",
+    oracle=_EDGES_CTE
+    + """
+    , sym AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY node),
+    n AS (SELECT COUNT(*) AS c FROM deg),
+    r0 AS (SELECT node, 1.0 / (SELECT c FROM n) AS pr FROM deg),
+    r1 AS (
+        SELECT s.dst AS node,
+               0.15 / (SELECT c FROM n)
+                   + 0.85 * SUM(r.pr / g.d) AS pr
+        FROM sym s JOIN r0 r ON s.src = r.node JOIN deg g ON s.src = g.node
+        GROUP BY s.dst
+    ),
+    r2 AS (
+        SELECT s.dst AS node,
+               0.15 / (SELECT c FROM n)
+                   + 0.85 * SUM(r.pr / g.d) AS pr
+        FROM sym s JOIN r1 r ON s.src = r.node JOIN deg g ON s.src = g.node
+        GROUP BY s.dst
+    ),
+    r3 AS (
+        SELECT s.dst AS node,
+               0.15 / (SELECT c FROM n)
+                   + 0.85 * SUM(r.pr / g.d) AS pr
+        FROM sym s JOIN r2 r ON s.src = r.node JOIN deg g ON s.src = g.node
+        GROUP BY s.dst
+    )
+    SELECT node, ROUND(pr * 1000, 6) + 0.0 AS pr_millis
+    FROM r3
+    ORDER BY ROUND(pr * 1000, 6) DESC, node
+    LIMIT 20
+    """,
+)
+def pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, 3 synchronous iterations, damping 0.85, uniform init.
+
+    Per iteration: ranks ⋈ edges on the source vertex, contributions
+    pr/deg flow along out-edges, sum per destination, re-seed with the
+    teleport term. The symmetric edge set guarantees no dangling mass
+    (every node has out-degree ≥ 1). Ranks stay O(V) and co-partitioned
+    with the edge list on the vertex key across iterations — Spark reuses
+    the exchange instead of re-shuffling edges each round. Fixed iteration
+    count keeps the computation a finite DAG, which is what makes the
+    unrolled-CTE oracle expressible; scores ×1000 then rounded to 6dp so
+    the cross-engine float-summation drift stays below the compare
+    precision. Top-20 with vertex-id tiebreak.
+    """
+    ranks = _pagerank_ranks(spark, sf_dir)
+    if ranks is None:
+        # Degenerate (empty-partition) corpus: no vertices, empty result
+        # with the stable schema.
+        return spark.createDataFrame([], "node bigint, pr_millis double")
+    return (
+        ranks.select(
+            F.col("src").alias("node"),
+            (F.round(F.col("pr") * 1000, 6) + 0.0).alias("pr_millis"),
+        )
+        .orderBy(F.col("pr_millis").desc(), "node")
+        .limit(20)
+    )

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from pythonmapreduce_spark.catalog import load
 from pythonmapreduce_spark.plans.registry import register
@@ -324,4 +325,52 @@ def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("mn").cast("string").alias("first_ship"),
             F.max("mx").cast("string").alias("last_ship"),
         )
+    )
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+    WITH counts AS (
+        SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT key, n_rows,
+           ROUND(100.0 * n_rows / SUM(n_rows) OVER (), 4) AS share_pct,
+           ROUND(n_rows / AVG(n_rows) OVER (), 4) AS skew_ratio
+    FROM counts
+    ORDER BY n_rows DESC, key
+    LIMIT 10
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic: the 10 heaviest join/agg keys with
+    their share of all rows and their ratio to the mean key load.
+
+    This is the measurement you run BEFORE choosing salting (join_salted)
+    or AQE skew-join for a hot key. Aggregate-then-window: the raw table
+    collapses to |keys| rows in a partial+final count, and only that
+    aggregate flows through the unpartitioned stats window — the window
+    never sees raw rows, so the single-partition stage is bounded by key
+    cardinality, not data size.
+    """
+    counts = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    w = W.partitionBy()
+    return (
+        counts.select(
+            "key",
+            "n_rows",
+            F.round(100.0 * F.col("n_rows") / F.sum("n_rows").over(w), 4).alias(
+                "share_pct"
+            ),
+            F.round(F.col("n_rows") / F.avg("n_rows").over(w), 4).alias(
+                "skew_ratio"
+            ),
+        )
+        .orderBy(F.col("n_rows").desc(), "key")
+        .limit(10)
     )

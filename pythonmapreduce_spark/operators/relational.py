@@ -258,3 +258,34 @@ def paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(40)
         .limit(20)
     )
+
+
+@register(
+    "sample_weighted",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE ((o_orderkey * 2654435761) % 4294967296) / 4294967296.0
+          < o_totalprice / 600000.0
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional Bernoulli sample (probability ∝ o_totalprice),
+    driven by the Knuth multiplicative hash of the stable row key instead
+    of an RNG stream.
+
+    `df.sample()` draws from engine-specific RNGs (not reproducible across
+    engines, or across partitionings of the same engine); the hash form
+    gives every row a fixed uniform deviate, so the sample is identical
+    everywhere and re-runnable — the audit property curation pipelines
+    need. Pure scan-side filter: no shuffle, no state, pushes down to the
+    parquet scan's batch filter at any scale.
+    """
+    u = ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(
+        4294967296.0
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .where(u < F.col("o_totalprice") / F.lit(600000.0))
+        .select("o_orderkey", "o_totalprice")
+    )

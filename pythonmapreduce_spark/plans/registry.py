@@ -112,6 +112,7 @@ def load_all() -> None:
     # circular imports are impossible.
     from pythonmapreduce_spark.sources import bucketing, readers, refwire, text_corpus  # noqa: F401
     from pythonmapreduce_spark.pipeline import (  # noqa: F401
+        search,
         curation,
         dedup,
         multimodal,
@@ -125,6 +126,7 @@ def load_all() -> None:
         stream_jobs,
     )
     from pythonmapreduce_spark.operators import (  # noqa: F401
+        graphs,
         sql_features,
         quality,
         timeseries,
