@@ -43,6 +43,13 @@ HEADLINE = [
     "media_chunk_dedup",
     "gram_matrix",
     "profile_columns",
+    # round-2 second wave: graph analytics (wedge join + iterative rank),
+    # sparse all-pairs similarity, and the two LM/search rankers.
+    "triangle_count",
+    "pagerank_iter",
+    "tfidf_cosine_pairs",
+    "bm25_rank",
+    "lm_perplexity",
 ]
 
 

@@ -61,13 +61,20 @@ def _pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame | None:
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    # |V| is one scalar — computed once, folded into the teleport literal.
-    n_nodes = deg.count()
+    # Materialize (edge, out-degree) ONCE before the loop — without the
+    # checkpoint every iteration re-derives the co-occurrence join from
+    # parquet (lineage re-execution, the iterative-algorithm tax; same
+    # pattern as dedup_clusters). On a cluster this is persist()/
+    # checkpoint() of the partitioned edge list.
+    contrib_base = sym.join(deg, "src").localCheckpoint(eager=True)
+    # Node list and |V| come from the checkpointed base, not a fresh
+    # edge derivation; |V| is one scalar folded into the teleport literal.
+    nodes = contrib_base.select("src", "d").dropDuplicates(["src"])
+    n_nodes = nodes.count()
     if n_nodes == 0:
         return None
     teleport = 0.15 / n_nodes
-    ranks = deg.select("src", F.lit(1.0 / n_nodes).alias("pr"))
-    contrib_base = sym.join(deg, "src")
+    ranks = nodes.select("src", F.lit(1.0 / n_nodes).alias("pr"))
     for _ in range(3):
         ranks = (
             contrib_base.join(ranks, "src")

@@ -653,3 +653,43 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(z, 3) + F.lit(0.0)).alias("z"),  # +0.0 folds IEEE -0.0 to +0.0
         F.when(F.abs(z) > 2, 1).otherwise(0).alias("is_anomaly"),
     )
+
+
+@register(
+    "winsorize",
+    oracle="""
+    WITH bounds AS (
+        SELECT c_mktsegment,
+               quantile_cont(c_acctbal, 0.05) AS lo,
+               quantile_cont(c_acctbal, 0.95) AS hi
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           ROUND(LEAST(GREATEST(c.c_acctbal, b.lo), b.hi), 2) AS bal_wins
+    FROM customer c JOIN bounds b USING (c_mktsegment)
+    """,
+)
+def winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clamp account balances to the segment's
+    [p05, p95] band — the outlier treatment feature pipelines apply
+    before scaling (min_max_scale's robust sibling: scaling alone lets a
+    single extreme value compress everyone else into a sliver).
+
+    Exact interpolated percentiles per group collapse to |segments| rows
+    of bounds which broadcast back onto the unshuffled table — same
+    aggregate-then-broadcast shape as min_max_scale, so the big side
+    never exchanges. percentile() and quantile_cont share the linear
+    interpolation definition (proven cross-engine by percentile_agg).
+    """
+    cust = load(spark, sf_dir, "customer")
+    bounds = cust.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.05)").alias("lo"),
+        F.expr("percentile(c_acctbal, 0.95)").alias("hi"),
+    )
+    return cust.join(F.broadcast(bounds), "c_mktsegment").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(
+            F.least(F.greatest(F.col("c_acctbal"), F.col("lo")), F.col("hi")), 2
+        ).alias("bal_wins"),
+    )

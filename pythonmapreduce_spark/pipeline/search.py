@@ -21,6 +21,8 @@ per-document aggregation on doc_id.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -32,6 +34,33 @@ _QUERY_TERMS = ["join", "table", "spark"]
 _K1, _B = 1.2, 0.75
 
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+
+def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bigram) pairs, one row per adjacent token pair.
+
+    Tokenization happens ONCE into a named ``toks`` column before the
+    positional lambda touches it — inlining ``filter(split(text))`` into
+    each ``element_at(·, i)`` makes Catalyst re-tokenize per INDEX, i.e.
+    O(len²) per document. The two-step projection keeps bigram assembly
+    linear (subexpression reuse inside one whole-stage-codegen stage, no
+    shuffle)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr("filter(split(text, '\\\\s+'), t -> t != '')").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+                )
+            ).alias("bigram"),
+        )
+    )
 
 
 @register(
@@ -173,16 +202,7 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     until the final doc_id aggregation. ln on both engines; 4dp round
     absorbs summation-order drift.
     """
-    grams = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(filter(split(text, '\\\\s+'), t -> t != '')) - 1), "
-                "i -> concat(element_at(filter(split(text, '\\\\s+'), t -> t != ''), i), ' ', "
-                "element_at(filter(split(text, '\\\\s+'), t -> t != ''), i + 1)))"
-            )
-        ).alias("bigram"),
-    )
+    grams = _doc_bigrams(spark, sf_dir)
     c2 = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
     c1 = (
         c2.groupBy(F.split("bigram", " ").getItem(0).alias("w1"))
@@ -198,4 +218,145 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_logp"
             ),
         )
+    )
+
+
+@register(
+    "tfidf_cosine_pairs",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, UNNEST(
+            list_transform(generate_series(1, LEN(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i + 1])
+        ) AS g
+        FROM docs
+    ),
+    tf AS (
+        SELECT doc_id, g, COUNT(*)::DOUBLE AS tf FROM grams GROUP BY doc_id, g
+    ),
+    df AS (SELECT g, COUNT(*) AS df FROM tf GROUP BY g),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+    w AS (
+        SELECT tf.doc_id, tf.g,
+               tf.tf * LN((SELECT n FROM n) * 1.0 / df.df) AS w
+        FROM tf JOIN df USING (g)
+        WHERE df.df BETWEEN 2 AND 100
+    ),
+    nrm AS (SELECT doc_id, SQRT(SUM(w * w)) AS nn FROM w GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, SUM(a.w * b.w) AS dot
+        FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2, ROUND(dot / (x.nn * y.nn), 4) + 0.0 AS cosine
+    FROM pairs JOIN nrm x ON d1 = x.doc_id JOIN nrm y ON d2 = y.doc_id
+    WHERE ROUND(dot / (x.nn * y.nn), 4) >= 0.3
+    """,
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs sparse cosine similarity in TF-IDF bigram space — the
+    classic MapReduce pairwise-similarity algorithm (inverted-index join),
+    the lexical twin of the dense-embedding ``dup_embedding``.
+
+    Scale shape: partial dot products are generated per POSTING LIST
+    (equi-join on the bigram key), never per document pair, so work is
+    Σ |posting|² over surviving terms — and the df ∈ [2, 100] band prune
+    is the load-bearing bound: df=1 terms cannot pair, df>100 hub terms
+    (stopword-grade) would quadratically dominate while contributing
+    near-zero idf weight. This prefix-filtering family is how all-pairs
+    similarity stays tractable on a 100 TB corpus. One shuffle on the
+    term key, one on the (d1, d2) pair key, norms broadcast-joined.
+    """
+    grams = _doc_bigrams(spark, sf_dir).withColumnRenamed("bigram", "g")
+    tf = grams.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_counts = tf.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select(F.countDistinct("doc_id").alias("n"))
+    w = (
+        tf.join(df_counts, "g")
+        .where(F.col("df").between(2, 100))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "g",
+            (F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df"))).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn"))
+    a = w.select(F.col("doc_id").alias("d1"), "g", F.col("w").alias("w1"))
+    b = w.select(F.col("doc_id").alias("d2"), F.col("g").alias("g2"), F.col("w").alias("w2"))
+    pairs = (
+        a.join(b, (F.col("g") == F.col("g2")) & (F.col("d1") < F.col("d2")))
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
+    )
+    cos = (
+        pairs.join(nrm.withColumnsRenamed({"doc_id": "d1", "nn": "n1"}), "d1")
+        .join(nrm.withColumnsRenamed({"doc_id": "d2", "nn": "n2"}), "d2")
+        .select(
+            "d1",
+            "d2",
+            (F.round(F.col("dot") / (F.col("n1") * F.col("n2")), 4) + 0.0).alias(
+                "cosine"
+            ),
+        )
+    )
+    return cos.where(F.col("cosine") >= 0.3)
+
+
+@register(
+    "char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, UNNEST(string_split(text, '')) AS ch FROM documents
+    ),
+    cc AS (
+        SELECT doc_id, ch, COUNT(*)::DOUBLE AS c
+        FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (SELECT doc_id, SUM(c) AS len FROM cc GROUP BY doc_id)
+    SELECT cc.doc_id,
+           ROUND(LOG2(tot.len) - SUM(cc.c * LOG2(cc.c)) / tot.len, 4) + 0.0
+               AS entropy
+    FROM cc JOIN tot ON cc.doc_id = tot.doc_id
+    GROUP BY cc.doc_id, tot.len
+    """,
+)
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's character distribution — the
+    cheap "is this text or noise" curation signal (binary junk and
+    base64 blobs score near log2(alphabet); natural text sits in a
+    narrow band).
+
+    Implemented as an Arrow-batched pandas_udf: the per-document
+    character histogram is a numpy bincount, three orders of magnitude
+    cheaper than exploding one row per CHARACTER through a shuffle
+    (the relational formulation the oracle uses — fine at sf0.01,
+    catastrophic at 100 TB where it multiplies row count by document
+    length). This is the justified-UDF case: per-row math too dense for
+    Column expressions, no aggregation state, perfectly batchable.
+    Identical H = log2(L) - Σ c·log2(c)/L factoring on both engines.
+    """
+    @F.pandas_udf("double")
+    def entropy(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in texts:
+            if not t:
+                out.append(0.0)
+                continue
+            _, counts = np.unique(list(t), return_counts=True)
+            c = counts.astype("float64")
+            length = c.sum()
+            out.append(float(np.log2(length) - (c * np.log2(c)).sum() / length))
+        return pd.Series(out)
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", (F.round(entropy(F.col("text")), 4) + 0.0).alias("entropy"))
     )
