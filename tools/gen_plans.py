@@ -97,6 +97,23 @@ NOTES = {
         "(ObjectHashAggregate partial+final around one 1-row exchange); "
         "memory bounded by maxItemsTracked regardless of corpus size."
     ),
+    "triangle_count": (
+        "node-iterator wedge join: both joins are vertex-key equi-joins "
+        "(no cartesian, no nested loop); the vertex total order orients "
+        "each triangle exactly once, and wedge volume is the Σ deg² bound "
+        "kept small by the order-size-bounded co-occurrence degree."
+    ),
+    "tfidf_cosine_pairs": (
+        "partial dot products generated per POSTING LIST (equi-join on the "
+        "bigram key), never per document pair; the df∈[2,100] prune bounds "
+        "Σ|posting|² — prefix filtering, the only way all-pairs similarity "
+        "survives 100 TB. One exchange on the term key, one on (d1,d2)."
+    ),
+    "bm25_rank": (
+        "query-term filter sits in the scan stage (non-matching tokens never "
+        "shuffle); idf and corpus stats broadcast; TakeOrderedAndProject "
+        "caps the ranking at k rows per partition."
+    ),
 }
 
 
