@@ -751,3 +751,69 @@ def kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not rows:
         return spark.createDataFrame([], "cluster long, n_vecs long")
     return spark.createDataFrame(rows, "cluster long, n_vecs long")
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+    -- promote float32 -> double BEFORE any math: DuckDB's ROUND(FLOAT)
+    -- returns FLOAT, whose float64 reading re-grows the 1e-11 artifact
+    -- the round was supposed to remove
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND((list_max(emb) - list_min(emb)) / 255.0, 6) + 0.0 AS scale,
+           ROUND(list_min(emb), 6) + 0.0 AS zero_point,
+           array_to_string(
+               list_transform(
+                   emb[1:8],
+                   x -> CAST(ROUND(
+                       (x - list_min(emb))
+                       / (CASE WHEN list_max(emb) = list_min(emb)
+                               THEN 1.0
+                               ELSE (list_max(emb) - list_min(emb))
+                                    / 255.0 END)) AS BIGINT)),
+               ',') AS q_head
+    FROM e
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (min/max affine): the memory
+    layer under every large ANN index — a 64-dim float32 vector becomes
+    64 bytes + (scale, zero_point), a 4× shrink that turns a 100 TB
+    embedding store into 25 TB before any index structure is built.
+
+    Pure higher-order Column expressions (array_min/array_max/transform)
+    inside whole-stage codegen — per-row math, no shuffle at all; the
+    scan is the whole plan. Degenerate constant vectors quantize to 0
+    via the scale=0 guard. The compare emits the first 8 codes as a
+    string (driver canonicalizers reject array cells) with round-to-
+    nearest the identical half-up direction on both engines (codes ≥ 0).
+
+    Cast chain note: embedding is array<float>; both engines promote to
+    double BEFORE min/max/scale math (float32 literals like 0.1f differ
+    from their float64 reading, so mixed-precision order would drift).
+    """
+    emb = F.expr("transform(embedding, x -> cast(x as double))")
+    mn, mx = F.array_min(emb), F.array_max(emb)
+    scale = (mx - mn) / F.lit(255.0)
+    safe_scale = F.when(mx == mn, F.lit(1.0)).otherwise(scale)
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.round(scale, 6) + 0.0).alias("scale"),
+        (F.round(mn, 6) + 0.0).alias("zero_point"),
+        F.array_join(
+            F.expr(
+                "transform(slice(transform(embedding, x -> cast(x as double)), 1, 8), "
+                "x -> cast(round((x - array_min(transform(embedding, x -> cast(x as double)))) / "
+                "(case when array_max(transform(embedding, x -> cast(x as double))) = "
+                "array_min(transform(embedding, x -> cast(x as double))) then 1.0d else "
+                "(array_max(transform(embedding, x -> cast(x as double))) - "
+                "array_min(transform(embedding, x -> cast(x as double)))) / 255.0d end)) as bigint))"
+            ),
+            ",",
+        ).alias("q_head"),
+    )
