@@ -191,3 +191,23 @@ def test_lsh_bucket_cap_preserves_small_bucket_pairs(spark) -> None:
     )
     pairs = minhash_candidates(docs).collect()
     assert len(pairs) == k * m * (m - 1) // 2
+
+
+def test_approx_distinct_error_bound(spark, sf_smoke) -> None:
+    """HLL++ (rsd=0.01) NDV must land within 5% of the exact distinct
+    count for every group — the bound that makes approx_distinct usable
+    as the 100 TB replacement for exact COUNT(DISTINCT)."""
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in registry.QUERIES["approx_distinct"](spark, sf_smoke).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, sf_smoke, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, want in exact.items():
+        assert abs(approx[k] - want) / want < 0.05, (k, approx[k], want)
