@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from pythonmapreduce_spark.catalog import load
 from pythonmapreduce_spark.plans.registry import register
@@ -486,3 +487,45 @@ def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("CAST(SUM(bitmap_count(bm)) AS BIGINT)").alias("n_users"))
     )
     return merged
+
+
+@register(
+    "mode_per_group",
+    oracle="""
+    SELECT l_returnflag, l_quantity AS mode_qty, n
+    FROM (
+        SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS n,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY COUNT(*) DESC, l_quantity) AS rn
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    )
+    WHERE rn = 1
+    """,
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with an explicit deterministic tiebreak
+    (smallest value wins among equally frequent).
+
+    Built as count-then-rank rather than the engine ``mode()`` aggregate
+    precisely BECAUSE of ties: engines resolve mode ties arbitrarily
+    (Spark picks an arbitrary value, DuckDB another), which is exactly
+    the kind of silent cross-engine divergence this registry pins down.
+    Two partial-agg exchanges; the rank window runs on |groups × values|
+    rows, not raw data.
+    """
+    counts = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = W.partitionBy("l_returnflag").orderBy(F.col("n").desc(), "l_quantity")
+    return (
+        counts.select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            "n",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -245,3 +245,77 @@ def pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pr_millis").desc(), "node")
         .limit(20)
     )
+
+
+@register(
+    "bfs_distances",
+    oracle=_EDGES_CTE
+    + """
+    , sym AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges
+    ),
+    d0 AS (
+        SELECT DISTINCT src AS node, 0 AS dist FROM sym WHERE src % 97 = 0
+    ),
+    d1 AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d0
+            UNION ALL
+            SELECT s.dst AS node, d.dist + 1 FROM d0 d JOIN sym s ON s.src = d.node
+        ) GROUP BY node
+    ),
+    d2 AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d1
+            UNION ALL
+            SELECT s.dst AS node, d.dist + 1 FROM d1 d JOIN sym s ON s.src = d.node
+        ) GROUP BY node
+    ),
+    d3 AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d2
+            UNION ALL
+            SELECT s.dst AS node, d.dist + 1 FROM d2 d JOIN sym s ON s.src = d.node
+        ) GROUP BY node
+    )
+    SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM d3 GROUP BY dist
+    """,
+)
+def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: shortest hop distance (≤ 3 hops) from the
+    deterministic source set {v : v % 97 = 0} — the frontier-expansion
+    iterative shape next to pagerank_iter's value iteration (together
+    they cover both classic iterative-graph dataflows).
+
+    Each round relaxes dist(v) = min(dist(v), min_{u→v} dist(u)+1) as a
+    union + min-aggregate over the checkpointed symmetric edge list: one
+    vertex-key equi-join and one partial+final min per hop, distance
+    table stays O(V) and co-partitioned with edges on the join key.
+    Bounded hop count makes the computation a finite DAG (the unrolled
+    oracle); the unbounded variant is the same loop with a convergence
+    count, exactly like dedup_clusters. Output: distance histogram
+    (≤ hops+2 rows: 0..3 plus unreached nodes never appear).
+    """
+    e = _edges(spark, sf_dir)
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    dist = (
+        sym.select(F.col("src").alias("node"))
+        .where(F.col("node") % 97 == 0)
+        .distinct()
+        .select("node", F.lit(0).alias("dist"))
+    )
+    for _ in range(3):
+        relaxed = sym.join(dist, F.col("src") == F.col("node")).select(
+            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.groupBy("dist").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))

@@ -693,3 +693,47 @@ def winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.greatest(F.col("c_acctbal"), F.col("lo")), F.col("hi")), 2
         ).alias("bal_wins"),
     )
+
+
+@register(
+    "robust_scale",
+    oracle="""
+    WITH st AS (
+        SELECT c_mktsegment,
+               quantile_cont(c_acctbal, 0.5)  AS med,
+               quantile_cont(c_acctbal, 0.75) - quantile_cont(c_acctbal, 0.25)
+                   AS iqr
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           ROUND((c.c_acctbal - st.med)
+                 / (CASE WHEN st.iqr = 0 THEN 1.0 ELSE st.iqr END), 4) + 0.0
+               AS bal_robust
+    FROM customer c JOIN st USING (c_mktsegment)
+    """,
+)
+def robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust scaling per group — the outlier-insensitive
+    normalization (min_max_scale breaks under a single extreme value;
+    winsorize clamps; robust scaling re-centers on order statistics).
+
+    Same aggregate-then-broadcast shape as its two siblings: |segments|
+    rows of (median, IQR) broadcast onto the unshuffled table.
+    Degenerate IQR=0 floors to 1 on both engines.
+    """
+    cust = load(spark, sf_dir, "customer")
+    st = cust.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.5)").alias("med"),
+        (
+            F.expr("percentile(c_acctbal, 0.75)")
+            - F.expr("percentile(c_acctbal, 0.25)")
+        ).alias("iqr"),
+    )
+    safe_iqr = F.when(F.col("iqr") == 0, F.lit(1.0)).otherwise(F.col("iqr"))
+    return cust.join(F.broadcast(st), "c_mktsegment").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.round((F.col("c_acctbal") - F.col("med")) / safe_iqr, 4) + 0.0).alias(
+            "bal_robust"
+        ),
+    )

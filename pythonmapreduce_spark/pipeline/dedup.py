@@ -604,3 +604,87 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "dedup_containment",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                   AS tset
+        FROM documents
+        WHERE doc_id <= 300
+    )
+    SELECT a.doc_id AS id_inner, b.doc_id AS id_outer,
+           ROUND(CAST(LEN(list_intersect(a.tset, b.tset)) AS DOUBLE)
+                 / LEN(a.tset), 4) AS containment
+    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    WHERE CAST(LEN(list_intersect(a.tset, b.tset)) AS DOUBLE)
+          / LEN(a.tset) >= 0.9
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric set containment |A∩B| / |A| over the bounded,
+    lang-blocked pair space — the doc-in-doc duplication signal
+    symmetric Jaccard misses when sizes differ (a paragraph quoted
+    inside a long page has high containment but low Jaccard; boilerplate
+    and quote detection need the directed metric).
+
+    Directed pairs (id_inner contained in id_outer), same blocking and
+    bound as dedup_ngram; in production the block key is an LSH bucket
+    and the same containment formula verifies candidates.
+    """
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+    toks = docs.select("doc_id", "lang", F.array_distinct(tokens_col()).alias("tset"))
+    a = toks.select(F.col("doc_id").alias("id_inner"), "lang", F.col("tset").alias("set_a"))
+    b = toks.select(F.col("doc_id").alias("id_outer"), "lang", F.col("tset").alias("set_b"))
+    cont = F.size(F.array_intersect("set_a", "set_b")).cast("double") / F.size("set_a")
+    return (
+        a.join(b, "lang")
+        .where(F.col("id_inner") != F.col("id_outer"))
+        .where(cont >= 0.9)
+        .select("id_inner", "id_outer", F.round(cont, 4).alias("containment"))
+    )
+
+
+@register(
+    "dedup_keep_latest",
+    oracle="""
+    SELECT user_id, event_type, event_id,
+           CAST(CAST(ts AS TIMESTAMP) AS VARCHAR) AS ts,
+           value
+    FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-wins dedup per (user, event_type) — THE production
+    CDC/ingest dedup (a replayed or at-least-once feed keeps only the
+    newest version of each key).
+
+    One window sort per key partition, deterministic event_id tiebreak;
+    at scale the partition key is the same entity key downstream joins
+    use, so the shuffle is reused. Spark's WindowGroupLimit pushes the
+    rn=1 filter into the sort: each partition keeps one row per key
+    before any full materialization.
+    """
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_type", "event_id", "ts", "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("ts", F.col("ts").cast("string"))
+    )
