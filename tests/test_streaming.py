@@ -146,3 +146,58 @@ def test_checkpoint_restart_is_exactly_once(spark, sf_smoke) -> None:
         assert spark.read.parquet(out_dir).count() == 2 * n1
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_checkpoint_restart_recovers_state(spark) -> None:
+    """Exactly-once continuation across a restart: run a streaming
+    aggregation to completion on batch 1 with a checkpoint, stop it, add
+    batch 2, start a NEW query from the same checkpoint — the resumed
+    query must (a) not reprocess batch-1 offsets and (b) recover the
+    state store, so its complete-mode output equals the batch aggregate
+    over both files. This is the fault-tolerance contract a 100 TB
+    pipeline restarts on every day; availableNow + complete-mode memory
+    sink is the one debug sink combination Spark allows to recover."""
+    root = tempfile.mkdtemp(prefix="ckpt_recovery_")
+    src = f"{root}/src"
+    ckpt = f"{root}/ckpt"
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    try:
+        rows1 = [("a", 1), ("a", 2), ("b", 10)]
+        rows2 = [("a", 4), ("c", 7)]
+        spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        def run_once(sink: str):
+            stream = spark.readStream.schema(schema).parquet(src)
+            agg = stream.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")
+            )
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return {r["k"]: (r["n"], r["total"]) for r in spark.table(sink).collect()}
+
+        first = run_once(f"ck_{uuid.uuid4().hex[:8]}")
+        assert first == {"a": (2, 3), "b": (1, 10)}
+
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        second = run_once(f"ck_{uuid.uuid4().hex[:8]}")
+        # batch-1 rows counted exactly once (recovered from the state
+        # store, not re-read), batch-2 rows merged in
+        assert second == {"a": (3, 7), "b": (1, 10), "c": (1, 7)}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
