@@ -145,13 +145,21 @@ def _events_ts_is_nanos(path: str) -> bool:
     Spark's TimestampType is µs-precision, so nanos files must be read as
     raw longs (spark.sql.legacy.parquet.nanosAsLong) and floor-divided to
     µs — the same truncation DuckDB applies casting TIMESTAMP_NS →
-    TIMESTAMP. µs files map 1:1 onto TimestampType. One driver-side footer
-    read per file path, cached for the process lifetime.
+    TIMESTAMP. µs/ms and legacy INT96 files map straight onto
+    TimestampType. Inspect the parquet PHYSICAL type, not the arrow view:
+    pyarrow surfaces INT96 as timestamp[ns] even though Spark reads INT96
+    natively. One driver-side footer read per file path, cached for the
+    process lifetime.
     """
     import pyarrow.parquet as pq
 
-    ts_type = pq.ParquetFile(path).schema_arrow.field("ts").type
-    return getattr(ts_type, "unit", "us") == "ns"
+    schema = pq.ParquetFile(path).schema
+    col = next(
+        schema.column(i) for i in range(len(schema.names)) if schema.column(i).name == "ts"
+    )
+    if col.physical_type == "INT96":
+        return False
+    return "nano" in str(col.logical_type).lower()
 
 
 def events_read_schema(sf_dir: str) -> T.StructType:

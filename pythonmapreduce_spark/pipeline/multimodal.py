@@ -46,7 +46,13 @@ def with_payload(docs: DataFrame) -> DataFrame:
     The payload here is the UTF-8 text bytes standing in for an encoded
     image; metadata (width/height/channels/format) is derived
     deterministically so tests are reproducible.
+
+    Rows with NULL text (a missing blob in real life) are dropped at the
+    scan: every downstream decode/resize/chunk stage needs bytes, and a
+    NULL payload would go ragged inside the Arrow batches. Observable
+    loss accounting for such rows is bad_records_quarantine's job.
     """
+    docs = docs.where(F.col("text").isNotNull() & F.col("n_chars").isNotNull())
     return docs.select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("payload"),

@@ -24,6 +24,20 @@ from pyspark.sql import functions as F
 from pythonmapreduce_spark.catalog import load
 from pythonmapreduce_spark.plans.registry import register
 
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with NULL vectors dropped at the scan.
+
+    Every consumer here feeds vectors into fixed-shape math (HOF dot
+    products, numpy GEMM batches, centroid updates); a NULL embedding is
+    not a computable point and would otherwise turn an Arrow batch ragged
+    deep inside a worker. Dropping at the scan keeps the predicate next
+    to the parquet reader (pushed down) and the semantics explicit:
+    null-vector rows are data-quality exhaust (constraint_check /
+    bad_records_quarantine territory), not similarity inputs.
+    """
+    return load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+
+
 _KNN_QUERIES = 20  # vec_id <= 20 form the query set
 _KNN_K = 10
 
@@ -79,7 +93,7 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the only exchange is on q_id for the final top-k, k rows per query
     per partition after partial ranking).
     """
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _vectors(spark, sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
     corpus = with_norm(emb).select(
@@ -125,7 +139,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     window). Recall is approximate ⇒ rows-only; the exact twin is
     knn_cosine.
     """
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _vectors(spark, sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
     emb = with_norm(emb)
@@ -208,7 +222,7 @@ def dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator (see ann_ivf) instead of the bounded self-join used here.
     """
     emb = with_norm(
-        load(spark, sf_dir, "embeddings")
+        _vectors(spark, sf_dir)
         .where(F.col("vec_id") <= 400)
         .select("vec_id", _as_double(F.col("embedding")).alias("v"))
     )
@@ -247,7 +261,7 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     output rows regardless of corpus size.
     """
     return (
-        load(spark, sf_dir, "embeddings")
+        _vectors(spark, sf_dir)
         .select("label", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("label", F.col("pos").cast("long").alias("pos"))
         .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"))
@@ -316,7 +330,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     emb = with_norm(
-        load(spark, sf_dir, "embeddings").select(
+        _vectors(spark, sf_dir).select(
             "vec_id", F.col("embedding").alias("v")
         ),
         "v",
@@ -398,7 +412,7 @@ def knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     within that block can only be ≤ its global rank, so per-block top-k is
     a superset of the global answer.
     """
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _vectors(spark, sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
     corpus = with_norm(emb).select(
@@ -476,7 +490,7 @@ def knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _vectors(spark, sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
     qrows = emb.where(F.col("vec_id") <= _KNN_QUERIES).collect()
@@ -590,7 +604,7 @@ def gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"i": ii.ravel(), "j": jj.ravel(), "partial": g.ravel()}
             )
 
-    emb = load(spark, sf_dir, "embeddings").select("embedding")
+    emb = _vectors(spark, sf_dir).select("embedding")
     partials = emb.mapInPandas(batch_gram, schema=out_schema)
     return partials.groupBy("i", "j").agg(F.round(F.sum("partial"), 3).alias("g"))
 
@@ -618,7 +632,7 @@ def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     dim = 64
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _vectors(spark, sf_dir)
     gram_flat = gram_matrix.__wrapped__(spark, sf_dir)  # type: ignore[attr-defined]
     sums = emb.select(
         F.posexplode(F.transform("embedding", lambda v: v.cast("double"))).alias(
@@ -703,7 +717,7 @@ def kmeans_history(spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3)
     the first k vectors (deterministic, like ann_ivf's centroids)."""
     import numpy as np
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _vectors(spark, sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
     init = sorted(
@@ -801,7 +815,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     mn, mx = F.array_min(emb), F.array_max(emb)
     scale = (mx - mn) / F.lit(255.0)
     safe_scale = F.when(mx == mn, F.lit(1.0)).otherwise(scale)
-    return load(spark, sf_dir, "embeddings").select(
+    return _vectors(spark, sf_dir).select(
         "vec_id",
         (F.round(scale, 6) + 0.0).alias("scale"),
         (F.round(mn, 6) + 0.0).alias("zero_point"),
