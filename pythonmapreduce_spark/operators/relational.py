@@ -289,3 +289,43 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(u < F.col("o_totalprice") / F.lit(600000.0))
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "sample_reservoir_group",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, sample_rank
+    FROM (
+        SELECT c_custkey, c_mktsegment,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY (c_custkey * 2654435761) % 4294967296, c_custkey
+               ) AS BIGINT) AS sample_rank
+        FROM customer
+    )
+    WHERE sample_rank <= 5
+    """,
+)
+def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sample (k=5) by ranking on the Knuth hash of
+    the row key — the deterministic equivalent of per-group reservoir
+    sampling, completing the sampling trio (systematic 1-in-n:
+    sample_stratified; weight-proportional Bernoulli: sample_weighted).
+
+    The hash order is a fixed pseudo-random permutation, so the chosen 5
+    are uniform-ish AND identical across engines, partitionings and
+    reruns — what reservoir sampling's RNG stream cannot promise.
+    WindowGroupLimit keeps k rows per group inside the sort, so the full
+    stratum never materializes.
+    """
+    u = (F.col("c_custkey") * F.lit(2654435761)) % F.lit(4294967296)
+    w = W.partitionBy("c_mktsegment").orderBy(u, "c_custkey")
+    return (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.row_number().over(w).cast("long").alias("sample_rank"),
+        )
+        .where(F.col("sample_rank") <= 5)
+    )
