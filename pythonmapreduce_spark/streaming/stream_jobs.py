@@ -95,8 +95,24 @@ def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register("stream_event_window")  # watermark drops nothing in one bounded
-# replay, but late-data semantics aren't SQL-expressible → rows-only
+@register(
+    "stream_event_window",
+    # One bounded availableNow replay in complete mode finalizes every
+    # window and the watermark drops nothing, so the streaming result
+    # equals the batch tumbling aggregate exactly — the same
+    # batch-equivalence upgrade window_sliding got. Late-data DROP
+    # semantics (not SQL-expressible) are pinned separately by
+    # tests/test_streaming.py's watermark timeline test.
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))                   AS window_start,
+           time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*)              AS n_events,
+           ROUND(SUM(value), 2)  AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
 def stream_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming 1-hour tumbling window with a 2-hour watermark.
 
