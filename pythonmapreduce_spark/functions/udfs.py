@@ -263,3 +263,50 @@ def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "documents").select(
         "doc_id", _token_count_arrow(F.col("text")).alias("n_tokens_arrow")
     )
+
+
+def _arrow_byte_stats(batches):
+    """mapInArrow worker: per-batch pyarrow.compute, zero pandas overhead."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        text = batch.column(batch.schema.get_field_index("text"))
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column(batch.schema.get_field_index("doc_id")),
+                pc.cast(pc.binary_length(text), pa.int64()),
+                pc.cast(pc.utf8_length(text), pa.int64()),
+            ],
+            names=["doc_id", "n_bytes", "n_codepoints"],
+        )
+
+
+@register(
+    "udf_map_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(length(text) AS BIGINT) AS n_codepoints
+    FROM documents
+    """,
+)
+def udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final point on the Python-UDF spectrum: ``mapInArrow`` — the
+    batch-level entry that hands the RAW Arrow RecordBatch to Python with
+    no pandas materialization at all. The worker runs pyarrow.compute
+    kernels (C++ vectorized, zero-copy on the batch), making this the
+    lowest-overhead Python path for columnar-kernel work that needs
+    neither pandas semantics nor per-group state — e.g. byte-level stats
+    feeding storage planning.
+
+    Completes the matrix: pandas_udf (Series), Arrow-optimized scalar
+    udf (row authoring), applyInPandas (grouped), cogrouped, state,
+    UDTF, mapInPandas (iterator of DataFrames), mapInArrow (iterator of
+    RecordBatches). UTF-8 byte length vs codepoint count is the honest
+    kernel pair: identical only for pure-ASCII documents, so the oracle
+    would catch a batch path that silently re-encoded.
+    """
+    return load(spark, sf_dir, "documents").mapInArrow(
+        _arrow_byte_stats, "doc_id long, n_bytes long, n_codepoints long"
+    )
