@@ -737,3 +737,63 @@ def robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bal_robust"
         ),
     )
+
+
+@register(
+    "anomaly_mad",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               ROUND(SUM(value), 2) AS revenue
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    med AS (SELECT quantile_cont(revenue, 0.5) AS m FROM daily),
+    mad AS (
+        SELECT quantile_cont(ABS(d.revenue - med.m), 0.5) AS mad
+        FROM daily d, med
+    )
+    SELECT CAST(day AS VARCHAR) AS day, revenue,
+           ROUND(ABS(revenue - med.m)
+                 / (CASE WHEN mad.mad = 0 THEN 1.0
+                         ELSE 1.4826 * mad.mad END), 4) + 0.0 AS mad_z,
+           ABS(revenue - med.m)
+               / (CASE WHEN mad.mad = 0 THEN 1.0
+                       ELSE 1.4826 * mad.mad END) > 3.5 AS is_outlier
+    FROM daily, med, mad
+    """,
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-revenue outliers via median absolute deviation — the
+    breakdown-resistant twin of anomaly_zscore (one extreme day inflates
+    a stddev enough to hide itself; the median/MAD pair has a 50%
+    breakdown point, the standard robust-detection recipe with the
+    1.4826 normal-consistency constant and the Iglewicz–Hoaglin 3.5
+    threshold).
+
+    Aggregate-then-broadcast twice: |days| rows → 1-row median → 1-row
+    MAD — the raw event stream collapses at the first aggregation and
+    nothing wider than |days| ever crosses an exchange again.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    med = daily.agg(F.expr("percentile(revenue, 0.5)").alias("m"))
+    with_med = daily.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.expr("percentile(abs(revenue - m), 0.5)").alias("mad")
+    )
+    scale = F.when(F.col("mad") == 0, F.lit(1.0)).otherwise(1.4826 * F.col("mad"))
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "revenue",
+            (F.round(F.abs(F.col("revenue") - F.col("m")) / scale, 4) + 0.0).alias(
+                "mad_z"
+            ),
+            (F.abs(F.col("revenue") - F.col("m")) / scale > 3.5).alias("is_outlier"),
+        )
+    )

@@ -688,3 +688,40 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .withColumn("ts", F.col("ts").cast("string"))
     )
+
+
+@register(
+    "dedup_cross_snapshot",
+    oracle="""
+    WITH old AS (
+        SELECT md5(text) AS digest FROM documents WHERE doc_id % 3 <> 0
+    ),
+    new_batch AS (
+        SELECT doc_id, md5(text) AS digest, n_chars
+        FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT n.doc_id, n.n_chars
+    FROM new_batch n
+    WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.digest = n.digest)
+    """,
+)
+def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: keep only NEW-batch documents whose
+    content digest does not already exist in the historical corpus — the
+    asymmetric, cross-snapshot form of dedup_exact (within-set) that an
+    incremental crawl runs on every delivery.
+
+    Anti join on the 128-bit digest: only digests shuffle, never text —
+    at 100 TB the historical side is a digest-only table (16 bytes/doc)
+    that lives pre-partitioned on the digest key, so each new batch
+    joins against it with one small-side exchange. Deterministic split
+    (doc_id % 3) stands in for the old/new snapshot boundary.
+    """
+    docs = load(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 3 != 0).select(
+        F.md5(F.col("text")).alias("digest")
+    )
+    new_batch = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.md5(F.col("text")).alias("digest"), "n_chars"
+    )
+    return new_batch.join(old, "digest", "left_anti").select("doc_id", "n_chars")
