@@ -324,3 +324,59 @@ def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").alias("dist"))
         )
     return dist.groupBy("dist").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+
+
+@register(
+    "graph_common_neighbors",
+    oracle=_EDGES_CTE
+    + """
+    , sym AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges
+    ),
+    adj AS (SELECT src AS node, list_sort(list(dst)) AS nbrs FROM sym GROUP BY src)
+    SELECT e.src, e.dst,
+           CAST(LEN(list_intersect(a.nbrs, b.nbrs)) AS BIGINT) AS common,
+           ROUND(CAST(LEN(list_intersect(a.nbrs, b.nbrs)) AS DOUBLE)
+                 / LEN(list_distinct(list_concat(a.nbrs, b.nbrs))), 4) + 0.0
+               AS jaccard
+    FROM edges e
+    JOIN adj a ON e.src = a.node
+    JOIN adj b ON e.dst = b.node
+    WHERE LEN(list_intersect(a.nbrs, b.nbrs)) >= 5
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge strength via neighborhood overlap: common-neighbor count and
+    neighbor-set Jaccard per edge (≥5 common) — the classic
+    link-prediction/tie-strength baseline, and the per-edge refinement
+    of triangle_count (Σ common over all edges = 3 × triangles, pinned
+    by tests/test_graphs.py's cross-check).
+
+    Adjacency sets build in one partial-agg exchange (collect_set);
+    each edge joins its two endpoint sets on the vertex key and the
+    intersection runs as a JVM array expression per edge — work is
+    Σ(deg(u)+deg(v)) over edges, never a pair explosion. The ≥5 floor
+    keeps the emitted edge list to the structurally-embedded ties.
+    """
+    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    adj = sym.groupBy(F.col("src").alias("node")).agg(
+        F.collect_set("dst").alias("nbrs")
+    )
+    common = F.size(F.array_intersect("na", "nb"))
+    union_size = F.size(F.array_union("na", "nb"))
+    return (
+        e.join(adj.withColumnsRenamed({"node": "u", "nbrs": "na"}), F.col("src") == F.col("u"))
+        .join(adj.withColumnsRenamed({"node": "v", "nbrs": "nb"}), F.col("dst") == F.col("v"))
+        .where(common >= 5)
+        .select(
+            "src",
+            "dst",
+            common.cast("long").alias("common"),
+            (F.round(common.cast("double") / union_size, 4) + 0.0).alias("jaccard"),
+        )
+    )

@@ -797,3 +797,54 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("revenue") - F.col("m")) / scale > 3.5).alias("is_outlier"),
         )
     )
+
+
+@register(
+    "seasonal_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+               ROUND(SUM(value), 2) AS revenue
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    season AS (
+        SELECT dow, AVG(revenue) AS dow_mean FROM daily GROUP BY dow
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           d.revenue,
+           ROUND(s.dow_mean, 4) + 0.0 AS seasonal,
+           ROUND(d.revenue - s.dow_mean, 4) + 0.0 AS residual
+    FROM daily d JOIN season s USING (dow)
+    """,
+)
+def seasonal_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of daily revenue: the seasonal
+    component is the weekday mean, the residual is what anomaly
+    detectors should actually look at (a quiet Sunday is not an outlier;
+    a quiet Tuesday is).
+
+    Aggregate-then-broadcast: the event stream collapses to |days| rows,
+    the seasonal profile to 7, and the 7-row profile broadcasts back —
+    same shape family as anomaly_mad/min_max_scale. DuckDB's dayofweek
+    (0=Sunday) vs Spark's dayofweek (1=Sunday) differ by a constant
+    label shift only, which the join key absorbs on each side
+    independently — the emitted columns never contain the dow code.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.col("ts").cast("date").alias("day"),
+            F.dayofweek("ts").alias("dow"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    season = daily.groupBy("dow").agg(F.avg("revenue").alias("dow_mean"))
+    return daily.join(F.broadcast(season), "dow").select(
+        F.col("day").cast("string").alias("day"),
+        "revenue",
+        (F.round(F.col("dow_mean"), 4) + 0.0).alias("seasonal"),
+        (F.round(F.col("revenue") - F.col("dow_mean"), 4) + 0.0).alias("residual"),
+    )
