@@ -848,3 +848,120 @@ def seasonal_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("dow_mean"), 4) + 0.0).alias("seasonal"),
         (F.round(F.col("revenue") - F.col("dow_mean"), 4) + 0.0).alias("residual"),
     )
+
+
+@register(
+    "attribution_touch",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+        FROM events WHERE event_type = 'click'
+    )
+    , joined AS (
+        SELECT p.user_id, p.purchase_id, c.click_id, c.cts
+        FROM p JOIN c
+          ON c.user_id = p.user_id
+         AND c.cts < p.pts
+         AND c.cts >= p.pts - INTERVAL 2 HOUR
+    ),
+    ranked AS (
+        SELECT user_id, purchase_id, click_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, purchase_id
+                                  ORDER BY cts, click_id) AS rf,
+               ROW_NUMBER() OVER (PARTITION BY user_id, purchase_id
+                                  ORDER BY cts DESC, click_id DESC) AS rl
+        FROM joined
+    )
+    SELECT user_id, purchase_id,
+           MAX(CASE WHEN rf = 1 THEN click_id END) AS first_touch,
+           MAX(CASE WHEN rl = 1 THEN click_id END) AS last_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_touches
+    FROM ranked GROUP BY user_id, purchase_id
+    """,
+)
+def attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: for each purchase, the first- and
+    last-touch click inside the 2-hour lookback window, plus the touch
+    count — the two standard single-touch attribution models computed in
+    one pass.
+
+    Equi-join on user_id carries the shuffle (the time window is a
+    residual predicate inside the join); min_by/max_by with the
+    (ts, id) tuple key makes the touch choice deterministic under ties.
+    Both event slices are type-filtered at the scan, so only clicks and
+    purchases move — the event stream's other types never shuffle.
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("cts") < F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 2 HOUR")),
+        )
+        .groupBy("user_id", "purchase_id")
+        .agg(
+            F.expr("min_by(click_id, struct(cts, click_id))").alias("first_touch"),
+            F.expr("max_by(click_id, struct(cts, click_id))").alias("last_touch"),
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+        )
+    )
+
+
+@register(
+    "cumulative_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+        FROM events GROUP BY user_id
+    ),
+    daily_new AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM first_seen GROUP BY day
+    )
+    SELECT CAST(day AS VARCHAR) AS day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS total_users
+    FROM daily_new
+    """,
+)
+def cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day (the growth curve): running
+    COUNT(DISTINCT) is not directly windowable at scale, so it reduces
+    to first-seen-day per user → daily new-user counts → running sum —
+    each user contributes exactly once, making the cumulative sum equal
+    the true running distinct.
+
+    The heavy aggregation (min day per user) partial-aggregates
+    map-side on user_id; the unpartitioned running-sum window then runs
+    on |days| rows only — the aggregate-then-window rule that keeps the
+    single-partition stage trivial at any scale.
+    """
+    first_seen = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("day"))
+    )
+    daily_new = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = W.partitionBy().orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily_new.select(
+        F.col("day").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("total_users"),
+    )
