@@ -360,3 +360,60 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents")
         .select("doc_id", (F.round(entropy(F.col("text")), 4) + 0.0).alias("entropy"))
     )
+
+
+@register(
+    "feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST({_TOKS}) AS t FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 8))::BIGINT % 32 AS bucket
+        FROM toks
+    ),
+    c AS (
+        SELECT doc_id, bucket, COUNT(*) AS n FROM b GROUP BY doc_id, bucket
+    )
+    SELECT doc_id,
+           array_to_string(
+               list_sort(list(lpad(bucket::VARCHAR, 2, '0') || ':' || n)),
+               ' ') AS fvec
+    FROM c GROUP BY doc_id
+    """,
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: fixed 32-bucket sparse count features per
+    document with NO vocabulary pass — tokens hash straight to buckets,
+    so the featurizer is stateless, single-pass, and its output width is
+    independent of corpus vocabulary (the property that lets a 100 TB
+    featurization run without a driver-side dictionary or a second scan).
+
+    The bucket hash must be engine-portable for the oracle: the first 8
+    hex digits of md5(token) parsed as an integer (md5 is bit-identical
+    everywhere; Spark xxhash64 and DuckDB hash() are not each other's).
+    Emitted as a sorted 'bucket:count' string — lexical sort of
+    zero-padded bucket labels is identical in both engines, and the
+    driver canonicalizer rejects array cells.
+    """
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, '\\\\s+'), t -> t != '')")).alias("t"),
+    )
+    bucket = F.expr("conv(substring(md5(t), 1, 8), 16, 10)").cast("long") % 32
+    counts = (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.concat(F.lpad(F.col("bucket").cast("string"), 2, "0"), F.lit(":"), F.col("n"))
+                )
+            ),
+            " ",
+        ).alias("fvec")
+    )
