@@ -211,3 +211,53 @@ def test_approx_distinct_error_bound(spark, sf_smoke) -> None:
     assert set(approx) == set(exact)
     for k, want in exact.items():
         assert abs(approx[k] - want) / want < 0.05, (k, approx[k], want)
+
+
+def test_feature_hashing_conserves_tokens(spark, sf_smoke) -> None:
+    """Bucketizing must conserve mass: the sum of all bucket counts per
+    doc equals the doc's whitespace token count (hashing drops nothing)."""
+    fvec = {
+        r["doc_id"]: sum(int(p.split(":")[1]) for p in r["fvec"].split(" "))
+        for r in registry.QUERIES["feature_hashing"](spark, sf_smoke).collect()
+    }
+    tok = {
+        r["doc_id"]: r["ws_tokens"]
+        for r in registry.QUERIES["token_count"](spark, sf_smoke).collect()
+        if r["ws_tokens"] > 0
+    }
+    assert fvec == {k: v for k, v in tok.items()}
+
+
+def test_cumulative_users_final_equals_total_distinct(spark, sf_smoke) -> None:
+    """The growth curve's last point must equal the corpus-wide distinct
+    user count, and the curve must be strictly increasing."""
+    rows = sorted(
+        registry.QUERIES["cumulative_users"](spark, sf_smoke).collect(),
+        key=lambda r: r["day"],
+    )
+    totals = [r["total_users"] for r in rows]
+    assert totals == sorted(totals) and len(set(totals)) == len(totals)
+    from pythonmapreduce_spark.catalog import load as _load
+
+    n = _load(spark, sf_smoke, "events").select("user_id").distinct().count()
+    assert totals[-1] == n
+
+
+def test_attribution_touch_invariants(spark, sf_smoke) -> None:
+    """Every attributed purchase has >= 1 touch; first and last touch
+    coincide exactly when n_touches == 1."""
+    rows = registry.QUERIES["attribution_touch"](spark, sf_smoke).collect()
+    assert rows, "attribution produced no rows at smoke SF"
+    for r in rows:
+        assert r["n_touches"] >= 1
+        if r["n_touches"] == 1:
+            assert r["first_touch"] == r["last_touch"]
+
+
+def test_rag_index_dup_ratio_bounds(spark, sf_smoke) -> None:
+    """Chunk inventory sanity: unique <= total chunks and dup_ratio in
+    [0, 1); n_docs never exceeds chunk count."""
+    for r in registry.QUERIES["pipeline_rag_index"](spark, sf_smoke).collect():
+        assert 0 < r["n_unique_chunks"] <= r["n_chunks"]
+        assert 0.0 <= r["dup_ratio"] < 1.0
+        assert r["n_docs"] <= r["n_chunks"]
