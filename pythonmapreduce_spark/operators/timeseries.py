@@ -965,3 +965,126 @@ def cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("total_users"),
     )
+
+
+@register(
+    "skyline_pareto",
+    oracle="""
+    WITH daily_best AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               MIN(o_totalprice) AS best_price
+        FROM orders GROUP BY 1
+    ),
+    running AS (
+        SELECT day, best_price,
+               MIN(best_price) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prior_best
+        FROM daily_best
+    )
+    SELECT CAST(day AS VARCHAR) AS day, best_price
+    FROM running
+    WHERE prior_best IS NULL OR best_price < prior_best
+    """,
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front): the orders minimizing (date, price) —
+    no other order is both earlier AND cheaper. Multi-objective
+    dominance is its own operator class (no single ORDER BY expresses
+    it), and the naive formulation is an O(n²) NOT-EXISTS nested loop.
+
+    The scale reduction: a skyline point must be its date's minimum
+    (anything else is dominated same-date), so collapse to per-date
+    minima first — a partial+final aggregate — then one running-min
+    window over |dates| rows keeps exactly the points strictly below
+    every earlier minimum. O(n) scan + |dates|-row window instead of
+    O(n²) dominance joins; the same two-phase shape generalizes to
+    higher dimensions with a block-then-merge pass.
+    """
+    daily_best = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.min("o_totalprice").alias("best_price"))
+    )
+    w = W.partitionBy().orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    return (
+        daily_best.withColumn("prior_best", F.min("best_price").over(w))
+        .where(F.col("prior_best").isNull() | (F.col("best_price") < F.col("prior_best")))
+        .select(F.col("day").cast("string").alias("day"), "best_price")
+    )
+
+
+@register(
+    "interval_merge",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
+               CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS e,
+               event_id
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > MAX(e) OVER (PARTITION BY user_id
+                        ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_span
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               SUM(new_span) OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS UNBOUNDED PRECEDING) AS span_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(s) AS VARCHAR) AS span_start,
+           CAST(MAX(e) AS VARCHAR) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM islands GROUP BY user_id, span_id
+    """,
+)
+def interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of overlapping intervals (each event opens a 30-minute
+    activity window): coalesce every overlapping chain into one maximal
+    span per user — the complement of interval_overlap (which measures
+    peak concurrency; this materializes the merged coverage itself,
+    the billing/uptime/session-span primitive).
+
+    Gaps-and-islands over intervals: a span boundary is an interval
+    whose start exceeds the running MAX of all earlier ends (running max
+    — not lag — because an interval can be swallowed whole by an earlier
+    longer one); cumulative-sum the boundary flags into span ids, then
+    one aggregate per span. Both windows sort each user's partition
+    once and reuse the same shuffle key.
+    """
+    iv = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_span",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0),
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("span_id", F.sum("new_span").over(w_run))
+    return (
+        islands.groupBy("user_id", "span_id")
+        .agg(
+            F.min("s").cast("string").alias("span_start"),
+            F.max("e").cast("string").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        )
+        .drop("span_id")
+    )
