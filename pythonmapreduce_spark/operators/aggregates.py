@@ -529,3 +529,53 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag, l_extendedprice AS price, l_quantity AS wt,
+               SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS cum_wt,
+               SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS total_wt
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(price) AS weighted_median
+    FROM w
+    WHERE cum_wt >= total_wt / 2
+    GROUP BY l_returnflag
+    """,
+)
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the volume-
+    weighted percentile no built-in percentile computes (engine
+    percentiles weight every row equally; pricing/inventory analytics
+    need "the price at which half the VOLUME clears").
+
+    Sort each group once by (price, unique key), running-sum the weights,
+    and the weighted median is the first price whose cumulative weight
+    crosses half the group total. One window sort per group partition +
+    one aggregate; the deterministic (price, orderkey, linenumber) sort
+    key makes the crossing row identical across engines and
+    partitionings.
+    """
+    w_cum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_all = W.partitionBy("l_returnflag")
+    flagged = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.sum("l_quantity").over(w_cum).alias("cum_wt"),
+        F.sum("l_quantity").over(w_all).alias("total_wt"),
+    )
+    return (
+        flagged.where(F.col("cum_wt") >= F.col("total_wt") / 2)
+        .groupBy("l_returnflag")
+        .agg(F.min("price").alias("weighted_median"))
+    )

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from pythonmapreduce_spark.catalog import load
-from pythonmapreduce_spark.plans.registry import register
+from pythonmapreduce_spark.plans.registry import QUERIES, register
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings with NULL vectors dropped at the scan.
@@ -830,4 +830,67 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("q_head"),
+    )
+
+
+@register(
+    "knn_classify",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv, label AS true_label
+        FROM embeddings WHERE vec_id <= {_KNN_QUERIES}
+    ), c AS (
+        SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv, label FROM embeddings
+    ), scored AS (
+        SELECT q_id, true_label, n_id, label,
+               list_cosine_similarity(qv, nv) AS cos_raw
+        FROM q CROSS JOIN c
+        WHERE q_id <> n_id
+    ), topk AS (
+        SELECT q_id, true_label, label
+        FROM (
+            SELECT q_id, true_label, label,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY ROUND(cos_raw, 4) DESC, n_id ASC) AS rn
+            FROM scored
+        )
+        WHERE rn <= {_KNN_K}
+    ), votes AS (
+        SELECT q_id, true_label, label, CAST(COUNT(*) AS BIGINT) AS n_votes,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY COUNT(*) DESC, label ASC) AS vr
+        FROM topk GROUP BY q_id, true_label, label
+    )
+    SELECT q_id, true_label, label AS predicted, n_votes
+    FROM votes WHERE vr = 1
+    """,
+)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor classification: each query vector takes the
+    majority label of its 10 exact cosine neighbors (self excluded,
+    smallest-label tiebreak) — the evaluation-style capability layered
+    on the similarity tier (label propagation / weak-label audit for
+    embedding spaces).
+
+    Reuses knn_cosine's exact plan (broadcast queries, corpus never
+    shuffles, rounded-cosine deterministic ranking); the vote is a
+    |queries|×k count + rank, negligible after the scoring stage.
+    """
+    neighbors = QUERIES["knn_cosine"](spark, sf_dir)
+    labels = _vectors(spark, sf_dir).select("vec_id", "label")
+    truth = labels.withColumnsRenamed({"vec_id": "q_id", "label": "true_label"})
+    nbr_labeled = (
+        neighbors.join(
+            labels.withColumnsRenamed({"vec_id": "n_id", "label": "label"}), "n_id"
+        )
+        .join(F.broadcast(truth), "q_id")
+    )
+    votes = nbr_labeled.groupBy("q_id", "true_label", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("n_votes").desc(), F.col("label").asc())
+    return (
+        votes.withColumn("vr", F.row_number().over(w))
+        .where(F.col("vr") == 1)
+        .select("q_id", "true_label", F.col("label").alias("predicted"), "n_votes")
     )
