@@ -374,3 +374,99 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), "key")
         .limit(10)
     )
+
+
+@register(
+    "id_gaps",
+    oracle="""
+    WITH keyed AS (
+        SELECT o_orderkey AS id,
+               LEAD(o_orderkey) OVER (ORDER BY o_orderkey) AS next_id
+        FROM orders
+    )
+    SELECT id + 1 AS gap_start, next_id - 1 AS gap_end,
+           CAST(next_id - id - 1 AS BIGINT) AS n_missing
+    FROM keyed
+    WHERE next_id - id > 1
+    """,
+)
+def id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection over the order key: every missing id range
+    with its width — the ingestion-completeness audit run after every
+    bulk load (a gap means a dropped batch, a filtered partition, or an
+    upstream delete).
+
+    One global sort + lead(); at scale the total order comes from range
+    partitioning (Spark's sort exchange samples boundaries), and the
+    output is |gaps| rows, not |ids|. The same shape over timestamps is
+    the heartbeat-loss detector.
+    """
+    w = W.orderBy("o_orderkey")
+    keyed = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.lead("o_orderkey").over(w).alias("next_id"),
+    )
+    return keyed.where(F.col("next_id") - F.col("id") > 1).select(
+        (F.col("id") + 1).alias("gap_start"),
+        (F.col("next_id") - 1).alias("gap_end"),
+        (F.col("next_id") - F.col("id") - 1).cast("long").alias("n_missing"),
+    )
+
+
+@register(
+    "benford_check",
+    oracle="""
+    WITH digits AS (
+        -- FLOOR before the integer cast: DuckDB's DOUBLE->BIGINT cast rounds
+        -- while Spark's truncates; floor() pins truncation on both engines
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT SUM(n) AS total FROM obs)
+    SELECT d,
+           n,
+           ROUND(n * 1.0 / tot.total, 4) + 0.0 AS observed,
+           ROUND(LOG10(1.0 + 1.0 / d), 4) + 0.0 AS benford,
+           ROUND(ABS(n * 1.0 / tot.total - LOG10(1.0 + 1.0 / d)), 4) + 0.0
+               AS abs_dev
+    FROM obs, tot
+    """,
+)
+def benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals: observed
+    leading-digit share vs the log10(1 + 1/d) expectation — the
+    classic statistical screen for fabricated or truncated numeric
+    data (a synthetic uniform price book fails it loudly, which is
+    itself the informative result on generated data).
+
+    First digit extracted by integer-truncating then taking the first
+    character — identical string semantics both engines (no float
+    formatting involved). Collapses to ≤9 rows in one partial+final
+    aggregate; the 1-row total broadcasts back.
+    """
+    digits = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("d")
+        )
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    share = F.col("n") * 1.0 / F.col("total")
+    benford = F.log10(1.0 + 1.0 / F.col("d"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        (F.round(share, 4) + 0.0).alias("observed"),
+        (F.round(benford, 4) + 0.0).alias("benford"),
+        (F.round(F.abs(share - benford), 4) + 0.0).alias("abs_dev"),
+    )
