@@ -1088,3 +1088,144 @@ def interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("span_id")
     )
+
+
+@register(
+    "time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts,
+               LEAD(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        FROM events
+    ),
+    held AS (
+        SELECT user_id, value,
+               date_diff('second', ts, next_ts) AS held_s
+        FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id,
+           ROUND(SUM(value * held_s) / SUM(held_s), 4) + 0.0 AS twap,
+           CAST(SUM(held_s) AS BIGINT) AS total_s
+    FROM held GROUP BY user_id
+    HAVING SUM(held_s) > 0
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) of each user's value stream: every
+    observation weighted by how long it was the CURRENT value (until the
+    next event) — the financial/IoT averaging primitive where plain
+    AVG() is wrong whenever sampling is irregular (a value held for an
+    hour must outweigh one held for a second).
+
+    One window sort per user gives each observation its holding
+    duration (lead); the weighted aggregate then partial-aggregates
+    map-side. The last (open-ended) observation is excluded on both
+    engines — its holding time is undefined on a bounded extract.
+    """
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        "ts",
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    held = seq.where(F.col("next_ts").isNotNull()).select(
+        "user_id",
+        "value",
+        (F.unix_timestamp("next_ts") - F.unix_timestamp("ts")).alias("held_s"),
+    )
+    return (
+        held.groupBy("user_id")
+        .agg(
+            (F.round(F.sum(F.col("value") * F.col("held_s")) / F.sum("held_s"), 4) + 0.0).alias(
+                "twap"
+            ),
+            F.sum("held_s").cast("long").alias("total_s"),
+        )
+        .where(F.col("total_s") > 0)
+    )
+
+
+@register(
+    "null_impute",
+    oracle="""
+    WITH marked AS (
+        SELECT event_id, event_type, value,
+               CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS v
+        FROM events
+    )
+    SELECT event_id, event_type,
+           ROUND(COALESCE(v, AVG(v) OVER (PARTITION BY event_type)), 4)
+               AS value_imputed,
+           (v IS NULL) AS was_imputed
+    FROM marked
+    """,
+)
+def null_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation: NULL measurements replaced by their
+    group's mean, with provenance flag — the baseline ML-prep treatment
+    for the dirty-partition regime the null-injection sweep tests
+    (deterministic event_id % 11 nulling stands in for missing data so
+    the oracle sees identical holes).
+
+    The imputation value comes from an unpartitioned-per-group window
+    over the SAME scan (no second pass, no self-join); at scale this is
+    one shuffle on the group key, and the mean excludes the NULLs by
+    SQL semantics identically in both engines.
+    """
+    marked = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 11 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    w = W.partitionBy("event_type")
+    return marked.select(
+        "event_id",
+        "event_type",
+        F.round(F.coalesce(F.col("v"), F.avg("v").over(w)), 4).alias("value_imputed"),
+        F.col("v").isNull().alias("was_imputed"),
+    )
+
+
+@register(
+    "event_debounce",
+    oracle="""
+    WITH seq AS (
+        SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+               LAG(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT event_id, user_id, event_type
+    FROM seq
+    WHERE prev_ts IS NULL
+       OR date_diff('second', prev_ts, ts) >= 300
+    """,
+)
+def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: drop events repeating the same (user, type) within a
+    5-minute quiet period — the duplicate-click / retry-storm suppressor
+    every event pipeline runs at ingest (distinct from dedup_keep_latest,
+    which keeps one row per key; debounce keeps every burst LEADER and
+    only suppresses the echoes behind it).
+
+    One lag() per (user, type) partition; the filter is stateless after
+    the window, so at scale this is a single shuffle on the entity key
+    the downstream sessionization reuses.
+    """
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    return seq.where(
+        F.col("prev_ts").isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) >= 300)
+    ).select("event_id", "user_id", "event_type")
