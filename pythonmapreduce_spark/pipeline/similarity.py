@@ -894,3 +894,93 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vr") == 1)
         .select("q_id", "true_label", F.col("label").alias("predicted"), "n_votes")
     )
+
+
+@register(
+    "knn_eval",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv, label AS true_label
+        FROM embeddings WHERE vec_id <= {_KNN_QUERIES}
+    ), c AS (
+        SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv, label FROM embeddings
+    ), scored AS (
+        SELECT q_id, true_label, n_id, label,
+               list_cosine_similarity(qv, nv) AS cos_raw
+        FROM q CROSS JOIN c
+        WHERE q_id <> n_id
+    ), topk AS (
+        SELECT q_id, true_label, label
+        FROM (
+            SELECT q_id, true_label, label,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY ROUND(cos_raw, 4) DESC, n_id ASC) AS rn
+            FROM scored
+        )
+        WHERE rn <= {_KNN_K}
+    ), votes AS (
+        SELECT q_id, true_label, label AS predicted,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY COUNT(*) DESC, label ASC) AS vr
+        FROM topk GROUP BY q_id, true_label, label
+    ), preds AS (
+        SELECT q_id, true_label, predicted FROM votes WHERE vr = 1
+    )
+    SELECT cls,
+           CAST(SUM(tp) AS BIGINT) AS tp,
+           CAST(SUM(n_true) AS BIGINT) AS n_true,
+           CAST(SUM(n_pred) AS BIGINT) AS n_pred,
+           ROUND(SUM(tp) * 1.0 / NULLIF(SUM(n_pred), 0), 4) AS precision_,
+           ROUND(SUM(tp) * 1.0 / NULLIF(SUM(n_true), 0), 4) AS recall_
+    FROM (
+        SELECT true_label AS cls,
+               CASE WHEN predicted = true_label THEN 1 ELSE 0 END AS tp,
+               1 AS n_true, 0 AS n_pred
+        FROM preds
+        UNION ALL
+        SELECT predicted AS cls, 0, 0, 1 FROM preds
+    )
+    GROUP BY cls
+    """,
+)
+def knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall of the kNN classifier — the evaluation
+    closing the classify → evaluate loop (knn_classify produces
+    predictions; this scores them against the embedding labels).
+
+    The confusion accounting is a UNION of two tagged projections of the
+    prediction table (one row per truth, one per prediction) followed by
+    a single aggregate — no per-class filtering passes, so the plan cost
+    is |queries| regardless of how many classes exist. Rounded ratios +
+    NULL-on-zero denominators identical on both engines.
+    """
+    preds = QUERIES["knn_classify"](spark, sf_dir).select(
+        "true_label", "predicted"
+    )
+    truth_side = preds.select(
+        F.col("true_label").alias("cls"),
+        F.when(F.col("predicted") == F.col("true_label"), 1).otherwise(0).alias("tp"),
+        F.lit(1).alias("n_true"),
+        F.lit(0).alias("n_pred"),
+    )
+    pred_side = preds.select(
+        F.col("predicted").alias("cls"),
+        F.lit(0).alias("tp"),
+        F.lit(0).alias("n_true"),
+        F.lit(1).alias("n_pred"),
+    )
+    return (
+        truth_side.unionByName(pred_side)
+        .groupBy("cls")
+        .agg(
+            F.sum("tp").cast("long").alias("tp"),
+            F.sum("n_true").cast("long").alias("n_true"),
+            F.sum("n_pred").cast("long").alias("n_pred"),
+            F.round(
+                F.sum("tp") * 1.0 / F.nullif(F.sum("n_pred"), F.lit(0)), 4
+            ).alias("precision_"),
+            F.round(
+                F.sum("tp") * 1.0 / F.nullif(F.sum("n_true"), F.lit(0)), 4
+            ).alias("recall_"),
+        )
+    )
