@@ -1284,3 +1284,159 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("window_end").cast("string").alias("window_end"))
         .agg(F.countDistinct("user_id").cast("long").alias("n_users_7d"))
     )
+
+
+@register(
+    "conversion_latency",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_signup
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+        -- floor(microsecond diff) rather than date_diff('second'):
+        -- counting whole-second boundaries vs flooring each operand
+        -- disagrees on sub-second remainders between engines
+        SELECT e.user_id,
+               CAST(FLOOR(date_diff('microsecond', s1.t_signup,
+                                    MIN(CAST(e.ts AS TIMESTAMP))) / 1000000.0)
+                    AS BIGINT) AS latency_s
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'purchase'
+          AND CAST(e.ts AS TIMESTAMP) >= s1.t_signup
+        GROUP BY e.user_id, s1.t_signup
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(FLOOR(quantile_cont(latency_s, 0.5)) AS BIGINT) AS p50_s,
+           CAST(FLOOR(quantile_cont(latency_s, 0.9)) AS BIGINT) AS p90_s,
+           CAST(MAX(latency_s) AS BIGINT) AS max_s
+    FROM conv
+    """,
+)
+def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: seconds from first signup to first
+    subsequent purchase per user, summarized as count + p50/p90/max —
+    the latency histogram behind every funnel (funnel_steps counts WHO
+    converts; this measures HOW LONG conversion takes, which is what
+    capacity and incentive decisions read).
+
+    Same one-key shuffle discipline as funnel_steps (both stages group
+    on user_id); the percentile summary collapses |converted users|
+    rows to one. Integer-second latencies keep the exact percentile
+    interpolation engine-identical.
+    """
+    ev = load(spark, sf_dir, "events")
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .where(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id", "t_signup")
+        .agg(
+            F.floor(
+                (F.unix_micros(F.min("ts")) - F.unix_micros(F.col("t_signup")))
+                / 1000000.0
+            )
+            .cast("long")
+            .alias("latency_s")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.expr("percentile(latency_s, 0.5)").cast("long").alias("p50_s"),
+        F.expr("percentile(latency_s, 0.9)").cast("long").alias("p90_s"),
+        F.max("latency_s").cast("long").alias("max_s"),
+    )
+
+
+@register(
+    "basket_rules",
+    oracle="""
+    WITH urgent AS (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    items AS (
+        SELECT DISTINCT l.l_orderkey, l.l_partkey
+        FROM lineitem l JOIN urgent u ON l.l_orderkey = u.o_orderkey
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+    item_count AS (
+        SELECT l_partkey, COUNT(*) AS cnt FROM items GROUP BY l_partkey
+    ),
+    pair_count AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS both_cnt
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= 3
+    )
+    SELECT p1, p2, CAST(both_cnt AS BIGINT) AS both_cnt,
+           ROUND(both_cnt * 1.0 / n_orders.n, 6) + 0.0 AS support,
+           ROUND(both_cnt * 1.0 / c1.cnt, 4) + 0.0 AS confidence,
+           ROUND(both_cnt * 1.0 * n_orders.n / (c1.cnt * c2.cnt), 4) + 0.0
+               AS lift
+    FROM pair_count
+    JOIN item_count c1 ON p1 = c1.l_partkey
+    JOIN item_count c2 ON p2 = c2.l_partkey
+    CROSS JOIN n_orders
+    """,
+)
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules at the pair level: support,
+    confidence and lift for part pairs co-purchased in ≥3 urgent orders
+    — the first Apriori level, turned from the graph tier's raw
+    co-occurrence EDGES into the probabilistic rule METRICS a
+    recommender thresholds on.
+
+    The pair explosion is the same order-size-bounded join as the graph
+    edge derivation (linear overall); item counts are vocabulary-sized
+    and join back on the part key; the single order count broadcasts.
+    The ≥3 support floor is Apriori's anti-monotone prune — it is what
+    keeps level-2+ candidate growth bounded at scale.
+    """
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .join(urgent, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.agg(F.countDistinct("l_orderkey").alias("n"))
+    item_count = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
+    b = items.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+        .where(F.col("both_cnt") >= 3)
+    )
+    return (
+        pairs.join(item_count.withColumnsRenamed({"l_partkey": "p1", "cnt": "c1"}), "p1")
+        .join(item_count.withColumnsRenamed({"l_partkey": "p2", "cnt": "c2"}), "p2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            F.col("both_cnt").cast("long").alias("both_cnt"),
+            (F.round(F.col("both_cnt") * 1.0 / F.col("n"), 6) + 0.0).alias("support"),
+            (F.round(F.col("both_cnt") * 1.0 / F.col("c1"), 4) + 0.0).alias(
+                "confidence"
+            ),
+            (
+                F.round(
+                    F.col("both_cnt") * 1.0 * F.col("n") / (F.col("c1") * F.col("c2")),
+                    4,
+                )
+                + 0.0
+            ).alias("lift"),
+        )
+    )
