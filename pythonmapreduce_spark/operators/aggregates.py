@@ -579,3 +579,55 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.min("price").alias("weighted_median"))
     )
+
+
+@register(
+    "ols_fit",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(COVAR_POP(l_extendedprice, l_quantity)
+                 / VAR_POP(l_quantity), 4) + 0.0 AS slope,
+           ROUND(AVG(l_extendedprice)
+                 - COVAR_POP(l_extendedprice, l_quantity)
+                   / VAR_POP(l_quantity) * AVG(l_quantity), 2) + 0.0
+               AS intercept,
+           ROUND(POWER(CORR(l_quantity, l_extendedprice), 2), 4) + 0.0 AS r2,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (price ~ quantity) in ONE
+    aggregation pass: slope = cov(x,y)/var(x), intercept from the means,
+    R² = corr² — the closed-form OLS that distributes as plain moment
+    aggregates (partial sums of x, y, x², xy combine map-side), i.e.
+    regression at 100 TB without any iterative solver or driver-side
+    math.
+
+    agg_stats exposes the raw moments; this is the fitted-model view a
+    pricing/forecast pipeline actually consumes. Population (not sample)
+    covariance/variance so the slope is the exact least-squares
+    estimator on both engines.
+    """
+    slope = F.covar_pop("l_extendedprice", "l_quantity") / F.var_pop("l_quantity")
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            (F.round(slope, 4) + 0.0).alias("slope"),
+            (
+                F.round(
+                    F.avg("l_extendedprice") - slope * F.avg("l_quantity"), 2
+                )
+                + 0.0
+            ).alias("intercept"),
+            (
+                F.round(
+                    F.pow(F.corr("l_quantity", "l_extendedprice"), 2), 4
+                )
+                + 0.0
+            ).alias("r2"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
