@@ -1440,3 +1440,154 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "ab_test_lift",
+    oracle="""
+    WITH arms AS (
+        SELECT user_id,
+               CASE WHEN (user_id * 2654435761) % 4294967296 % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    per_arm AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_converted,
+               SUM(converted) * 1.0 / COUNT(*) AS rate
+        FROM arms GROUP BY arm
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN arm = 'control' THEN n_users END) AS n_c,
+               MAX(CASE WHEN arm = 'control' THEN n_converted END) AS x_c,
+               MAX(CASE WHEN arm = 'treatment' THEN n_users END) AS n_t,
+               MAX(CASE WHEN arm = 'treatment' THEN n_converted END) AS x_t
+        FROM per_arm
+    )
+    SELECT n_c, x_c, n_t, x_t,
+           ROUND(x_c * 1.0 / n_c, 4) + 0.0 AS rate_control,
+           ROUND(x_t * 1.0 / n_t, 4) + 0.0 AS rate_treatment,
+           ROUND(x_t * 1.0 / n_t - x_c * 1.0 / n_c, 4) + 0.0 AS abs_lift,
+           ROUND((x_t * 1.0 / n_t - x_c * 1.0 / n_c)
+                 / NULLIF(SQRT(((x_c + x_t) * 1.0 / (n_c + n_t))
+                               * (1 - (x_c + x_t) * 1.0 / (n_c + n_t))
+                               * (1.0 / n_c + 1.0 / n_t)), 0), 4) + 0.0
+               AS z_score
+    FROM wide
+    """,
+)
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B readout: deterministic 50/50 assignment by
+    Knuth-hash parity of the user id, per-arm conversion (any purchase),
+    absolute lift, and the pooled two-proportion z-statistic — the
+    experimentation primitive every product analytics stack reduces to.
+
+    Hash assignment (not RNG) is what makes the experiment replayable
+    and consistent across sessions/engines — the same property the
+    sampling trio uses. Per-user conversion collapses the event stream
+    on user_id; everything after is a 2-row pivot and scalar math, so
+    the z-test costs one aggregation regardless of event volume.
+    """
+    arms = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") >= 150),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            F.when(
+                (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296) % 2 == 0,
+                "control",
+            )
+            .otherwise("treatment")
+            .alias("arm"),
+            "converted",
+        )
+    )
+    per_arm = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    wide = per_arm.agg(
+        F.max(F.when(F.col("arm") == "control", F.col("n_users"))).alias("n_c"),
+        F.max(F.when(F.col("arm") == "control", F.col("n_converted"))).alias("x_c"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("n_users"))).alias("n_t"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("n_converted"))).alias("x_t"),
+    )
+    rate_c = F.col("x_c") * 1.0 / F.col("n_c")
+    rate_t = F.col("x_t") * 1.0 / F.col("n_t")
+    pooled = (F.col("x_c") + F.col("x_t")) * 1.0 / (F.col("n_c") + F.col("n_t"))
+    # nullif guards the degenerate 0%/100% pooled rate (z undefined)
+    z = (rate_t - rate_c) / F.nullif(
+        F.sqrt(pooled * (1 - pooled) * (1.0 / F.col("n_c") + 1.0 / F.col("n_t"))),
+        F.lit(0.0),
+    )
+    return wide.select(
+        "n_c",
+        "x_c",
+        "n_t",
+        "x_t",
+        (F.round(rate_c, 4) + 0.0).alias("rate_control"),
+        (F.round(rate_t, 4) + 0.0).alias("rate_treatment"),
+        (F.round(rate_t - rate_c, 4) + 0.0).alias("abs_lift"),
+        (F.round(z, 4) + 0.0).alias("z_score"),
+    )
+
+
+@register(
+    "churn_label",
+    oracle="""
+    WITH span AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS t_max FROM events),
+    per_user AS (
+        SELECT user_id,
+               MIN(CAST(ts AS TIMESTAMP)) AS first_seen,
+               MAX(CAST(ts AS TIMESTAMP)) AS last_seen,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(FLOOR(date_diff('microsecond', first_seen, last_seen)
+                      / 86400000000.0) AS BIGINT) AS tenure_days,
+           last_seen < span.t_max - INTERVAL 7 DAY AS churned
+    FROM per_user, span
+    """,
+)
+def churn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn labeling: a user is churned when inactive for the final 7
+    days of the observation span — the standard label-generation pass
+    feeding retention models (tenure and activity volume come along as
+    the first features).
+
+    One aggregation on user_id produces first/last/count; the global
+    max timestamp is a 1-row broadcast. The label threshold is relative
+    to the data's own horizon, so the query is reproducible on any
+    extract without wall-clock dependence (no now() anywhere — the same
+    determinism rule the whole registry follows).
+    """
+    ev = load(spark, sf_dir, "events")
+    span = ev.agg(F.max("ts").alias("t_max"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return per_user.crossJoin(F.broadcast(span)).select(
+        "user_id",
+        "n_events",
+        F.floor(
+            (F.unix_micros("last_seen") - F.unix_micros("first_seen"))
+            / 86400000000.0
+        )
+        .cast("long")
+        .alias("tenure_days"),
+        (F.col("last_seen") < F.col("t_max") - F.expr("INTERVAL 7 DAY")).alias(
+            "churned"
+        ),
+    )
