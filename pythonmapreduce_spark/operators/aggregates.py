@@ -631,3 +631,60 @@ def ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
         )
     )
+
+
+@register(
+    "histogram_equidepth",
+    oracle="""
+    WITH b AS (
+        SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+               quantile_cont(o_totalprice, 0.50) AS q2,
+               quantile_cont(o_totalprice, 0.75) AS q3
+        FROM orders
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM (
+        SELECT o_totalprice,
+               CASE WHEN o_totalprice <  b.q1 THEN 0
+                    WHEN o_totalprice <  b.q2 THEN 1
+                    WHEN o_totalprice <  b.q3 THEN 2
+                    ELSE 3 END AS bin
+        FROM orders, b
+    )
+    GROUP BY bin
+    """,
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram: four quantile-bounded bins with their row
+    counts and actual value ranges — the histogram optimizers and
+    skew-aware partitioners actually use (value_histogram's equi-WIDTH
+    bins tell you where values sit; equi-depth tells you where the ROWS
+    sit, which is what balancing work across ranges needs).
+
+    Exact quartile bounds come from one percentile aggregate (1 row,
+    broadcast back); bin assignment is a stateless CASE inside the
+    second scan, then a 4-group partial+final count. Strict-< bin edges
+    on both engines so boundary-valued rows land identically.
+    """
+    orders = load(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.50)").alias("q2"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    binned = orders.crossJoin(F.broadcast(b)).select(
+        "o_totalprice",
+        F.when(F.col("o_totalprice") < F.col("q1"), 0)
+        .when(F.col("o_totalprice") < F.col("q2"), 1)
+        .when(F.col("o_totalprice") < F.col("q3"), 2)
+        .otherwise(3)
+        .alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )

@@ -1591,3 +1591,51 @@ def churn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             "churned"
         ),
     )
+
+
+@register(
+    "event_paths3",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS t2,
+               LEAD(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq
+    WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 15
+    """,
+)
+def event_paths3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 three-step user journeys (the Sankey/path-analysis feed):
+    consecutive event-type trigrams per user, counted corpus-wide —
+    event_transitions' first-order pairs extended to the path depth
+    funnel designers actually read.
+
+    Two lead() offsets share ONE window definition, so Spark evaluates
+    a single sort per user partition (same shuffle key as every other
+    per-user op); the trigram strings aggregate with map-side partials
+    and TakeOrderedAndProject caps the output.
+    """
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(" > ", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(15)
+    )
