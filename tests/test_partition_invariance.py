@@ -34,6 +34,10 @@ RISK_FAMILIES = [
     "heavy_hitters",           # per-partition pigeonhole candidates
     "wordcount",               # baseline partial+final agg
     "mode_per_group",          # count ties
+    "weighted_median",         # cumulative-weight crossing row
+    "event_paths3",            # trigram top-k boundary
+    "skyline_pareto",          # running-min over a global order
+    "ab_test_lift",            # hash-assigned arms + scalar pivot
 ]
 
 

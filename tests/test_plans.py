@@ -264,3 +264,25 @@ def test_semi_reduction_filters_before_shuffle(spark, sf_smoke) -> None:
         for m in re.findall(r"(?:ShuffledHashJoin|SortMergeJoin) \w+ \w+ \((\d+)\)", plan)
     )
     assert semi < wide
+
+
+def test_basket_rules_broadcasts_scalars_only(spark, sf_smoke) -> None:
+    """basket_rules: the order-count scalar broadcasts (1 row); the pair
+    join must be a key equi-join, never a cartesian of items."""
+    plan = _plan(registry.QUERIES["basket_rules"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    # exactly one deliberate 1-row cross join (n_orders)
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 1
+
+
+def test_sliding_distinct_fanout_after_collapse(spark, sf_smoke) -> None:
+    """sliding_distinct_users: the ×7 window fanout must sit ABOVE the
+    first DISTINCT (raw events collapse before anything explodes) — the
+    explode's plan id must be larger (closer to root) than the first
+    aggregate's."""
+    import re
+
+    plan = _plan(registry.QUERIES["sliding_distinct_users"](spark, sf_smoke))
+    gen = min(int(m) for m in re.findall(r"Generate \((\d+)\)", plan))
+    first_agg = min(int(m) for m in re.findall(r"HashAggregate \((\d+)\)", plan))
+    assert first_agg < gen, "fanout must follow the collapsing DISTINCT"
