@@ -50,6 +50,12 @@ HEADLINE = [
     "tfidf_cosine_pairs",
     "bm25_rank",
     "lm_perplexity",
+    # round-2 third wave: frontier-iterative BFS, per-edge overlap,
+    # basket metrics, and the exact sliding distinct.
+    "bfs_distances",
+    "graph_common_neighbors",
+    "basket_rules",
+    "sliding_distinct_users",
 ]
 
 
