@@ -1639,3 +1639,41 @@ def event_paths3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(15)
     )
+
+
+@register(
+    "dow_hour_activity",
+    oracle="""
+    SELECT dayofweek(CAST(ts AS TIMESTAMP)) AS dow_code,
+           CAST(SUM(CASE WHEN hour(CAST(ts AS TIMESTAMP)) < 6  THEN 1 ELSE 0 END) AS BIGINT) AS night,
+           CAST(SUM(CASE WHEN hour(CAST(ts AS TIMESTAMP)) BETWEEN 6 AND 11 THEN 1 ELSE 0 END) AS BIGINT) AS morning,
+           CAST(SUM(CASE WHEN hour(CAST(ts AS TIMESTAMP)) BETWEEN 12 AND 17 THEN 1 ELSE 0 END) AS BIGINT) AS afternoon,
+           CAST(SUM(CASE WHEN hour(CAST(ts AS TIMESTAMP)) >= 18 THEN 1 ELSE 0 END) AS BIGINT) AS evening
+    FROM events
+    GROUP BY dow_code
+    """,
+)
+def dow_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-of-week activity heatmap: event counts per (day-of-week ×
+    6-hour block) — the load-profile matrix behind capacity planning
+    and send-time optimization, emitted wide (one row per weekday).
+
+    The conditional-sum pivot keeps this ONE partial+final aggregate
+    over derived keys (no pivot() second pass, no shuffle of raw rows
+    beyond the 7-group exchange). dow codes differ between engines
+    (DuckDB 0=Sunday, Spark 1=Sunday), so Spark emits dayofweek()-1
+    ... except both must agree: Spark's dayofweek is 1-based Sunday;
+    DuckDB's dayofweek is 0-based Sunday — the Spark side subtracts 1
+    to land on the identical code.
+    """
+    hour = F.hour("ts")
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy((F.dayofweek("ts") - 1).cast("long").alias("dow_code"))
+        .agg(
+            F.sum((hour < 6).cast("long")).cast("long").alias("night"),
+            F.sum(hour.between(6, 11).cast("long")).cast("long").alias("morning"),
+            F.sum(hour.between(12, 17).cast("long")).cast("long").alias("afternoon"),
+            F.sum((hour >= 18).cast("long")).cast("long").alias("evening"),
+        )
+    )
