@@ -688,3 +688,133 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@register(
+    "customer_pareto",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey, SUM(o_totalprice) AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT revenue,
+               ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey) AS rnk,
+               SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                   ROWS UNBOUNDED PRECEDING) AS cum_rev,
+               SUM(revenue) OVER () AS total_rev,
+               COUNT(*) OVER () AS n_cust
+        FROM per_cust
+    )
+    SELECT threshold_pct,
+           MIN(rnk) AS n_customers,
+           ROUND(MIN(rnk) * 100.0 / MIN(n_cust), 2) + 0.0 AS pct_customers
+    FROM (
+        SELECT t.threshold_pct, r.rnk, r.n_cust
+        FROM ranked r,
+             (VALUES (50), (80), (95)) AS t(threshold_pct)
+        WHERE r.cum_rev >= r.total_rev * t.threshold_pct / 100.0
+    )
+    GROUP BY threshold_pct
+    """,
+)
+def customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the 80/20 readout): how many of the
+    highest-revenue customers it takes to cover 50 / 80 / 95 % of total
+    revenue, absolute and as a share of the customer base — the Lorenz-
+    curve crossing points account teams actually quote.
+
+    Aggregate-then-window: orders collapse to |customers| rows before
+    the descending revenue sort; the three thresholds are a 3-row
+    broadcast joined against the cumulative curve and reduced with MIN —
+    one |customers|-row window, three summary rows out. Deterministic
+    (revenue, custkey) tiebreak pins equal-revenue orderings.
+    """
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w_rank = W.orderBy(F.col("revenue").desc(), "o_custkey")
+    w_cum = w_rank.rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy()
+    ranked = per_cust.select(
+        F.row_number().over(w_rank).alias("rnk"),
+        F.sum("revenue").over(w_cum).alias("cum_rev"),
+        F.sum("revenue").over(w_all).alias("total_rev"),
+        F.count(F.lit(1)).over(w_all).alias("n_cust"),
+    )
+    thresholds = per_cust.sparkSession.createDataFrame(
+        [(50,), (80,), (95,)], "threshold_pct int"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(thresholds))
+        .where(
+            F.col("cum_rev") >= F.col("total_rev") * F.col("threshold_pct") / 100.0
+        )
+        .groupBy("threshold_pct")
+        .agg(
+            F.min("rnk").alias("n_customers"),
+            (F.round(F.min("rnk") * 100.0 / F.min("n_cust"), 2) + 0.0).alias(
+                "pct_customers"
+            ),
+        )
+    )
+
+
+@register(
+    "rate_wilson",
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hits
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, hits,
+           ROUND(hits * 1.0 / n, 4) + 0.0 AS rate,
+           ROUND((hits * 1.0 / n + 1.92199592 / n
+                  - 1.959964 * SQRT((hits * 1.0 / n) * (1 - hits * 1.0 / n) / n
+                                    + 0.96099796 / (n * n)))
+                 / (1 + 3.84399184 / n), 4) + 0.0 AS wilson_lo,
+           ROUND((hits * 1.0 / n + 1.92199592 / n
+                  + 1.959964 * SQRT((hits * 1.0 / n) * (1 - hits * 1.0 / n) / n
+                                    + 0.96099796 / (n * n)))
+                 / (1 + 3.84399184 / n), 4) + 0.0 AS wilson_hi
+    FROM per_type
+    """,
+)
+def rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group proportion with its Wilson 95% confidence interval —
+    the monitoring statistic for rates on uneven sample sizes (a naive
+    rate hides that 3/4 and 3000/4000 are very different evidence; the
+    Wilson interval is the standard small-sample-safe band, z=1.959964).
+
+    One partial+final aggregate to (n, hits) per group; the interval is
+    scalar arithmetic on those two numbers. Constants are spelled as
+    exact literals (z, z², z²/2, z²/4) so both engines evaluate the
+    identical expression tree — no engine math beyond sqrt.
+    """
+    per_type = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("value") >= 100).cast("long")).cast("long").alias("hits"),
+        )
+    )
+    p = F.col("hits") * 1.0 / F.col("n")
+    z, z2 = 1.959964, 3.84399184
+    half_z2, quarter_z2 = 1.92199592, 0.96099796
+    denom = 1 + z2 / F.col("n")
+    center = p + half_z2 / F.col("n")
+    margin = z * F.sqrt(p * (1 - p) / F.col("n") + quarter_z2 / (F.col("n") * F.col("n")))
+    return per_type.select(
+        "event_type",
+        "n",
+        "hits",
+        (F.round(p, 4) + 0.0).alias("rate"),
+        (F.round((center - margin) / denom, 4) + 0.0).alias("wilson_lo"),
+        (F.round((center + margin) / denom, 4) + 0.0).alias("wilson_hi"),
+    )
