@@ -818,3 +818,61 @@ def rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round((center - margin) / denom, 4) + 0.0).alias("wilson_lo"),
         (F.round((center + margin) / denom, 4) + 0.0).alias("wilson_hi"),
     )
+
+
+@register(
+    "gini_coefficient",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey, SUM(o_totalprice) AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT revenue,
+               ROW_NUMBER() OVER (ORDER BY revenue, o_custkey) AS i,
+               COUNT(*) OVER () AS n,
+               SUM(revenue) OVER () AS total
+        FROM per_cust
+    )
+    SELECT ROUND(2.0 * SUM(i * revenue) / (MIN(n) * MIN(total))
+                 - (MIN(n) + 1.0) / MIN(n), 4) + 0.0 AS gini,
+           CAST(MIN(n) AS BIGINT) AS n_customers
+    FROM ranked
+    """,
+)
+def gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the scalar inequality
+    summary of the same Lorenz curve customer_pareto reads pointwise
+    (0 = perfectly even book, →1 = one whale), via the rank formula
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending revenue.
+
+    Orders collapse to |customers| rows first; one ascending window
+    rank with a deterministic key tiebreak, then a single global
+    aggregate — the whole statistic is two exchanges regardless of
+    order volume.
+    """
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w_rank = W.orderBy("revenue", "o_custkey")
+    w_all = W.partitionBy()
+    ranked = per_cust.select(
+        "revenue",
+        F.row_number().over(w_rank).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("revenue").over(w_all).alias("total"),
+    )
+    return ranked.agg(
+        (
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("revenue"))
+                / (F.min("n") * F.min("total"))
+                - (F.min("n") + 1.0) / F.min("n"),
+                4,
+            )
+            + 0.0
+        ).alias("gini"),
+        F.min("n").cast("long").alias("n_customers"),
+    )

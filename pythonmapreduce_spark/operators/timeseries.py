@@ -1677,3 +1677,55 @@ def dow_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((hour >= 18).cast("long")).cast("long").alias("evening"),
         )
     )
+
+
+@register(
+    "calendar_dim",
+    oracle="""
+    WITH span AS (
+        SELECT MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0,
+               MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d1
+        FROM events
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(dayofweek(day) AS BIGINT) AS dow,
+           CAST(weekofyear(day) AS BIGINT) AS week_of_year,
+           CAST(month(day) AS BIGINT) AS month,
+           CAST(quarter(day) AS BIGINT) AS quarter,
+           dayofweek(day) IN (0, 6) AS is_weekend
+    FROM (
+        SELECT CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                                           CAST(d1 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span
+    )
+    """,
+)
+def calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension spanning the event horizon: day,
+    day-of-week, ISO week, month, quarter, weekend flag — the warehouse
+    staple every date-grain rollup joins against (resample_ffill builds
+    its grid the same way; this materializes the reusable dimension).
+
+    Generation, not scanning: a 1-row span aggregate explodes into
+    |days| rows via sequence() — no driver loop, parallelizes with the
+    explode. Spark's dayofweek is 1-based Sunday vs DuckDB's 0-based;
+    the Spark side emits dayofweek()-1 so codes (and the weekend set
+    {0,6}) align exactly.
+    """
+    span = load(spark, sf_dir, "events").agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    days = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    dow = (F.dayofweek("day") - 1).cast("long")
+    return days.select(
+        F.col("day").cast("string").alias("day"),
+        dow.alias("dow"),
+        F.weekofyear("day").cast("long").alias("week_of_year"),
+        F.month("day").cast("long").alias("month"),
+        F.quarter("day").cast("long").alias("quarter"),
+        dow.isin(0, 6).alias("is_weekend"),
+    )
