@@ -1729,3 +1729,56 @@ def calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("day").cast("long").alias("quarter"),
         dow.isin(0, 6).alias("is_weekend"),
     )
+
+
+@register(
+    "behavior_entropy",
+    oracle="""
+    WITH mix AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (
+        SELECT user_id, SUM(c) AS n FROM mix GROUP BY user_id
+    )
+    SELECT m.user_id,
+           CAST(MIN(tot.n) AS BIGINT) AS n_events,
+           ROUND(LOG2(MIN(tot.n)) - SUM(m.c * LOG2(m.c)) / MIN(tot.n), 4)
+               + 0.0 AS type_entropy
+    FROM mix m JOIN tot ON m.user_id = tot.user_id
+    GROUP BY m.user_id
+    """,
+)
+def behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: Shannon entropy of the event-type
+    mix (a bot hammering one endpoint scores ~0; an organic session
+    spreads across types) — the relational formulation of the entropy
+    signal char_entropy computes at character level in a UDF, here pure
+    Column math because the distribution is over a GROUPED key, not
+    per-row content.
+
+    Two partial+final aggregates on the same user key (type mix, then
+    per-user roll-up with the H = log2(n) − Σc·log2(c)/n factoring both
+    engines share); no window, no explode.
+    """
+    mix = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = mix.groupBy("user_id").agg(F.sum("c").alias("n"))
+    return (
+        mix.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("n").cast("long").alias("n_events"),
+            (
+                F.round(
+                    F.log2(F.min("n"))
+                    - F.sum(F.col("c") * F.log2(F.col("c"))) / F.min("n"),
+                    4,
+                )
+                + 0.0
+            ).alias("type_entropy"),
+        )
+    )
