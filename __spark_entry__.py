@@ -31,9 +31,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.3 (plus the
     LLM-pipeline extensions). Each callable takes (spark, sf_dir) and
-    returns a DataFrame with oracle-matched column names."""
+    returns a DataFrame with oracle-matched column names.
+
+    Iteration order is attestation-aware (registry.ordered_names): queries
+    whose latest driver correctness row failed come first, then queries
+    never driver-checked in any committed CORRECTNESS_r*.json, then greens
+    stalest-first — so a budget-capped verifier always spends its window on
+    the least-verified surface."""
     registry.load_all()
-    return dict(registry.QUERIES)
+    return {n: registry.QUERIES[n] for n in registry.ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -23,6 +23,10 @@ a declarative Catalyst plan instead of opaque bytecode.
 from __future__ import annotations
 
 import functools
+import glob
+import json
+import os
+import re
 
 from collections.abc import Callable
 
@@ -96,6 +100,112 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 def query_names() -> list[str]:
     return sorted(QUERIES)
+
+
+# Names surfaced first among the never-attested tier (SURVEY §2.3 rows that
+# lack a driver correctness row in any prior round, then the streaming /
+# UDF-surface / graph tiers). Ordering within the tier is: this list, then
+# registration order. The list is only a tiebreak — attestation state from
+# CORRECTNESS_r*.json decides the tiers, so once a name here gains a green
+# driver row it automatically drops to the back and the next never-attested
+# names surface. No per-round manual rotation needed.
+_ATTESTATION_PRIORITY: tuple[str, ...] = (
+    "agg_collect",  # only historical driver FAIL; fixed in 03a0823 — re-attest
+    # --- the 17 SURVEY §2.3 rows never driver-checked in r01/r02 ---
+    "window_rank", "window_running", "window_lag",
+    "string_funcs", "date_funcs", "math_funcs", "array_funcs", "json_funcs",
+    "case_null", "cast_types",
+    "udf_scalar", "udaf_grouped",
+    "window_tumbling", "window_sliding", "window_session",
+    "stream_wordcount", "text_stats",
+    # --- rest of the streaming surface ---
+    "stream_event_window", "stream_dedup", "stream_static_join",
+    "stream_session_window", "stream_stream_join",
+    "sink_foreach_batch_upsert", "stream_stateful_counts",
+    # --- rest of the UDF / pandas-interchange surface ---
+    "udtf_tokenize", "cogroup_reconcile", "udf_arrow", "udf_map_arrow",
+    # --- graph tier ---
+    "graph_degree", "triangle_count", "pagerank_iter", "bfs_distances",
+    "graph_common_neighbors",
+    # --- text-analysis tier (SURVEY §2.3 row 46 neighborhood) ---
+    "lang_id", "quality_score", "token_count", "doc_fingerprint",
+    # --- remaining scalar-function family ---
+    "map_funcs", "struct_funcs", "array_hof", "explode_null", "regex_funcs",
+    "fuzzy_match", "bit_funcs", "try_arithmetic", "json_variant",
+    # --- behavior-changing fixes this round (ADVICE r2) + heavy TPC-H ---
+    "interval_merge", "rate_wilson", "ab_test_lift",
+    "tpch_q21", "scd2_snapshot",
+)
+
+
+def _attestation_state() -> dict[str, tuple[int, bool]]:
+    """Parse every CORRECTNESS_r*.json at the repo root.
+
+    Returns {query_name: (latest_round_seen, ok)} where ok means the latest
+    driver row was green (all matches true, or a rows-only check that ran
+    without error). Missing/unparseable files are skipped — ordering is an
+    optimization, never a correctness dependency.
+    """
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    state: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            err = row.get("err")
+            if err == "no_oracle":
+                ok = row.get("spark_rows") is not None
+            else:
+                ok = (
+                    err is None
+                    and bool(row.get("rows_match"))
+                    and bool(row.get("schema_match"))
+                    and bool(row.get("hash_match"))
+                )
+            prev = state.get(name)
+            if prev is None or rnd >= prev[0]:
+                state[name] = (rnd, ok)
+    return state
+
+
+def ordered_names() -> list[str]:
+    """Registry keys ordered for a budget-capped external verifier.
+
+    The driver attests ~50 queries per round in iteration order, so emit:
+    (1) queries whose LAST driver row failed — a fix with no green
+    re-attestation is still a standing red signal; (2) queries never
+    driver-checked in any round (priority list first, then registration
+    order); (3) green queries, stalest attestation first. State comes from
+    the committed CORRECTNESS_r*.json files, so the rotation advances by
+    itself every round.
+    """
+    state = _attestation_state()
+    prio = {n: i for i, n in enumerate(_ATTESTATION_PRIORITY)}
+    reg = {n: i for i, n in enumerate(QUERIES)}
+
+    def key(name: str) -> tuple:
+        st = state.get(name)
+        if st is not None and not st[1]:  # latest driver row failed
+            tier = 0
+        elif st is None:  # never attested
+            tier = 1
+        else:  # green; refresh stalest first
+            tier = 2
+        rnd = st[0] if st is not None else 0
+        return (tier, rnd, prio.get(name, len(prio)), reg[name])
+
+    return sorted(QUERIES, key=key)
 
 
 def load_all() -> None:
