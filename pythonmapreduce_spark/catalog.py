@@ -138,7 +138,6 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-@functools.lru_cache(maxsize=64)
 def _events_ts_is_nanos(path: str) -> bool:
     """True when events.ts is parquet TIMESTAMP(NANOS).
 
@@ -148,9 +147,17 @@ def _events_ts_is_nanos(path: str) -> bool:
     TIMESTAMP. µs/ms and legacy INT96 files map straight onto
     TimestampType. Inspect the parquet PHYSICAL type, not the arrow view:
     pyarrow surfaces INT96 as timestamp[ns] even though Spark reads INT96
-    natively. One driver-side footer read per file path, cached for the
-    process lifetime.
+    natively. One driver-side footer read per (path, mtime, size) — keyed
+    on the stat so a regenerated events.parquet (the documented per-round
+    regime) invalidates the cache instead of silently reusing the old
+    unit, which would corrupt every time predicate.
     """
+    st = os.stat(path)
+    return _events_ts_is_nanos_cached(path, st.st_mtime_ns, st.st_size)
+
+
+@functools.lru_cache(maxsize=64)
+def _events_ts_is_nanos_cached(path: str, mtime_ns: int, size: int) -> bool:
     import pyarrow.parquet as pq
 
     schema = pq.ParquetFile(path).schema

@@ -774,14 +774,14 @@ def customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, n, hits,
            ROUND(hits * 1.0 / n, 4) + 0.0 AS rate,
-           ROUND((hits * 1.0 / n + 1.92199592 / n
+           ROUND((hits * 1.0 / n + 1.92072944 / n
                   - 1.959964 * SQRT((hits * 1.0 / n) * (1 - hits * 1.0 / n) / n
-                                    + 0.96099796 / (n * n)))
-                 / (1 + 3.84399184 / n), 4) + 0.0 AS wilson_lo,
-           ROUND((hits * 1.0 / n + 1.92199592 / n
+                                    + 0.96036472 / (n * n)))
+                 / (1 + 3.84145888 / n), 4) + 0.0 AS wilson_lo,
+           ROUND((hits * 1.0 / n + 1.92072944 / n
                   + 1.959964 * SQRT((hits * 1.0 / n) * (1 - hits * 1.0 / n) / n
-                                    + 0.96099796 / (n * n)))
-                 / (1 + 3.84399184 / n), 4) + 0.0 AS wilson_hi
+                                    + 0.96036472 / (n * n)))
+                 / (1 + 3.84145888 / n), 4) + 0.0 AS wilson_hi
     FROM per_type
     """,
 )
@@ -805,8 +805,8 @@ def rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     p = F.col("hits") * 1.0 / F.col("n")
-    z, z2 = 1.959964, 3.84399184
-    half_z2, quarter_z2 = 1.92199592, 0.96099796
+    z, z2 = 1.959964, 3.84145888
+    half_z2, quarter_z2 = 1.92072944, 0.96036472
     denom = 1 + z2 / F.col("n")
     center = p + half_z2 / F.col("n")
     margin = z * F.sqrt(p * (1 - p) / F.col("n") + quarter_z2 / (F.col("n") * F.col("n")))

@@ -265,7 +265,7 @@ def paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE ((o_orderkey * 2654435761) % 4294967296) / 4294967296.0
+    WHERE (((o_orderkey % 2147483648) * 2654435761) % 4294967296) / 4294967296.0
           < o_totalprice / 600000.0
     """,
 )
@@ -281,7 +281,7 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     need. Pure scan-side filter: no shuffle, no state, pushes down to the
     parquet scan's batch filter at any scale.
     """
-    u = ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(
+    u = (((F.col("o_orderkey") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(
         4294967296.0
     )
     return (
@@ -299,7 +299,7 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey, c_mktsegment,
                CAST(ROW_NUMBER() OVER (
                    PARTITION BY c_mktsegment
-                   ORDER BY (c_custkey * 2654435761) % 4294967296, c_custkey
+                   ORDER BY ((c_custkey % 2147483648) * 2654435761) % 4294967296, c_custkey
                ) AS BIGINT) AS sample_rank
         FROM customer
     )
@@ -318,7 +318,7 @@ def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit keeps k rows per group inside the sort, so the full
     stratum never materializes.
     """
-    u = (F.col("c_custkey") * F.lit(2654435761)) % F.lit(4294967296)
+    u = ((F.col("c_custkey") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)
     w = W.partitionBy("c_mktsegment").orderBy(u, "c_custkey")
     return (
         load(spark, sf_dir, "customer")

@@ -1024,7 +1024,7 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     flagged AS (
-        SELECT user_id, s, e,
+        SELECT user_id, s, e, event_id,
                CASE WHEN s > MAX(e) OVER (PARTITION BY user_id
                         ORDER BY s, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -1033,7 +1033,7 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     islands AS (
         SELECT user_id, s, e,
-               SUM(new_span) OVER (PARTITION BY user_id ORDER BY s, e
+               SUM(new_span) OVER (PARTITION BY user_id ORDER BY s, event_id
                    ROWS UNBOUNDED PRECEDING) AS span_id
         FROM flagged
     )
@@ -1073,9 +1073,12 @@ def interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_span",
         F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0),
     )
+    # (s, event_id) — the same total order as the flag window. e is s+30min
+    # so ordering by (s, e) leaves ties on s unordered, and with tied
+    # timestamps the cumulative sum could attach a row to the wrong span.
     w_run = (
         W.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(W.unboundedPreceding, 0)
     )
     islands = flagged.withColumn("span_id", F.sum("new_span").over(w_run))
@@ -1447,7 +1450,7 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH arms AS (
         SELECT user_id,
-               CASE WHEN (user_id * 2654435761) % 4294967296 % 2 = 0
+               CASE WHEN ((user_id % 2147483648) * 2654435761) % 4294967296 % 2 = 0
                     THEN 'control' ELSE 'treatment' END AS arm,
                MAX(CASE WHEN event_type = 'purchase' AND value >= 150
                         THEN 1 ELSE 0 END) AS converted
@@ -1503,7 +1506,7 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.when(
-                (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296) % 2 == 0,
+                ((F.col("user_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296) % 2 == 0,
                 "control",
             )
             .otherwise("treatment")

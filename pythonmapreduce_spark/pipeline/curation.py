@@ -155,7 +155,7 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.lang, t.cnt AS n_orig, COUNT(*) AS n_kept
     FROM documents d JOIN t ON d.lang = t.lang
-    WHERE (d.doc_id * 2654435761) % 4294967296 % 10000 < t.thr
+    WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 % 10000 < t.thr
     GROUP BY d.lang, t.cnt
     """,
 )
@@ -186,7 +186,7 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("thr"),
     )
-    keep = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10000 < F.col("thr")
+    keep = ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296) % 10000 < F.col("thr")
     return (
         docs.join(F.broadcast(thr), "lang")
         .where(keep)

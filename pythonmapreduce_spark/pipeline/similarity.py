@@ -66,9 +66,10 @@ def with_norm(df: DataFrame, vec: str = "v") -> DataFrame:
     oracle=f"""
     WITH q AS (
         SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-        FROM embeddings WHERE vec_id <= {_KNN_QUERIES}
+        FROM embeddings WHERE vec_id <= {_KNN_QUERIES} AND embedding IS NOT NULL
     ), c AS (
         SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings
+        WHERE embedding IS NOT NULL
     ), scored AS (
         SELECT q_id, n_id,
                list_cosine_similarity(qv, nv) AS cos_raw
@@ -206,7 +207,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE vec_id <= 400
+        FROM embeddings WHERE vec_id <= 400 AND embedding IS NOT NULL
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
@@ -245,7 +246,7 @@ def dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT label,
                UNNEST(range(len(embedding))) AS pos,
                UNNEST(embedding) AS val
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     )
     GROUP BY label, pos
     """,
@@ -377,9 +378,10 @@ _KNN_BLOCKS = 8
     oracle=f"""
     WITH q AS (
         SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-        FROM embeddings WHERE vec_id <= {_KNN_QUERIES}
+        FROM embeddings WHERE vec_id <= {_KNN_QUERIES} AND embedding IS NOT NULL
     ), c AS (
         SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings
+        WHERE embedding IS NOT NULL
     ), scored AS (
         SELECT q_id, n_id,
                list_cosine_similarity(qv, nv) AS cos_raw
@@ -454,9 +456,10 @@ def knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH q AS (
         SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-        FROM embeddings WHERE vec_id <= {_KNN_QUERIES}
+        FROM embeddings WHERE vec_id <= {_KNN_QUERIES} AND embedding IS NOT NULL
     ), c AS (
         SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings
+        WHERE embedding IS NOT NULL
     ), scored AS (
         SELECT q_id, n_id,
                list_cosine_similarity(qv, nv) AS cos_raw
@@ -558,7 +561,7 @@ WITH e AS (
     SELECT vec_id,
            generate_subscripts(embedding, 1) AS i,
            CAST(UNNEST(embedding) AS DOUBLE) AS v
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
 )
 SELECT a.i AS i, b.i AS j, ROUND(SUM(a.v * b.v), 3) AS g
 FROM e a JOIN e b ON a.vec_id = b.vec_id
@@ -776,7 +779,7 @@ def kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     )
     SELECT vec_id,
            ROUND((list_max(emb) - list_min(emb)) / 255.0, 6) + 0.0 AS scale,
@@ -838,9 +841,10 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH q AS (
         SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv, label AS true_label
-        FROM embeddings WHERE vec_id <= {_KNN_QUERIES}
+        FROM embeddings WHERE vec_id <= {_KNN_QUERIES} AND embedding IS NOT NULL
     ), c AS (
         SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv, label FROM embeddings
+        WHERE embedding IS NOT NULL
     ), scored AS (
         SELECT q_id, true_label, n_id, label,
                list_cosine_similarity(qv, nv) AS cos_raw
@@ -901,9 +905,10 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH q AS (
         SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv, label AS true_label
-        FROM embeddings WHERE vec_id <= {_KNN_QUERIES}
+        FROM embeddings WHERE vec_id <= {_KNN_QUERIES} AND embedding IS NOT NULL
     ), c AS (
         SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv, label FROM embeddings
+        WHERE embedding IS NOT NULL
     ), scored AS (
         SELECT q_id, true_label, n_id, label,
                list_cosine_similarity(qv, nv) AS cos_raw

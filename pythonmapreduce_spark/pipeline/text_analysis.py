@@ -500,8 +500,8 @@ def url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH assigned AS (
         SELECT lang,
-               CASE WHEN (doc_id * 2654435761) % 4294967296 % 10 < 8 THEN 'train'
-                    WHEN (doc_id * 2654435761) % 4294967296 % 10 = 8 THEN 'val'
+               CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10 < 8 THEN 'train'
+                    WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10 = 8 THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
     )
@@ -521,8 +521,8 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation pipeline asserts before shipping).
     """
     split = (
-        F.when((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10 < 8, "train")
-        .when((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10 == 8, "val")
+        F.when(((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296) % 10 < 8, "train")
+        .when(((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296) % 10 == 8, "val")
         .otherwise("test")
     )
     return (
@@ -645,8 +645,8 @@ WITH survivors AS (
     FROM documents WHERE doc_id % 7 = 0 AND LENGTH(text) >= 60
 ), clean AS (
     SELECT d.doc_id, d.lang,
-           CASE WHEN (d.doc_id * 2654435761) % 4294967296 % 10 < 8 THEN 'train'
-                WHEN (d.doc_id * 2654435761) % 4294967296 % 10 = 8 THEN 'val'
+           CASE WHEN ((d.doc_id % 2147483648) * 2654435761) % 4294967296 % 10 < 8 THEN 'train'
+                WHEN ((d.doc_id % 2147483648) * 2654435761) % 4294967296 % 10 = 8 THEN 'val'
                 ELSE 'test' END AS split
     FROM documents d
     JOIN survivors s ON d.doc_id = s.doc_id
@@ -700,8 +700,8 @@ def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     split = (
-        F.when((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10 < 8, "train")
-        .when((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10 == 8, "val")
+        F.when(((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296) % 10 < 8, "train")
+        .when(((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296) % 10 == 8, "val")
         .otherwise("test")
     )
     return (
