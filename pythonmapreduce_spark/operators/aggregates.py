@@ -202,18 +202,44 @@ def _customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_name", "c_mktsegment", "c_acctbal")
 
 
-@register("approx_distinct")  # approximate → rows-only check (no oracle)
+@register(
+    "approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hll_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct users per event type.
+    """HyperLogLog++ distinct users per event type, emitted as a
+    driver-checkable error contract: (group, exact count, estimate within
+    5% of exact). The estimate itself is engine-specific so it can't be
+    value-compared; the CONTRACT can — the oracle recomputes the exact
+    count and asserts hll_ok literally TRUE, so an HLL regression past
+    5·rsd flips the Spark-side boolean and the compare goes red.
 
     The sketch is mergeable: partial HLL registers per partition, merged at
     the exchange — constant memory per group regardless of input size, the
-    only sane distinct-count at 100 TB. rsd=0.01 ⇒ ~1% error.
+    only sane distinct-count at 100 TB (where the exact twin computed here
+    for calibration would be the thing you CAN'T run). rsd=0.01 ⇒ ~1%
+    stddev; the 5% gate is 5σ.
     """
     return (
         load(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("hll_ok"),
+        )
     )
 
 
@@ -337,29 +363,48 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_quantile")  # sketch-based (GK/KLL-style) → rows-only
+@register(
+    "approx_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles via the mergeable quantile sketch.
+    """Approximate percentiles via the mergeable quantile sketch, emitted
+    as a driver-checkable rank-error contract.
 
     approx_percentile keeps a bounded sketch per partition and merges
     map-side — one narrow pass + tiny shuffle at ANY scale, versus the
-    exact percentile's full sort per group. accuracy=10000 bounds rank
-    error at 1/10000; the property test checks the estimates against the
-    exact percentiles. This is the only percentile that works at 100 TB.
+    exact percentile's full sort per group; it is the only percentile
+    that works at 100 TB. accuracy=10000 hard-bounds rank error at
+    N/10000, so each estimate must lie between the exact interpolated
+    quantiles at q∓0.002 (10× the guaranteed rank slack, so tie plateaus
+    and interpolation can't flake it). The oracle asserts the three
+    booleans literally TRUE per group; a sketch regression flips them.
     """
-    qs = F.expr(
-        "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+    qs = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+    bounds = F.expr(
+        "percentile(l_extendedprice,"
+        " array(0.498, 0.502, 0.898, 0.902, 0.988, 0.992))"
     )
-    return (
+    agg = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(qs.alias("q"))
-        .select(
-            "l_returnflag",
-            F.round(F.col("q")[0], 4).alias("p50"),
-            F.round(F.col("q")[1], 4).alias("p90"),
-            F.round(F.col("q")[2], 4).alias("p99"),
+        .agg(qs.alias("q"), bounds.alias("b"))
+    )
+
+    def ok(i: int) -> F.Column:
+        return (F.col("q")[i] >= F.col("b")[2 * i]) & (
+            F.col("q")[i] <= F.col("b")[2 * i + 1]
         )
+
+    return agg.select(
+        "l_returnflag",
+        ok(0).alias("p50_ok"),
+        ok(1).alias("p90_ok"),
+        ok(2).alias("p99_ok"),
     )
 
 

@@ -241,7 +241,15 @@ def constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register("hll_rollup")  # sketch estimates are engine-specific → rows-only
+@register(
+    "hll_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS sketch_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HyperLogLog rollup: per-day user sketches unioned into a
     per-event-type distinct-user estimate WITHOUT re-scanning the events.
@@ -253,22 +261,36 @@ def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebraic re-aggregation that never touches the raw data again.
     approx_count_distinct gives the same estimate but is NOT reusable:
     its intermediate dies inside one query, while hll_sketch_agg's binary
-    sketch is a storable, mergeable column. Estimates are Datasketches-
-    exact only in expectation → rows-only; tests/test_sketches.py pins
-    the ≤5% error contract against the exact distinct count.
+    sketch is a storable, mergeable column. The estimate itself is
+    Datasketches-specific, so the emitted row is the CONTRACT instead:
+    (group, exact count, estimate within 5% of exact) — the oracle
+    recomputes the exact distinct and asserts sketch_ok literally TRUE,
+    making the two-level sketch driver-checkable (the same gate
+    tests/test_sketches.py pins locally).
     """
     ev = load(spark, sf_dir, "events")
     daily = (
         ev.groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(F.hll_sketch_agg("user_id", 12).alias("sketch"))
     )
-    return (
+    merged = (
         daily.groupBy("event_type")
         .agg(F.hll_union_agg("sketch").alias("merged"))
         .select(
             "event_type",
             F.hll_sketch_estimate("merged").alias("approx_users"),
         )
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("sketch_ok"),
     )
 
 

