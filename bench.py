@@ -56,6 +56,13 @@ HEADLINE = [
     "graph_common_neighbors",
     "basket_rules",
     "sliding_distinct_users",
+    # round-3 additions: the heaviest TPC-H EXISTS/NOT-EXISTS shape, SCD2
+    # dimension snapshots, a real one-shot streaming window, and the
+    # greedy sequence packer — the previously unbenchmarked tiers.
+    "tpch_q21",
+    "scd2_snapshot",
+    "stream_event_window",
+    "sequence_pack",
 ]
 
 

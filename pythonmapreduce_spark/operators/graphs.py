@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from pythonmapreduce_spark.catalog import load
 from pythonmapreduce_spark.plans.registry import register
+from pythonmapreduce_spark.plans.materialize import iter_materialize
 
 # Shared CTE prefix for the DuckDB oracles — identical edge derivation.
 _EDGES_CTE = """
@@ -66,7 +67,7 @@ def _pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame | None:
     # parquet (lineage re-execution, the iterative-algorithm tax; same
     # pattern as dedup_clusters). On a cluster this is persist()/
     # checkpoint() of the partitioned edge list.
-    contrib_base = sym.join(deg, "src").localCheckpoint(eager=True)
+    contrib_base = iter_materialize(sym.join(deg, "src"))
     # Node list and |V| come from the checkpointed base, not a fresh
     # edge derivation; |V| is one scalar folded into the teleport literal.
     nodes = contrib_base.select("src", "d").dropDuplicates(["src"])
@@ -138,7 +139,7 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     union, count per node, histogram the counts — two partial-agg
     exchanges, output is |distinct degrees| rows.
     """
-    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    e = iter_materialize(_edges(spark, sf_dir))
     sym = e.select(F.col("src").alias("node")).unionAll(
         e.select(F.col("dst").alias("node"))
     )
@@ -172,7 +173,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # does not canonicalize the three differently-aliased self-join
     # subtrees (measured: 12 parquet scans, 0 ReusedExchange without
     # this). On a cluster this is persist() of the oriented edge list.
-    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    e = iter_materialize(_edges(spark, sf_dir))
     e1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = e.select(F.col("src").alias("u2"), F.col("dst").alias("w"))
     wedges = e1.join(
@@ -305,9 +306,9 @@ def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≤ hops+2 rows: 0..3 plus unreached nodes never appear).
     """
     e = _edges(spark, sf_dir)
-    sym = e.unionAll(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    sym = iter_materialize(
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    )
     dist = (
         sym.select(F.col("src").alias("node"))
         .where(F.col("node") % 97 == 0)
@@ -360,7 +361,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ(deg(u)+deg(v)) over edges, never a pair explosion. The ≥5 floor
     keeps the emitted edge list to the structurally-embedded ties.
     """
-    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    e = iter_materialize(_edges(spark, sf_dir))
     sym = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from pythonmapreduce_spark.catalog import load
 from pythonmapreduce_spark.plans.registry import register
+from pythonmapreduce_spark.plans.materialize import iter_materialize
 from pythonmapreduce_spark.sources.text_corpus import tokens_col
 
 # MinHash parameters: 64 hashes in 16 bands of 4 rows ⇒ candidate-pair
@@ -446,9 +447,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest doc_id reachable over an edge, until a fixpoint. Each round is
     two hash joins + a min-aggregate — all DataFrame ops; the driver loop
     only controls iteration count (log-diameter rounds; near-dup clusters
-    are tiny, so ≤ 8 rounds is generous). localCheckpoint truncates the
+    are tiny, so ≤ 8 rounds is generous). iter_materialize truncates the
     exponentially-growing lineage each round — the standard pattern for
-    iterative algorithms on Spark (GraphX's CC does the same shape).
+    iterative algorithms on Spark (GraphX's CC does the same shape); the
+    cut strategy (localCheckpoint / persist / reliable checkpoint) is a
+    deployment conf, see plans/materialize.py.
 
     Output: (doc_id, cluster_id, is_survivor) for every doc in some
     near-dup cluster; survivor = the cluster's min doc_id.
@@ -464,8 +467,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    edges = iter_materialize(edges)
     labels = (
         edges.select(F.col("id_a").alias("doc_id"))
         .distinct()
@@ -486,8 +489,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = iter_materialize(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -536,14 +539,14 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst fuses the whole thing into one plan (the dedup's hash shuffle
     is the only wide stage — filters run before it, pruning pushdown-style).
     """
-    from pythonmapreduce_spark.sources.text_corpus import tokens_col
+    from pythonmapreduce_spark.sources.text_corpus import token_count_col
 
     docs = load(spark, sf_dir, "documents").where(F.col("n_chars") >= 100)
     w = W.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
     clean = (
         docs.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("doc_id", "lang", "n_chars", F.size(tokens_col()).alias("n_tokens"))
+        .select("doc_id", "lang", "n_chars", token_count_col().alias("n_tokens"))
     )
     return clean.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from pythonmapreduce_spark.catalog import load
 from pythonmapreduce_spark.plans.registry import register
-from pythonmapreduce_spark.sources.text_corpus import tokens_col
+from pythonmapreduce_spark.sources.text_corpus import token_count_col, tokens_col
 
 # Fixed marker vocabularies for the lang-id heuristic (unigram overlap —
 # the n=1 case of n-gram language ID). Deterministic and SQL-expressible.
@@ -56,7 +56,7 @@ _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus statistics over per-doc token/char counts."""
     per_doc = load(spark, sf_dir, "documents").select(
-        "lang", F.size(tokens_col()).cast("long").alias("n_tokens"), "n_chars"
+        "lang", token_count_col().cast("long").alias("n_tokens"), "n_chars"
     )
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -194,7 +194,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation) — the standard cost estimate for LLM corpus sizing."""
     return load(spark, sf_dir, "documents").select(
         "doc_id",
-        F.size(tokens_col()).cast("long").alias("ws_tokens"),
+        token_count_col().cast("long").alias("ws_tokens"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
         .cast("long")
         .alias("bpe_tokens"),
@@ -678,7 +678,7 @@ def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_exact, decontamination, dataset_split) and the composition
     still hash-matches a single-statement SQL oracle.
     """
-    from pythonmapreduce_spark.sources.text_corpus import tokens_col
+    from pythonmapreduce_spark.sources.text_corpus import token_count_col
 
     from pyspark.sql import Window
 
@@ -690,7 +690,7 @@ def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean = (
         docs.where(F.col("n_chars") >= 100)
-        .where(F.size(tokens_col()) >= 10)
+        .where(token_count_col() >= 10)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .join(

