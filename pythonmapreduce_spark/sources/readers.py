@@ -214,3 +214,44 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(compact).select(
         "doc_id", "lang", F.col("n_chars").cast("long")
     )
+
+
+@register(
+    "join_partition_pruned",
+    oracle="""
+    WITH sel AS (SELECT DISTINCT lang FROM documents WHERE lang <= 'en')
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents d JOIN sel USING (lang)
+    GROUP BY d.lang
+    """,
+)
+def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over a Hive-partitioned fact: the fact
+    side is documents re-laid-out as parquet partitionBy(lang); joining
+    it against a filtered dim makes Catalyst plant a
+    ``dynamicpruningexpression`` in the fact scan's PartitionFilters
+    (reusing the dim's broadcast as the pruning subquery), so only the
+    surviving langs' DIRECTORIES are listed and read.
+
+    This is the 100 TB star-join workhorse: a date/tenant-partitioned
+    fact joined to a filtered dimension skips whole partitions at file-
+    listing time — orders of magnitude cheaper than row-level filters.
+    The plan shape is pinned by tests/test_plans.py (DPP marker present
+    in the executed plan); the oracle proves the pruned read returns
+    exactly the rows the logical join demands.
+    """
+    path = _scratch("dpp_documents_by_lang")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    fact = spark.read.schema("doc_id long, n_chars long, lang string").parquet(path)
+    dim = docs.select("lang").distinct().where(F.col("lang") <= "en")
+    return (
+        fact.join(dim, "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

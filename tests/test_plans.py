@@ -242,6 +242,17 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_smoke) -> None:
             spark.conf.set(k, v)
 
 
+def test_join_partition_pruned_uses_dpp(spark, sf_smoke) -> None:
+    """join_partition_pruned's fact scan must carry a dynamic-pruning
+    subquery in its PartitionFilters: the partitioned fact lists only the
+    directories the filtered dim survives — the star-join partition skip
+    that pays for itself at 100 TB."""
+    df = registry.QUERIES["join_partition_pruned"](spark, sf_smoke)
+    df.collect()  # DPP subquery shape is final in the executed plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
 def test_semi_reduction_filters_before_shuffle(spark, sf_smoke) -> None:
     """join_semi_reduction: the broadcast KEY semi join must sit BELOW the
     fact side's shuffle exchange (reduction inside the scan stage), and the
