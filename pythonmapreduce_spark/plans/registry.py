@@ -223,6 +223,7 @@ def load_all() -> None:
     from pythonmapreduce_spark.sources import bucketing, readers, refwire, text_corpus  # noqa: F401
     from pythonmapreduce_spark.pipeline import (  # noqa: F401
         search,
+        bpe,
         curation,
         dedup,
         multimodal,
