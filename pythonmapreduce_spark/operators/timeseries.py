@@ -1785,3 +1785,357 @@ def behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("type_entropy"),
         )
     )
+
+
+@register(
+    "ewma_smooth",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               ROW_NUMBER() OVER (ORDER BY CAST(ts AS DATE)) - 1 AS rn,
+               SUM(value) AS revenue
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    )
+    SELECT CAST(a.d AS VARCHAR) AS day,
+           ROUND(MIN(a.revenue), 2) AS revenue,
+           ROUND(SUM(b.revenue * POW(0.7, a.rn - b.rn))
+                 / SUM(POW(0.7, a.rn - b.rn)), 4) AS ewma
+    FROM daily a JOIN daily b ON b.rn BETWEEN a.rn - 29 AND a.rn
+    GROUP BY a.d, a.rn
+    """,
+)
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily revenue (α = 0.3,
+    30-day tail) — the trend smoother monitoring dashboards draw next to
+    anomaly_zscore's outlier flags.
+
+    The textbook recursion s_n = αx_n + (1−α)s_{n−1} is inherently
+    sequential; the closed form s_n = Σ w^(n−i)x_i / Σ w^(n−i) over a
+    BOUNDED 30-row tail is order-free and parallel. Formulated as a
+    self-join of the aggregated daily series on a row-number band: the
+    raw event volume collapses to |days| rows FIRST (partial+final agg),
+    so the 30× fan-out and both windows touch |days|·30 rows regardless
+    of corpus size — at 100 TB of events this plan's exchange volume is
+    still a few thousand rows. Truncating the tail at 30 days bounds the
+    fan-out and the dropped weight mass (0.7^30 ≈ 2e-5) sits far below
+    the 4dp round. No driver loop, no sequential dependency.
+    """
+    ev = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.sum("value").alias("revenue"))
+        .withColumn("rn", F.row_number().over(W.orderBy("d")) - 1)
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    joined = a.join(
+        b,
+        (F.col("b.rn") >= F.col("a.rn") - 29) & (F.col("b.rn") <= F.col("a.rn")),
+    )
+    w = F.pow(F.lit(0.7), F.col("a.rn") - F.col("b.rn"))
+    return (
+        joined.groupBy(F.col("a.d"), F.col("a.rn"))
+        .agg(
+            F.round(F.min("a.revenue"), 2).alias("revenue"),
+            F.round(F.sum(F.col("b.revenue") * w) / F.sum(w), 4).alias("ewma"),
+        )
+        .select(F.col("d").cast("string").alias("day"), "revenue", "ewma")
+    )
+
+
+@register(
+    "resample_interpolate",
+    oracle="""
+    WITH span AS (
+        SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+    ), days AS (
+        SELECT CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                                           CAST(d1 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span
+    ), series AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id <= 20
+    ), grid AS (
+        SELECT user_id, day FROM series CROSS JOIN days
+    ), observed AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               ARG_MAX(value, event_id) AS day_value
+        FROM events
+        WHERE user_id <= 20 AND event_type = 'purchase'
+        GROUP BY user_id, CAST(ts AS DATE)
+    ), anchored AS (
+        SELECT g.user_id, g.day, o.day_value,
+               LAST_VALUE(CASE WHEN o.day_value IS NOT NULL THEN g.day END IGNORE NULLS)
+                   OVER w_prev AS prev_day,
+               LAST_VALUE(o.day_value IGNORE NULLS) OVER w_prev AS prev_val,
+               FIRST_VALUE(CASE WHEN o.day_value IS NOT NULL THEN g.day END IGNORE NULLS)
+                   OVER w_next AS next_day,
+               FIRST_VALUE(o.day_value IGNORE NULLS) OVER w_next AS next_val
+        FROM grid g LEFT JOIN observed o
+          ON g.user_id = o.user_id AND g.day = o.day
+        WINDOW w_prev AS (PARTITION BY g.user_id ORDER BY g.day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_next AS (PARTITION BY g.user_id ORDER BY g.day
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, CAST(day AS VARCHAR) AS day,
+           ROUND(CASE
+               WHEN prev_val IS NULL THEN next_val
+               WHEN next_val IS NULL THEN prev_val
+               WHEN next_day = prev_day THEN prev_val
+               ELSE prev_val + (next_val - prev_val)
+                    * (day - prev_day) / (next_day - prev_day)
+           END, 4) AS value_interp
+    FROM anchored
+    """,
+)
+def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a dense per-user daily grid — the gap
+    filler for numeric sensor/finance series where resample_ffill's
+    step function is wrong (the value between two readings is assumed
+    to move linearly, not hold).
+
+    Same scale shape as resample_ffill: the calendar grid is |users| ×
+    |days| (bounded by the 20-user slice here; in production the grid is
+    generated per key, never a global cross join of raw events), the
+    observed series collapses to one row per (user, day) BEFORE the grid
+    join, and both anchor windows (last-non-null backward, first-non-null
+    forward) reuse ONE partition sort per user. Interpolation itself is
+    pure Column arithmetic on the two anchor structs.
+    """
+    ev = load(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    days = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    series = ev.where(F.col("user_id") <= 20).select("user_id").distinct()
+    grid = series.crossJoin(F.broadcast(days))
+    observed = (
+        ev.where((F.col("user_id") <= 20) & (F.col("event_type") == "purchase"))
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.max_by("value", "event_id").alias("day_value"))
+    )
+    g = grid.join(observed, ["user_id", "day"], "left")
+    w_prev = (
+        W.partitionBy("user_id").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_next = (
+        W.partitionBy("user_id").orderBy("day").rowsBetween(0, W.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    anchored = g.select(
+        "user_id",
+        "day",
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("prev_day"),
+        F.last("day_value", ignorenulls=True).over(w_prev).alias("prev_val"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("next_day"),
+        F.first("day_value", ignorenulls=True).over(w_next).alias("next_val"),
+    )
+    interp = (
+        F.when(F.col("prev_val").isNull(), F.col("next_val"))
+        .when(F.col("next_val").isNull(), F.col("prev_val"))
+        .when(F.col("next_day") == F.col("prev_day"), F.col("prev_val"))
+        .otherwise(
+            F.col("prev_val")
+            + (F.col("next_val") - F.col("prev_val"))
+            * F.datediff("day", "prev_day")
+            / F.datediff("next_day", "prev_day")
+        )
+    )
+    return anchored.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        F.round(interp, 4).alias("value_interp"),
+    )
+
+
+@register(
+    "welch_ttest",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN ((user_id % 2147483648) * 2654435761) % 4294967296 % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               AVG(value) AS metric
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    per_arm AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+               AVG(metric) AS m, VAR_SAMP(metric) AS v
+        FROM per_user GROUP BY arm
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN arm = 'control' THEN n END) AS n_c,
+               MAX(CASE WHEN arm = 'control' THEN m END) AS m_c,
+               MAX(CASE WHEN arm = 'control' THEN v END) AS v_c,
+               MAX(CASE WHEN arm = 'treatment' THEN n END) AS n_t,
+               MAX(CASE WHEN arm = 'treatment' THEN m END) AS m_t,
+               MAX(CASE WHEN arm = 'treatment' THEN v END) AS v_t
+        FROM per_arm
+    )
+    SELECT n_c, n_t,
+           ROUND(m_c, 4) AS mean_control,
+           ROUND(m_t, 4) AS mean_treatment,
+           ROUND(m_t - m_c, 4) + 0.0 AS mean_diff,
+           ROUND((m_t - m_c) / SQRT(v_c / n_c + v_t / n_t), 4) + 0.0 AS t_stat,
+           ROUND(POW(v_c / n_c + v_t / n_t, 2)
+                 / (POW(v_c / n_c, 2) / (n_c - 1)
+                    + POW(v_t / n_t, 2) / (n_t - 1)), 2) AS df_welch
+    FROM wide
+    """,
+)
+def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test on a continuous metric
+    (per-user average purchase value) between the same deterministic
+    Knuth-hash arms ab_test_lift uses — the means counterpart to its
+    proportions z-test, with the Welch–Satterthwaite df that stays valid
+    when arm variances differ.
+
+    Scale shape: the event stream collapses to one row per user (partial
+    +final agg on the user key), per-arm moments are a 2-row aggregate,
+    and the t/df formulas are scalar math on one row. Cost is one user-
+    key aggregation regardless of event volume — the whole statistical
+    layer rides on moments (n, mean, var), which partial-aggregate
+    map-side like any algebraic agg.
+    """
+    per_user = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.avg("value").alias("metric"))
+        .select(
+            F.when(
+                ((F.col("user_id") % F.lit(2147483648)) * F.lit(2654435761))
+                % F.lit(4294967296) % 2 == 0,
+                "control",
+            )
+            .otherwise("treatment")
+            .alias("arm"),
+            "metric",
+        )
+    )
+    per_arm = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("metric").alias("m"),
+        F.var_samp("metric").alias("v"),
+    )
+    wide = per_arm.agg(
+        F.max(F.when(F.col("arm") == "control", F.col("n"))).alias("n_c"),
+        F.max(F.when(F.col("arm") == "control", F.col("m"))).alias("m_c"),
+        F.max(F.when(F.col("arm") == "control", F.col("v"))).alias("v_c"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("n"))).alias("n_t"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("m"))).alias("m_t"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("v"))).alias("v_t"),
+    )
+    se2_c = F.col("v_c") / F.col("n_c")
+    se2_t = F.col("v_t") / F.col("n_t")
+    t_stat = (F.col("m_t") - F.col("m_c")) / F.sqrt(se2_c + se2_t)
+    df_w = F.pow(se2_c + se2_t, 2) / (
+        F.pow(se2_c, 2) / (F.col("n_c") - 1) + F.pow(se2_t, 2) / (F.col("n_t") - 1)
+    )
+    return wide.select(
+        "n_c",
+        "n_t",
+        F.round("m_c", 4).alias("mean_control"),
+        F.round("m_t", 4).alias("mean_treatment"),
+        (F.round(F.col("m_t") - F.col("m_c"), 4) + 0.0).alias("mean_diff"),
+        (F.round(t_stat, 4) + 0.0).alias("t_stat"),
+        F.round(df_w, 2).alias("df_welch"),
+    )
+
+
+@register(
+    "psi_drift",
+    oracle="""
+    WITH span AS (
+        SELECT MIN(epoch_us(ts)) AS t0u, MAX(epoch_us(ts)) AS t1u FROM events
+    ),
+    halves AS (
+        SELECT CASE WHEN 2 * epoch_us(e.ts) < s.t0u + s.t1u
+                    THEN 'ref' ELSE 'cur' END AS half,
+               LEAST(GREATEST(CAST(FLOOR(e.value / 50) AS INTEGER), 0), 9) AS bin
+        FROM events e CROSS JOIN span s
+        WHERE e.event_type = 'purchase'
+    ),
+    counts AS (
+        SELECT bin,
+               SUM(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+               SUM(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS c_cur
+        FROM halves GROUP BY bin
+    ),
+    shares AS (
+        SELECT bin,
+               GREATEST(c_ref * 1.0 / SUM(c_ref) OVER (), 1e-6) AS p_ref,
+               GREATEST(c_cur * 1.0 / SUM(c_cur) OVER (), 1e-6) AS p_cur
+        FROM counts
+    )
+    SELECT bin,
+           ROUND(p_ref, 6) AS p_ref,
+           ROUND(p_cur, 6) AS p_cur,
+           ROUND((p_cur - p_ref) * LN(p_cur / p_ref), 6) + 0.0 AS psi_term,
+           ROUND(SUM((p_cur - p_ref) * LN(p_cur / p_ref)) OVER (), 6) + 0.0
+               AS psi_total
+    FROM shares
+    """,
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of the
+    event horizon (purchase-value distribution over fixed 50-wide bins) —
+    the drift monitor that gates model retraining and flags upstream
+    pipeline shifts before they poison training data.
+
+    Scale shape: the time midpoint is a 1-row scalar broadcast onto the
+    unshuffled scan; binning is a scan-side expression; per-(half, bin)
+    counts partial-aggregate map-side into ≤10 rows, and every window
+    after that sees ≤10 rows. Fixed bin bounds (not quantiles) are what
+    make the two distributions comparable and the result mergeable across
+    snapshots. Zero-count bins clamp to 1e-6 so the log term stays
+    finite — the standard PSI smoothing.
+    """
+    ev = load(spark, sf_dir, "events")
+    # midpoint in integer µs (2·ts < t0+t1): engines disagree on halving a
+    # day-bearing INTERVAL (DuckDB floors the day component), so no engine
+    # divides anything
+    span = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0u"),
+        F.max(F.unix_micros("ts")).alias("t1u"),
+    )
+    halves = (
+        ev.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(span))
+        .select(
+            F.when(
+                2 * F.unix_micros("ts") < F.col("t0u") + F.col("t1u"),
+                "ref",
+            )
+            .otherwise("cur")
+            .alias("half"),
+            F.least(
+                F.greatest(F.floor(F.col("value") / 50).cast("int"), F.lit(0)),
+                F.lit(9),
+            ).alias("bin"),
+        )
+    )
+    counts = halves.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == "ref", 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("half") == "cur", 1).otherwise(0)).alias("c_cur"),
+    )
+    w_all = W.partitionBy()
+    shares = counts.select(
+        "bin",
+        F.greatest(F.col("c_ref") * 1.0 / F.sum("c_ref").over(w_all), F.lit(1e-6)).alias("p_ref"),
+        F.greatest(F.col("c_cur") * 1.0 / F.sum("c_cur").over(w_all), F.lit(1e-6)).alias("p_cur"),
+    )
+    term = (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))
+    return shares.select(
+        "bin",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        (F.round(term, 6) + 0.0).alias("psi_term"),
+        (F.round(F.sum(term).over(w_all), 6) + 0.0).alias("psi_total"),
+    )
