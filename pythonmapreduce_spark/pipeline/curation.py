@@ -492,3 +492,170 @@ def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("dup_ratio"),
     )
+
+
+_TOKS_SQL = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+
+
+@register(
+    "quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST({_TOKS_SQL}) AS t FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 8))::BIGINT % 32 AS bucket
+        FROM toks
+    ),
+    scored AS (
+        SELECT doc_id,
+               SUM(((bucket + 1) * 2654435761 % 4294967296) / 4294967296.0 - 0.5)
+                   / COUNT(*) AS mean_w,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM b GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(1.0 / (1.0 + EXP(-4.0 * mean_w)), 6) AS score,
+           CASE WHEN 1.0 / (1.0 + EXP(-4.0 * mean_w)) >= 0.5
+                THEN TRUE ELSE FALSE END AS keep
+    FROM scored
+    """,
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the fastText-classifier stage of
+    CCNet/FineWeb-style pipelines — as a hashed linear model: tokens hash
+    to 32 buckets (feature_hashing's stateless md5 bucketer), each bucket
+    carries a fixed Knuth-hash-derived weight, and the document score is
+    the sigmoid of the mean token weight.
+
+    The weights here are a deterministic stand-in for trained ones (no
+    model artifacts in the container), but the PLAN is exactly the real
+    thing: score = sigmoid(w · x / n) is one explode + one doc-key
+    aggregation, no vocabulary broadcast, no Python — a trained w would
+    arrive as a 32-row broadcast table joined on bucket, changing nothing
+    about the shuffle structure. At 100 TB this runs at scan throughput
+    with one partial+final agg on doc_id.
+    """
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, '\\\\s+'), t -> t != '')")).alias("t"),
+    )
+    bucket = F.expr("conv(substring(md5(t), 1, 8), 16, 10)").cast("long") % 32
+    w = ((bucket + 1) * F.lit(2654435761)) % F.lit(4294967296) / 4294967296.0 - 0.5
+    scored = toks.groupBy("doc_id").agg(
+        (F.sum(w) / F.count(F.lit(1))).alias("mean_w"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    )
+    score = 1.0 / (1.0 + F.exp(-4.0 * F.col("mean_w")))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(score, 6).alias("score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+@register(
+    "boilerplate_detect",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_TOKS_SQL} AS T FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, source,
+               md5(UNNEST(list_transform(
+                   range(CAST(CEIL(LEN(T) / 10.0) AS BIGINT)),
+                   i -> array_to_string(list_slice(T, i * 10 + 1, i * 10 + 10), ' ')
+               ))) AS seg_key
+        FROM toks
+    ),
+    boiler AS (
+        SELECT source, seg_key FROM segs
+        GROUP BY source, seg_key HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segs,
+               CAST(SUM(CASE WHEN b.seg_key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boiler
+        FROM segs s LEFT JOIN boiler b
+          ON s.source = b.source AND s.seg_key = b.seg_key
+        GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_segs, 0) AS n_segs,
+           COALESCE(p.n_boiler, 0) AS n_boiler,
+           ROUND(COALESCE(p.n_boiler, 0) * 1.0
+                 / GREATEST(COALESCE(p.n_segs, 0), 1), 4) AS boiler_ratio
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+)
+def boilerplate_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate detection: documents are segmented into
+    disjoint 10-token "lines" (the fixture corpus has no newlines; on
+    real web text the segmenter is split('\\n')), and a segment repeated
+    in ≥2 distinct documents OF THE SAME SOURCE is boilerplate — the
+    nav-bar/footer/cookie-banner signal a crawl pipeline strips before
+    training. Output is the per-document boilerplate ratio the keep/drop
+    gate thresholds.
+
+    Scale shape: segments never ship as text — only their 16-byte md5
+    digests shuffle (same digest-only discipline as dedup_exact /
+    media_chunk_dedup), keyed by (source, digest) so the repeat count is
+    blocked per source and no global hot key forms. Segmentation is a
+    shuffle-free explode in the scan stage; the boilerplate set is
+    per-source-bounded and joins back on the same (source, digest) key —
+    one exchange, reused by both the HAVING and the coverage join.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.expr("filter(split(text, '\\\\s+'), t -> t != '')").alias("T"),
+    )
+    n_segs_expr = F.ceil(F.size("T") / 10.0).cast("int")
+    segs = (
+        toks.where(F.size("T") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(0), n_segs_expr - 1)).alias("i"),
+            "T",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.array_join(F.slice("T", F.col("i") * 10 + 1, 10), " ")
+            ).alias("seg_key"),
+        )
+    )
+    boiler = (
+        segs.groupBy("source", "seg_key")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("source", "seg_key")
+    )
+    per_doc = (
+        segs.join(boiler.withColumn("is_b", F.lit(1)), ["source", "seg_key"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segs"),
+            F.sum(F.coalesce(F.col("is_b"), F.lit(0))).cast("long").alias("n_boiler"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segs", F.lit(0)).alias("n_segs"),
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            F.round(
+                F.coalesce("n_boiler", F.lit(0)) * 1.0
+                / F.greatest(F.coalesce("n_segs", F.lit(0)), F.lit(1)),
+                4,
+            ).alias("boiler_ratio"),
+        )
+    )

@@ -780,3 +780,185 @@ def dedup_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_pairs.agg(
         F.count(F.lit(1)).cast("long").alias("n_exact_pairs")
     ).crossJoin(missed.agg(F.count(F.lit(1)).cast("long").alias("n_missed")))
+
+
+@register(
+    "dedup_url",
+    oracle=r"""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://' || source || '.example.' ||
+               CASE WHEN doc_id % 3 = 0 THEN 'com' ELSE 'org' END ||
+               '/docs/' || CAST(doc_id % 120 AS VARCHAR) ||
+               CASE WHEN doc_id % 2 = 0
+                    THEN '?utm_source=feed&x=1' ELSE '' END AS url
+        FROM documents
+    ),
+    norm AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, '^https?://([^/?#]+)', 1))
+               || rtrim(regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1), '/')
+                   AS url_norm
+        FROM urls
+    )
+    SELECT url_norm,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dups
+    FROM norm GROUP BY url_norm
+    """,
+)
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-level URL dedup: normalize (lowercase host, strip the query
+    string and trailing slash — tracking parameters do not change the
+    page) and keep the first document per canonical URL. This is the
+    cheapest dedup layer in a web pipeline — it runs BEFORE any content
+    hashing because the key is metadata, not text.
+
+    URLs are synthesized deterministically from doc metadata with planted
+    collisions (path = doc_id mod 120), identically in both engines —
+    the same convention url_parse uses. Scale shape: normalization is a
+    scan-side regexp; the only exchange groups by the normalized-URL
+    key (in production: its digest), shipping zero document content.
+    min(doc_id) as survivor is the deterministic keep rule.
+    """
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example."),
+        F.when(F.col("doc_id") % 3 == 0, "com").otherwise("org"),
+        F.lit("/docs/"),
+        (F.col("doc_id") % 120).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, "?utm_source=feed&x=1").otherwise(""),
+    )
+    norm = F.concat(
+        F.lower(F.regexp_extract(url, r"^https?://([^/?#]+)", 1)),
+        F.rtrim(F.regexp_extract(url, r"^https?://[^/?#]+(/[^?#]*)", 1), F.lit("/")),
+    )
+    return (
+        docs.select("doc_id", norm.alias("url_norm"))
+        .groupBy("url_norm")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_dups"),
+        )
+    )
+
+
+@register(
+    "remove_dup_spans",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, md5(array_to_string(t[p:p+7], ' ')) AS span_key, p
+        FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 7)) AS p
+              FROM toks WHERE len(t) >= 8)
+    ), dup AS (
+        SELECT span_key FROM pos
+        GROUP BY span_key HAVING COUNT(DISTINCT doc_id) >= 2
+    ), covered AS (
+        SELECT DISTINCT doc_id, cp FROM (
+            SELECT p2.doc_id, UNNEST(generate_series(p2.p, p2.p + 7)) AS cp
+            FROM pos p2 JOIN dup USING (span_key)
+        )
+    ), tokpos AS (
+        SELECT doc_id, UNNEST(t) AS tok,
+               UNNEST(generate_series(1, len(t))) AS tp
+        FROM toks
+    ), kept AS (
+        SELECT k.doc_id, k.tok, k.tp
+        FROM tokpos k LEFT JOIN covered c
+          ON k.doc_id = c.doc_id AND k.tp = c.cp
+        WHERE c.cp IS NULL
+    ), rebuilt AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(tok, ' ' ORDER BY tp) AS cleaned
+        FROM kept GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(LEN(tk.t) AS BIGINT) AS n_tokens,
+           CAST(LEN(tk.t) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.cleaned, '') AS cleaned
+    FROM toks tk LEFT JOIN rebuilt r ON tk.doc_id = r.doc_id
+    """,
+)
+def remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup as a REWRITE (Lee et al. 2022's ExactSubstr
+    applied doc-side): every 8-token span occurring in ≥2 distinct
+    documents marks its token positions covered in EVERY occurrence, and
+    each document is rebuilt from its uncovered tokens — removing the
+    duplicated material itself rather than dropping whole documents
+    (dup_ngram_spans only REPORTS these spans; this consumes them).
+
+    Scale shape: span identity travels as a 16-byte md5 digest, never
+    span text; the duplicate-span set is found with one digest-keyed
+    aggregation; coverage explodes to (doc_id, position) int pairs —
+    8 ints per duplicated span occurrence, not text; and the rebuild is
+    one per-doc sort of kept (position, token) pairs. The anti-join and
+    rebuild both key on doc_id, so the heavy stages reuse one partition
+    layout. On a 100 TB corpus this is exactly the suffix-array
+    alternative that stays in relational land: bounded fan-out, digest
+    shuffles, no global index build.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.expr("filter(split(text, '\\\\s+'), t -> t != '')").alias("t")
+    )
+    pos = (
+        toks.where(F.size("t") >= 8)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 7)).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice("t", F.col("p"), 8), " ")).alias("span_key"),
+            "p",
+        )
+    )
+    dup = (
+        pos.groupBy("span_key")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("span_key")
+    )
+    covered = (
+        pos.join(dup, "span_key", "left_semi")
+        .select("doc_id", F.explode(F.sequence("p", F.col("p") + 7)).alias("cp"))
+        .distinct()
+    )
+    tokpos = toks.select(
+        "doc_id", F.posexplode("t").alias("pos0", "tok")
+    ).select("doc_id", "tok", (F.col("pos0") + 1).alias("tp"))
+    kept = tokpos.join(
+        covered,
+        (tokpos.doc_id == covered.doc_id) & (tokpos.tp == covered.cp),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tp", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    return (
+        toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+        )
+    )
