@@ -1079,3 +1079,104 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding keeps a 60° neighbor with p≈0.83). ann_lsh itself stays
     rows-only; this query is its driver-checkable tripwire."""
     return _ann_recall_contract(spark, sf_dir, "ann_lsh", 0.5)
+
+
+@register(
+    "semdedup",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    c AS (
+        SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id <= 8
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid
+               ) AS rn
+        FROM e CROSS JOIN c
+    ),
+    assign AS (
+        SELECT vec_id, cid AS cluster FROM scored WHERE rn = 1
+    ),
+    removed AS (
+        SELECT DISTINCT b.vec_id AS id_b
+        FROM assign a
+        JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4
+    )
+    SELECT s.vec_id, s.cluster,
+           (r.id_b IS NULL) AS keep
+    FROM assign s LEFT JOIN removed r ON s.vec_id = r.id_b
+    """,
+)
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): cluster embeddings,
+    then drop points with a near-identical neighbor INSIDE their cluster —
+    the embedding-space analog of MinHash near-dedup, catching rephrased/
+    re-encoded duplicates no lexical hash sees.
+
+    Deterministic one-pass formulation so both engines agree exactly:
+    centroids are the K=8 lowest-id vectors (ann_ivf's naive-init
+    convention; a real deployment feeds kmeans_iter's centroids in as a
+    table without changing this plan), assignment is argmax cosine with
+    centroid-id tiebreak, and within a cluster the smallest vec_id of a
+    similar pair (cosine ≥ 0.4, dup_embedding's threshold) survives — "has a smaller-id similar
+    neighbor" is the same survivor rule dedup_exact's window uses.
+
+    Scale shape: the K-row centroid table broadcasts onto the unshuffled
+    corpus scan (one cosine per vector per centroid); the pair stage is
+    O(Σ|cluster|²) BY DESIGN — SemDeDup's whole point is that K grows
+    with corpus size so clusters stay bounded (the paper uses 50k
+    clusters for LAION-440M); the in-cluster join shuffles on the
+    cluster key, vectors ship once each way. Nothing global, no n²."""
+    e = _vectors(spark, sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    c = e.where(F.col("vec_id") <= 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    cos_vc = _dot(F.col("v"), F.col("cv")) / (
+        _norm(F.col("v")) * _norm(F.col("cv"))
+    )
+    scored = e.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "cid",
+        F.row_number()
+        .over(W.partitionBy("vec_id").orderBy(cos_vc.desc(), F.col("cid")))
+        .alias("rn"),
+    )
+    assign = scored.where(F.col("rn") == 1).select(
+        "vec_id", F.col("cid").alias("cluster")
+    )
+    ea = assign.join(e, "vec_id").select(
+        F.col("vec_id").alias("id_a"), "cluster", F.col("v").alias("va")
+    )
+    eb = assign.join(e, "vec_id").select(
+        F.col("vec_id").alias("id_b"), F.col("cluster").alias("cluster_b"), F.col("v").alias("vb")
+    )
+    pair_cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    removed = (
+        ea.join(
+            eb,
+            (F.col("cluster") == F.col("cluster_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .where(pair_cos >= 0.4)
+        .select("id_b")
+        .distinct()
+    )
+    return assign.join(
+        removed, assign.vec_id == removed.id_b, "left"
+    ).select(
+        "vec_id",
+        "cluster",
+        F.col("id_b").isNull().alias("keep"),
+    )
