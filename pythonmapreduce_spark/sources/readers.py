@@ -255,3 +255,40 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+@register(
+    "source_binaryfile",
+    oracle=r"""
+    SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+           CAST(octet_length(encode(content)) AS BIGINT) AS n_bytes,
+           md5(content) AS digest
+    FROM read_text('/root/reference/books/*.txt')
+    """,
+)
+def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in `binaryFile` source over the reference's books/
+    corpus: whole files as opaque binary payloads with typed metadata
+    (path, length, content) — the ingestion shape for multimodal blobs
+    (multimodal.py consumes exactly this schema once images/audio are
+    real files instead of synthesized columns).
+
+    Emits per-file byte length + md5 digest, oracle-checked against
+    DuckDB's read_text (md5 over the UTF-8 payload; DuckDB's blob→varchar
+    cast escapes bytes, so read_blob cannot feed its md5) — proving
+    byte-exact ingestion, not just schema
+    shape. Fixed read-only corpus path, same convention as
+    wordcount_text. At scale binaryFile parallelizes per-file (one
+    partition per file up to maxPartitionBytes); digests reduce each
+    blob to 16 bytes before any exchange.
+    """
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load("/root/reference/books")
+        .select(
+            F.regexp_extract(F.col("path"), r"[^/]+$", 0).alias("file_name"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.md5(F.col("content")).alias("digest"),
+        )
+    )
