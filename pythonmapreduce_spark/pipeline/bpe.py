@@ -92,20 +92,10 @@ def _bpe_oracle(rounds: int) -> str:
     return ",".join(parts) + unions
 
 
-@register("bpe_train_merges", oracle=_bpe_oracle(_ROUNDS))
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First k=3 BPE merges over the documents corpus: per round, the
-    corpus-frequency-weighted most frequent adjacent symbol pair (ties to
-    the lexicographically smallest pair), merged greedily left-to-right in
-    every word before the next count.
-
-    Output: (round, pa, pb, cnt) — the merge table a tokenizer trainer
-    would persist. Each round collects exactly ONE row to the driver (the
-    argmax pair, the same bounded-transfer shape as kmeans_iter); the
-    merge rewrite is a narrow codegen'd string replace stacked on the
-    materialized vocabulary table, so a round is one partial-aggregated
-    pair count plus a map-only column rewrite — no shuffle, no join.
-    """
+def _train_merges(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, int]]:
+    """Run the k-round training loop and return the merge table
+    [(round, pa, pb, cnt)] — shared by bpe_train_merges (which emits it)
+    and tokenizer_apply (which applies it to the corpus)."""
     words = (
         load(spark, sf_dir, "documents")
         .select(F.explode(tokens_col()).alias("word"))
@@ -148,4 +138,108 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("m"), F.lit(_D + pa + _D + pb), F.lit(_D + pa + pb)
             ),
         )
-    return spark.createDataFrame(merges, _MERGES_SCHEMA)
+    return merges
+
+
+@register("bpe_train_merges", oracle=_bpe_oracle(_ROUNDS))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First k=3 BPE merges over the documents corpus: per round, the
+    corpus-frequency-weighted most frequent adjacent symbol pair (ties to
+    the lexicographically smallest pair), merged greedily left-to-right in
+    every word before the next count.
+
+    Output: (round, pa, pb, cnt) — the merge table a tokenizer trainer
+    would persist. Each round collects exactly ONE row to the driver (the
+    argmax pair, the same bounded-transfer shape as kmeans_iter); the
+    merge rewrite is a narrow codegen'd string replace stacked on the
+    materialized vocabulary table, so a round is one partial-aggregated
+    pair count plus a map-only column rewrite — no shuffle, no join.
+    """
+    return spark.createDataFrame(_train_merges(spark, sf_dir), _MERGES_SCHEMA)
+
+
+def _apply_oracle(rounds: int) -> str:
+    """Training CTEs (for the merge table) + per-document application."""
+    base = _bpe_oracle(rounds)
+    # drop the final UNION-ALL select; keep the CTE chain through w{rounds}
+    cte_end = base.index("\n    SELECT 1 AS round")
+    ctes = base[:cte_end]
+    rep = "e.msym"
+    for r in range(1, rounds + 1):
+        rep = (
+            f"replace({rep}, chr(1) || t{r}.pa || chr(1) || t{r}.pb,"
+            f" chr(1) || t{r}.pa || t{r}.pb)"
+        )
+    crosses = " ".join(f"CROSS JOIN t{r}" for r in range(1, rounds + 1))
+    return f"""{ctes},
+    enc AS (
+        SELECT doc_id,
+               array_to_string(list_transform(
+                   list_filter(string_split_regex(text, '\\s+'),
+                               t -> t <> '' AND NOT contains(t, chr(1))),
+                   t -> regexp_replace(t, '(.)', chr(1) || '\\1', 'g')),
+                   ' ') AS msym
+        FROM documents
+    ),
+    applied AS (
+        SELECT e.doc_id, e.msym, {rep} AS s
+        FROM enc e {crosses}
+    )
+    SELECT doc_id,
+           CAST(len(msym) - len(replace(msym, chr(1), '')) AS BIGINT)
+               AS n_chars_enc,
+           CAST(len(s) - len(replace(s, chr(1), '')) AS BIGINT)
+               AS n_symbols,
+           ROUND((len(s) - len(replace(s, chr(1), ''))) * 1.0
+                 / GREATEST(len(msym) - len(replace(msym, chr(1), '')), 1), 4)
+               AS compression
+    FROM applied
+    """
+
+
+@register("tokenizer_apply", oracle=_apply_oracle(_ROUNDS))
+def tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE with the trained tokenizer: apply bpe_train_merges' k merges
+    to every document and report per-doc symbol counts before/after plus
+    the compression ratio — the train→apply loop every tokenizer pipeline
+    closes (HF tokenizers' encode over a trained merges file).
+
+    The merge table is k driver-side literals (trained by the same
+    bounded-transfer loop as bpe_train_merges), so application is a
+    chain of k codegen'd string replaces over the marker-encoded token
+    stream — a map-only scan-stage plan with ZERO exchanges: symbol
+    counts come from length arithmetic on the marker character, never an
+    explode. Words are marker-joined with spaces between tokens, which no
+    merge pattern can span (patterns contain only marker+symbol chars) —
+    the same greedy left-to-right semantics as training, per document.
+    At 100 TB: k replaces at scan throughput; the merge table would
+    broadcast if it outgrew literal form.
+    """
+    merges = _train_merges(spark, sf_dir)
+    toks = F.filter(
+        tokens_col(), lambda t: ~F.contains(t, F.lit(_D))
+    )
+    msym = F.array_join(
+        F.transform(toks, lambda t: F.regexp_replace(t, "(.)", _D + "$1")),
+        " ",
+    )
+    enc = load(spark, sf_dir, "documents").select("doc_id", msym.alias("msym"))
+    applied = F.col("msym")
+    for _rnd, pa, pb, _cnt in merges:
+        applied = F.replace(
+            applied, F.lit(_D + pa + _D + pb), F.lit(_D + pa + pb)
+        )
+    n_marks = lambda c: F.length(c) - F.length(F.replace(c, F.lit(_D), F.lit("")))  # noqa: E731
+    out = enc.select(
+        "doc_id",
+        n_marks(F.col("msym")).cast("long").alias("n_chars_enc"),
+        n_marks(applied).cast("long").alias("n_symbols"),
+    )
+    return out.select(
+        "doc_id",
+        "n_chars_enc",
+        "n_symbols",
+        F.round(
+            F.col("n_symbols") * 1.0 / F.greatest(F.col("n_chars_enc"), F.lit(1)), 4
+        ).alias("compression"),
+    )

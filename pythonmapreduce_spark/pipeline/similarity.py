@@ -1180,3 +1180,135 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster",
         F.col("id_b").isNull().alias("keep"),
     )
+
+
+@register(
+    "embedding_outliers",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    norms AS (
+        SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ),
+    stats AS (
+        SELECT AVG(nrm) AS mu, STDDEV_SAMP(nrm) AS sd FROM norms
+    )
+    SELECT n.vec_id,
+           ROUND(n.nrm, 4) AS l2_norm,
+           ROUND((n.nrm - s.mu) / s.sd, 4) + 0.0 AS z,
+           (ABS((n.nrm - s.mu) / s.sd) >= 2.5) AS is_outlier
+    FROM norms n CROSS JOIN stats s
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality audit: per-vector L2 norm z-scored against the
+    corpus distribution — the cheap screen for broken encoder output
+    (zero vectors, exploding activations, truncated writes) that should
+    run before any ANN index build or semantic dedup trusts the vectors.
+
+    One scan computes norms (pure HOF arithmetic, no shuffle); the 1-row
+    (mean, std) aggregate broadcasts back onto the unshuffled norm
+    column. Cost is one pass + one scalar exchange regardless of corpus
+    size — the embedding twin of constraint_check's relational gates.
+    """
+    norms = _vectors(spark, sf_dir).select(
+        "vec_id",
+        _norm(_as_double(F.col("embedding"))).alias("nrm"),
+    )
+    stats = norms.agg(
+        F.avg("nrm").alias("mu"), F.stddev_samp("nrm").alias("sd")
+    )
+    z = (F.col("nrm") - F.col("mu")) / F.col("sd")
+    return norms.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.round("nrm", 4).alias("l2_norm"),
+        (F.round(z, 4) + 0.0).alias("z"),
+        (F.abs(z) >= 2.5).alias("is_outlier"),
+    )
+
+
+@register(
+    "hard_negatives",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, label AS q_label, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id <= {_KNN_QUERIES} AND embedding IS NOT NULL
+    ), c AS (
+        SELECT vec_id AS n_id, label AS n_label, CAST(embedding AS DOUBLE[]) AS nv
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), scored AS (
+        SELECT q_id, q_label, n_id, n_label,
+               list_cosine_similarity(qv, nv) AS cos_raw,
+               (q_label = n_label) AS same_label
+        FROM q CROSS JOIN c
+        WHERE q_id <> n_id
+    ), ranked AS (
+        SELECT q_id, n_id, cos_raw, same_label,
+               ROW_NUMBER() OVER (PARTITION BY q_id, same_label
+                                  ORDER BY ROUND(cos_raw, 4) DESC, n_id ASC) AS rn
+        FROM scored
+    )
+    SELECT q_id,
+           CAST(MAX(CASE WHEN same_label THEN n_id END) AS BIGINT) AS pos_id,
+           ROUND(MAX(CASE WHEN same_label THEN cos_raw END), 4) AS pos_cos,
+           CAST(MAX(CASE WHEN NOT same_label THEN n_id END) AS BIGINT) AS neg_id,
+           ROUND(MAX(CASE WHEN NOT same_label THEN cos_raw END), 4) AS neg_cos
+    FROM ranked WHERE rn = 1
+    GROUP BY q_id
+    """,
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding-model training: for each
+    query vector, the closest SAME-label neighbor (positive) and the
+    closest DIFFERENT-label neighbor (the hard negative — the most
+    confusable wrong-class example, which is what makes contrastive
+    batches informative; random negatives are too easy to matter).
+
+    Same plan family as knn_cosine: broadcast(queries) onto the
+    unshuffled corpus scan, one cosine per (query, candidate), then a
+    window top-1 per (query, label-parity) — ranks order by ROUND(cos,4)
+    with id tiebreak so cross-engine float drift cannot flip the argmax.
+    The only exchange carries 2 rows per query. At 100 TB the corpus
+    side stays put; only queries move.
+    """
+    emb = _vectors(spark, sf_dir).select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.where(F.col("vec_id") <= _KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        F.col("v").alias("nv"),
+    )
+    cos = _dot(F.col("qv"), F.col("nv")) / (
+        _norm(F.col("qv")) * _norm(F.col("nv"))
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            cos.alias("cos_raw"),
+            (F.col("q_label") == F.col("n_label")).alias("same_label"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("q_id", "same_label").orderBy(
+                F.round(F.col("cos_raw"), 4).desc(), F.col("n_id")
+            )
+        ),
+    ).where(F.col("rn") == 1)
+    return ranked.groupBy("q_id").agg(
+        F.max(F.when(F.col("same_label"), F.col("n_id"))).cast("long").alias("pos_id"),
+        F.round(F.max(F.when(F.col("same_label"), F.col("cos_raw"))), 4).alias("pos_cos"),
+        F.max(F.when(~F.col("same_label"), F.col("n_id"))).cast("long").alias("neg_id"),
+        F.round(F.max(F.when(~F.col("same_label"), F.col("cos_raw"))), 4).alias("neg_cos"),
+    )

@@ -851,3 +851,90 @@ def bad_records_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(ok, 0).otherwise(1)).cast("long").alias("n_quarantined"),
         )
     )
+
+
+@register(
+    "zipf_fit",
+    oracle=r"""
+    WITH freqs AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT UNNEST(list_filter(string_split_regex(text, '\s+'),
+                                      t -> t <> '')) AS word
+            FROM documents
+        )
+        GROUP BY word
+    ),
+    ranked AS (
+        SELECT cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS rank
+        FROM freqs
+    ),
+    pts AS (
+        SELECT LN(rank) AS x, LN(cnt) AS y
+        FROM ranked WHERE rank <= 1000
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM pts
+    )
+    SELECT n AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0 AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+               + 0.0 AS intercept,
+           ROUND(POW(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+    FROM m
+    """,
+)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus token-frequency distribution: OLS of
+    ln(freq) on ln(rank) for the top 1000 tokens → slope (healthy natural
+    text sits near −1), intercept, R². The corpus-health screen that
+    flags template-generated or boilerplate-heavy data before training —
+    synthetic corpora show up immediately as a flat or kinked slope.
+
+    The frequency table is wordcount's plan (explode + partial-agg
+    combine); ranking is one window over the vocabulary-sized table
+    (never the corpus); the fit is ols_fit's closed-form moment
+    aggregation on ≤1000 rows. Rank ties break on the token so both
+    engines rank identically.
+    """
+    freqs = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(tokens_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql.window import Window as _W
+
+    ranked = freqs.withColumn(
+        "rank",
+        F.row_number().over(_W.orderBy(F.col("cnt").desc(), F.col("word"))),
+    ).where(F.col("rank") <= 1000)
+    pts = ranked.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        n.alias("n_terms"),
+        (F.round(slope, 4) + 0.0).alias("slope"),
+        (F.round((sy - slope * sx) / n, 4) + 0.0).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            4,
+        ).alias("r2"),
+    )
