@@ -297,3 +297,44 @@ def test_sliding_distinct_fanout_after_collapse(spark, sf_smoke) -> None:
     gen = min(int(m) for m in re.findall(r"Generate \((\d+)\)", plan))
     first_agg = min(int(m) for m in re.findall(r"HashAggregate \((\d+)\)", plan))
     assert first_agg < gen, "fanout must follow the collapsing DISTINCT"
+
+
+def test_tokenizer_apply_zero_exchanges(spark, sf_smoke) -> None:
+    # encode is a chain of codegen'd replaces over the scan — symbol
+    # counts come from length arithmetic, so the plan must contain no
+    # Exchange at all (the merge table is driver-side literals)
+    plan = _plan(registry.QUERIES["tokenizer_apply"](spark, sf_smoke))
+    assert "Exchange" not in plan
+
+
+def test_hard_negatives_broadcasts_queries(spark, sf_smoke) -> None:
+    # the 20-query side broadcasts; the corpus scan must not shuffle
+    # before scoring (the only exchange is the per-query window)
+    plan = _plan(registry.QUERIES["hard_negatives"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_centroids_broadcast(spark, sf_smoke) -> None:
+    # K centroids broadcast onto the unshuffled corpus for assignment;
+    # the in-cluster pair join is an equi-join on the cluster key, never
+    # a cartesian pair explosion
+    plan = _plan(registry.QUERIES["semdedup"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_digests_only_shuffle(spark, sf_smoke) -> None:
+    # segment text must never cross an exchange — only md5 digests do
+    plan = _plan(registry.QUERIES["boilerplate_detect"](spark, sf_smoke))
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "seg_key" in m.group(1) or "doc_id" in m.group(1), m.group(0)
+
+
+def test_ewma_aggregates_before_fanout(spark, sf_smoke) -> None:
+    # the raw event volume must collapse to |days| rows before the
+    # 30x band fan-out: the partial+final agg pair appears below the join
+    plan = _plan(registry.QUERIES["ewma_smooth"](spark, sf_smoke))
+    assert plan.count("HashAggregate") >= 2
