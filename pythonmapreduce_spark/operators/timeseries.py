@@ -2139,3 +2139,215 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(term, 6) + 0.0).alias("psi_term"),
         (F.round(F.sum(term).over(w_all), 6) + 0.0).alias("psi_total"),
     )
+
+
+@register(
+    "target_encoding",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type, SUM(value) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND((st.s - e.value) / (st.n - 1), 4) AS loo_mean
+    FROM events e JOIN stats st ON e.event_type = st.event_type
+    """,
+)
+def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each row's category (event_type) is
+    replaced by the mean target (value) of OTHER rows in that category —
+    the categorical featurizer that avoids leaking the row's own label
+    into its feature (plain mean encoding overfits exactly that way).
+
+    LOO mean = (Σ_category − own) / (n_category − 1): the category sums
+    are a 5-row aggregate broadcast back onto the unshuffled scan, so
+    encoding costs one partial+final agg plus a map-side join — never a
+    per-row window over the raw table. The same two-pass shape works at
+    any cardinality; a high-cardinality category column would shuffle on
+    the category key instead of broadcasting.
+    """
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.sum("value").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round((F.col("s") - F.col("value")) / (F.col("n") - 1), 4).alias("loo_mean"),
+    )
+
+
+@register(
+    "auc_roc",
+    oracle="""
+    WITH scored AS (
+        SELECT value AS score,
+               (event_type = 'purchase') AS label
+        FROM events
+    ),
+    ranked AS (
+        SELECT label,
+               RANK() OVER (ORDER BY score) AS rk,
+               COUNT(*) OVER (PARTITION BY score) AS ties
+        FROM scored
+    ),
+    agg AS (
+        SELECT CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+               CAST(SUM(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS nn,
+               SUM(CASE WHEN label THEN rk + (ties - 1) / 2.0 END) AS rank_sum
+        FROM ranked
+    )
+    SELECT np AS n_pos, nn AS n_neg,
+           ROUND((rank_sum - np * (np + 1) / 2.0) / (np * nn), 6) AS auc
+    FROM agg
+    """,
+)
+def auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC via the rank statistic (Mann–Whitney U): does `value`
+    separate purchases from other events? AUC = (Σ positive ranks −
+    n⁺(n⁺+1)/2) / (n⁺n⁻), with midrank tie handling (RANK gives the min
+    rank of a tie group; +（ties−1)/2 recovers the average rank) — the
+    exact AUC, not a trapezoid approximation over binned thresholds.
+
+    The rank formulation is what makes AUC computable at scale: ONE
+    global sort (the rank window) instead of the O(n⁺·n⁻) pairwise
+    definition, then a 1-row moment aggregate. At 100 TB the sort is a
+    range-partitioned exchange on the score — the same cost class as any
+    global orderBy; per-partition AUC + merge via the U-statistic is the
+    further refinement if even one sort is too much.
+    """
+    scored = load(spark, sf_dir, "events").select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").alias("label"),
+    )
+    ranked = scored.select(
+        "label",
+        F.rank().over(W.orderBy("score")).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("score")).alias("ties"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long").alias("np"),
+        F.sum(F.when(F.col("label"), 0).otherwise(1)).cast("long").alias("nn"),
+        F.sum(
+            F.when(F.col("label"), F.col("rk") + (F.col("ties") - 1) / 2.0)
+        ).alias("rank_sum"),
+    )
+    return agg.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round(
+            (F.col("rank_sum") - F.col("np") * (F.col("np") + 1) / 2.0)
+            / (F.col("np") * F.col("nn")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@register(
+    "calibration_bins",
+    oracle="""
+    WITH scored AS (
+        SELECT LEAST(GREATEST(value / 500.0, 0.0), 1.0) AS p,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    binned AS (
+        SELECT LEAST(CAST(FLOOR(p * 10) AS INTEGER), 9) AS bin, p, y FROM scored
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(p), 4) AS mean_predicted,
+           ROUND(AVG(y), 4) AS observed_rate
+    FROM binned GROUP BY bin
+    """,
+)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram: bucket a predicted probability into 10 fixed
+    bins and compare mean prediction against the observed event rate per
+    bin — the calibration readout that tells you whether a score of 0.8
+    means 80%. (The probability here is a deterministic normalization of
+    `value`; a real model's score column would drop in unchanged.)
+
+    Fixed bin edges (not quantiles) keep the aggregation one-pass and
+    mergeable across data shards: a single partial+final agg on ≤10
+    groups, no sort, no second scan — the same scale shape as
+    value_histogram and psi_drift.
+    """
+    scored = load(spark, sf_dir, "events").select(
+        F.least(F.greatest(F.col("value") / 500.0, F.lit(0.0)), F.lit(1.0)).alias("p"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"), "p", "y"
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("p"), 4).alias("mean_predicted"),
+        F.round(F.avg("y"), 4).alias("observed_rate"),
+    )
+
+
+@register(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, SUM(value) AS revenue
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    cusum AS (
+        SELECT d, revenue,
+               COUNT(*) OVER () * SUM(revenue) OVER w_cum
+                   - (ROW_NUMBER() OVER (ORDER BY d)) * SUM(revenue) OVER ()
+                   AS c
+        FROM daily
+        WINDOW w_cum AS (ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(d AS VARCHAR) AS day,
+           ROUND(revenue, 2) AS revenue,
+           ROUND(c, 2) + 0.0 AS cusum_scaled,
+           (ABS(c) = MAX(ABS(c)) OVER ()) AS is_changepoint
+    FROM cusum
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over daily revenue: the running sum of
+    deviations from the series mean peaks (in absolute value) at the most
+    likely mean-shift point — the classic single-changepoint statistic,
+    flagged per day so monitoring can alert on regime shifts the
+    pointwise detectors (anomaly_zscore/anomaly_mad) miss.
+
+    The statistic is emitted n-SCALED: cusum_scaled = n·Σ_{i≤t}rev_i −
+    t·Σrev (= n·CUSUM_t). Dividing by n would put the true value on a
+    round-half boundary (the unscaled series lands on exact .xx5 cents
+    and the engines' float noise falls on opposite sides); the scaled
+    form is an exact multiple of 0.01, the argmax day is unchanged
+    (scaling is monotone), and no division ever happens.
+
+    Aggregate-then-window throughout: raw events collapse to |days| rows
+    first, then the cumulative sum and the arg-max flag are all windows
+    over that tiny series — nothing wider than |days| ever crosses an
+    exchange, the same discipline as pct_change/seasonal_daily.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.sum("value").alias("revenue"))
+    )
+    w_all = W.partitionBy()
+    w_cum = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    cusum = daily.withColumn(
+        "c",
+        F.count(F.lit(1)).over(w_all) * F.sum("revenue").over(w_cum)
+        - F.row_number().over(W.orderBy("d")) * F.sum("revenue").over(w_all),
+    )
+    return cusum.select(
+        F.col("d").cast("string").alias("day"),
+        F.round("revenue", 2).alias("revenue"),
+        (F.round("c", 2) + 0.0).alias("cusum_scaled"),
+        (F.abs(F.col("c")) == F.max(F.abs(F.col("c"))).over(w_all)).alias(
+            "is_changepoint"
+        ),
+    )
