@@ -1084,20 +1084,28 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "semdedup",
     oracle="""
-    WITH e AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    WITH n0 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings WHERE embedding IS NOT NULL
     ),
+    u AS (
+        SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM n0
+    ),
+    k AS (
+        SELECT GREATEST(8, COUNT(*) // 64) AS kk FROM u
+    ),
     c AS (
-        SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id <= 8
+        SELECT vec_id AS cid, v AS cv FROM u, k WHERE vec_id <= k.kk
     ),
     scored AS (
-        SELECT e.vec_id, c.cid,
+        SELECT u.vec_id, c.cid,
                ROW_NUMBER() OVER (
-                   PARTITION BY e.vec_id
-                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid
+                   PARTITION BY u.vec_id
+                   ORDER BY ROUND(list_dot_product(u.v, c.cv), 4) DESC, c.cid
                ) AS rn
-        FROM e CROSS JOIN c
+        FROM u CROSS JOIN c
     ),
     assign AS (
         SELECT vec_id, cid AS cluster FROM scored WHERE rn = 1
@@ -1106,9 +1114,9 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT b.vec_id AS id_b
         FROM assign a
         JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-        JOIN e ea ON ea.vec_id = a.vec_id
-        JOIN e eb ON eb.vec_id = b.vec_id
-        WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4
+        JOIN u ua ON ua.vec_id = a.vec_id
+        JOIN u ub ON ub.vec_id = b.vec_id
+        WHERE list_dot_product(ua.v, ub.v) >= 0.4
     )
     SELECT s.vec_id, s.cluster,
            (r.id_b IS NULL) AS keep
@@ -1122,33 +1130,47 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-encoded duplicates no lexical hash sees.
 
     Deterministic one-pass formulation so both engines agree exactly:
-    centroids are the K=8 lowest-id vectors (ann_ivf's naive-init
+    centroids are the K lowest-id vectors (ann_ivf's naive-init
     convention; a real deployment feeds kmeans_iter's centroids in as a
-    table without changing this plan), assignment is argmax cosine with
-    centroid-id tiebreak, and within a cluster the smallest vec_id of a
-    similar pair (cosine ≥ 0.4, dup_embedding's threshold) survives — "has a smaller-id similar
-    neighbor" is the same survivor rule dedup_exact's window uses.
+    table without changing this plan) with K = max(8, n/64) — K GROWS
+    WITH THE CORPUS so expected cluster size stays ~64 and the pair
+    stage stays linear in n, which is SemDeDup's entire design point
+    (the paper uses 50k clusters for LAION-440M). Assignment is argmax
+    dot on UNIT vectors (normalized once at the scan; cosine ≡ dot
+    thereafter, saving two norms per comparison) ranked on ROUND(dot,4)
+    with centroid-id tiebreak so cross-engine float drift cannot flip
+    the argmax — knn_cosine's convention. Within a cluster the smallest
+    vec_id of a similar pair (dot ≥ 0.4, dup_embedding's threshold)
+    survives — the same survivor rule dedup_exact's window uses.
 
-    Scale shape: the K-row centroid table broadcasts onto the unshuffled
-    corpus scan (one cosine per vector per centroid); the pair stage is
-    O(Σ|cluster|²) BY DESIGN — SemDeDup's whole point is that K grows
-    with corpus size so clusters stay bounded (the paper uses 50k
-    clusters for LAION-440M); the in-cluster join shuffles on the
-    cluster key, vectors ship once each way. Nothing global, no n²."""
-    e = _vectors(spark, sf_dir).select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
+    Scale shape: the count and the K-row centroid table broadcast onto
+    the unshuffled corpus scan; the in-cluster pair join shuffles on the
+    cluster key, unit vectors ship once each way; expected pair work is
+    n·64/2 dots regardless of corpus size. Nothing global, no n²."""
+    raw = _vectors(spark, sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v0")
     )
-    c = e.where(F.col("vec_id") <= 8).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    e = raw.withColumn("nrm", _norm(F.col("v0"))).select(
+        "vec_id",
+        F.transform(F.col("v0"), lambda x: x / F.col("nrm")).alias("v"),
     )
-    cos_vc = _dot(F.col("v"), F.col("cv")) / (
-        _norm(F.col("v")) * _norm(F.col("cv"))
+    k = e.agg(
+        F.greatest(F.lit(8), F.floor(F.count(F.lit(1)) / 64).cast("long")).alias("kk")
+    )
+    c = (
+        e.crossJoin(F.broadcast(k))
+        .where(F.col("vec_id") <= F.col("kk"))
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
     scored = e.crossJoin(F.broadcast(c)).select(
         "vec_id",
         "cid",
         F.row_number()
-        .over(W.partitionBy("vec_id").orderBy(cos_vc.desc(), F.col("cid")))
+        .over(
+            W.partitionBy("vec_id").orderBy(
+                F.round(_dot(F.col("v"), F.col("cv")), 4).desc(), F.col("cid")
+            )
+        )
         .alias("rn"),
     )
     assign = scored.where(F.col("rn") == 1).select(
@@ -1160,16 +1182,13 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = assign.join(e, "vec_id").select(
         F.col("vec_id").alias("id_b"), F.col("cluster").alias("cluster_b"), F.col("v").alias("vb")
     )
-    pair_cos = _dot(F.col("va"), F.col("vb")) / (
-        _norm(F.col("va")) * _norm(F.col("vb"))
-    )
     removed = (
         ea.join(
             eb,
             (F.col("cluster") == F.col("cluster_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .where(pair_cos >= 0.4)
+        .where(_dot(F.col("va"), F.col("vb")) >= 0.4)
         .select("id_b")
         .distinct()
     )
