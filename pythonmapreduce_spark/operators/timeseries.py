@@ -2351,3 +2351,72 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_changepoint"
         ),
     )
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH horizon AS (
+        SELECT MAX(CAST(ts AS DATE)) AS h FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               MAX(CAST(ts AS DATE)) AS last_purchase,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               SUM(value) AS monetary
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    rfm AS (
+        SELECT p.user_id,
+               CAST(h.h - p.last_purchase AS BIGINT) AS recency_days,
+               p.frequency,
+               p.monetary
+        FROM per_user p CROSS JOIN horizon h
+    )
+    SELECT user_id, recency_days, frequency,
+           ROUND(monetary, 2) AS monetary,
+           NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+           NTILE(5) OVER (ORDER BY frequency ASC, user_id) AS f_score,
+           NTILE(5) OVER (ORDER BY monetary ASC, user_id) AS m_score
+    FROM rfm
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user recency (days since last
+    purchase, relative to the data's own horizon — no wall clock, same
+    convention as churn_label), frequency, and monetary value, each
+    quintile-scored 1–5 (5 = most recent / frequent / valuable) — the
+    classic marketing segmentation every CRM pipeline computes.
+
+    One user-key aggregation collapses the event stream; the horizon is
+    a 1-row broadcast; the three NTILE windows run over the |users|
+    aggregate (never raw events) with user_id tiebreaks so the quintile
+    boundaries are deterministic in both engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    horizon = ev.agg(F.max(F.col("ts").cast("date")).alias("h"))
+    per_user = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("last_purchase"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum("value").alias("monetary"),
+        )
+    )
+    rfm = per_user.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.datediff("h", "last_purchase").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    return rfm.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        F.ntile(5).over(W.orderBy(F.col("recency_days").desc(), "user_id")).alias("r_score"),
+        F.ntile(5).over(W.orderBy(F.col("frequency").asc(), "user_id")).alias("f_score"),
+        F.ntile(5).over(W.orderBy(F.col("monetary").asc(), "user_id")).alias("m_score"),
+    )
