@@ -1101,14 +1101,13 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT u.vec_id, c.cid,
-               ROW_NUMBER() OVER (
-                   PARTITION BY u.vec_id
-                   ORDER BY ROUND(list_dot_product(u.v, c.cv), 4) DESC, c.cid
-               ) AS rn
+               CAST(ROUND(list_dot_product(u.v, c.cv) * 10000) AS BIGINT)
+                   * 1000000 - c.cid AS dkey
         FROM u CROSS JOIN c
     ),
     assign AS (
-        SELECT vec_id, cid AS cluster FROM scored WHERE rn = 1
+        SELECT vec_id, ARG_MAX(cid, dkey) AS cluster
+        FROM scored GROUP BY vec_id
     ),
     removed AS (
         SELECT DISTINCT b.vec_id AS id_b
@@ -1139,7 +1138,8 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot on UNIT vectors (normalized once at the scan; cosine ≡ dot
     thereafter, saving two norms per comparison) ranked on ROUND(dot,4)
     with centroid-id tiebreak so cross-engine float drift cannot flip
-    the argmax — knn_cosine's convention. Within a cluster the smallest
+    the argmax — knn_cosine's convention — computed as a map-side-
+    combinable max_by over the (dot, -cid) struct, not a sort window. Within a cluster the smallest
     vec_id of a similar pair (dot ≥ 0.4, dup_embedding's threshold)
     survives — the same survivor rule dedup_exact's window uses.
 
@@ -1162,19 +1162,17 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") <= F.col("kk"))
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
-    scored = e.crossJoin(F.broadcast(c)).select(
-        "vec_id",
-        "cid",
-        F.row_number()
-        .over(
-            W.partitionBy("vec_id").orderBy(
-                F.round(_dot(F.col("v"), F.col("cv")), 4).desc(), F.col("cid")
-            )
-        )
-        .alias("rn"),
+    # argmax key: rounded dot in 1e-4 units (exact integer) scaled past the
+    # centroid-id range, minus cid — one BIGINT encodes (dot DESC, cid ASC),
+    # and max_by over it partial-aggregates map-side (no sort window).
+    # DuckDB's ARG_MAX only takes scalar keys, hence the encoding.
+    dkey = (
+        F.round(_dot(F.col("v"), F.col("cv")) * 10000).cast("long") * 1000000
+        - F.col("cid")
     )
-    assign = scored.where(F.col("rn") == 1).select(
-        "vec_id", F.col("cid").alias("cluster")
+    scored = e.crossJoin(F.broadcast(c)).select("vec_id", "cid", dkey.alias("dkey"))
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by("cid", F.col("dkey")).alias("cluster")
     )
     ea = assign.join(e, "vec_id").select(
         F.col("vec_id").alias("id_a"), "cluster", F.col("v").alias("va")
