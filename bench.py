@@ -63,6 +63,13 @@ HEADLINE = [
     "scd2_snapshot",
     "stream_event_window",
     "sequence_pack",
+    # round-3 second wave: the BPE encode loop, span-rewrite dedup,
+    # clustered semantic dedup, and the rank-statistic AUC — the
+    # tokenizer/rewrite/embedding-dedup/eval tiers.
+    "tokenizer_apply",
+    "remove_dup_spans",
+    "semdedup",
+    "auc_roc",
 ]
 
 
