@@ -114,6 +114,23 @@ NOTES = {
         "shuffle); idf and corpus stats broadcast; TakeOrderedAndProject "
         "caps the ranking at k rows per partition."
     ),
+    "semdedup": (
+        "K = max(8, n/64) centroids broadcast onto the unit-normalized scan; "
+        "the argmax is a map-side max_by on an integer-encoded (dot, cid) "
+        "key (no sort window); the in-cluster pair join shuffles on the "
+        "cluster key with expected cluster size pinned at ~64 — pair work "
+        "stays linear in n because K grows with the corpus."
+    ),
+    "tokenizer_apply": (
+        "zero exchanges: the trained merges are driver-side literals applied "
+        "as chained codegen'd string replaces over the marker-encoded scan; "
+        "symbol counts are length arithmetic, never an explode."
+    ),
+    "remove_dup_spans": (
+        "span identity crosses exchanges only as a 16-byte md5; coverage "
+        "explodes to (doc_id, pos) int pairs; the anti-join and the rebuild "
+        "sort both key on doc_id, reusing one partition layout."
+    ),
 }
 
 
