@@ -962,3 +962,124 @@ def remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cleaned", F.lit("")).alias("cleaned"),
         )
     )
+
+
+def _cross_snapshot_candidates(
+    new_docs: DataFrame, old_docs: DataFrame, cap: int = _BUCKET_CAP
+) -> DataFrame:
+    """LSH candidate pairs ACROSS two snapshots only: each new doc pairs
+    with historical docs sharing a band bucket — old×old and new×new
+    pairs are never generated (history was already deduped when it was
+    ingested; that work is not repeated).
+
+    The historical band table is exactly the LSH index a production
+    pipeline persists between ingests: at 100 TB the old side is a
+    pre-computed, bucketed-on-(band,bucket) table read back per batch,
+    and the only shuffle is the (band,bucket) join against the new
+    batch's bands. Buckets cap their OLD side at ``cap`` sorted ids
+    (the star-degradation analog of _BUCKET_CAP: a boilerplate flood in
+    history can't go quadratic against a new batch that hashes into it).
+    """
+    bn = lsh_bands(new_docs).select(
+        F.col("doc_id").alias("new_id"), "band", "bucket"
+    )
+    bo = (
+        lsh_bands(old_docs)
+        .groupBy("band", "bucket")
+        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, cap).alias("old_ids"))
+    )
+    return (
+        bn.join(bo, ["band", "bucket"])
+        .select("new_id", F.explode("old_ids").alias("old_id"))
+        .distinct()
+    )
+
+
+@register("dedup_near_incremental")  # LSH hash-family dependent → rows-only
+def dedup_near_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR dedup: the new batch (doc_id % 3 = 0, the
+    dedup_cross_snapshot convention) is checked for near-duplicates
+    against the historical corpus via the cross-snapshot LSH band join —
+    the fuzzy sibling of dedup_cross_snapshot's exact digest anti-join,
+    and the shape every recurring crawl ingest runs (history's band
+    table is the persisted index; only the new batch is hashed fresh).
+
+    Candidates verify by exact token-set Jaccard ≥ 0.6 through the same
+    shuffle_hash-hinted joins as dedup_near (pair list as build side —
+    never broadcast, never a corpus sort). Output: new-batch documents
+    with their nearest historical duplicates.
+    """
+    docs = load(spark, sf_dir, "documents")
+    new_docs = docs.where(F.col("doc_id") % 3 == 0)
+    old_docs = docs.where(F.col("doc_id") % 3 != 0)
+    cands = _cross_snapshot_candidates(new_docs, old_docs)
+    toks = docs.select("doc_id", F.array_distinct(tokens_col()).alias("tset"))
+    tn = toks.select(F.col("doc_id").alias("new_id"), F.col("tset").alias("set_n"))
+    to = toks.select(F.col("doc_id").alias("old_id"), F.col("tset").alias("set_o"))
+    return (
+        cands.hint("shuffle_hash")
+        .join(tn, "new_id")
+        .hint("shuffle_hash")
+        .join(to, "old_id")
+        .withColumn(
+            "jaccard", F.round(_token_set_jaccard(F.col("set_n"), F.col("set_o")), 4)
+        )
+        .where(F.col("jaccard") >= 0.6)
+        .select("new_id", "old_id", "jaccard")
+    )
+
+
+@register(
+    "dedup_near_incremental_recall",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM documents
+        WHERE doc_id <= 300
+    ), s AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN LEN(toks) >= 3 THEN
+                   list_transform(range(1, LEN(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+               ELSE [array_to_string(toks, ' ')] END) AS sset
+        FROM t
+    )
+    SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+           ROUND(CAST(LEN(list_intersect(n.sset, o.sset)) AS DOUBLE)
+                 / LEN(list_distinct(list_concat(n.sset, o.sset))), 4) AS jaccard
+    FROM s n JOIN s o
+      ON n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0
+    WHERE CAST(LEN(list_intersect(n.sset, o.sset)) AS DOUBLE)
+          / LEN(list_distinct(list_concat(n.sset, o.sset))) >= 0.9
+    """,
+)
+def dedup_near_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for the incremental LSH path, driver-checkable:
+    every exact cross-snapshot shingle-Jaccard ≥ 0.9 pair in a bounded
+    doc range must appear among the cross-snapshot band-join candidates
+    (uncapped here, same reasoning as dedup_near_recall). A broken hash
+    family, band split, or snapshot partition shrinks the semi-join and
+    the external compare goes red — the incremental path gets the same
+    tripwire the batch path has.
+    """
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+    new_docs = docs.where(F.col("doc_id") % 3 == 0)
+    old_docs = docs.where(F.col("doc_id") % 3 != 0)
+    sh = docs.select(
+        "doc_id", F.array_distinct(_shingles(tokens_col())).alias("sset")
+    )
+    n = sh.join(new_docs.select("doc_id"), "doc_id").select(
+        F.col("doc_id").alias("new_id"), F.col("sset").alias("set_n")
+    )
+    o = sh.join(old_docs.select("doc_id"), "doc_id").select(
+        F.col("doc_id").alias("old_id"), F.col("sset").alias("set_o")
+    )
+    jac = _token_set_jaccard(F.col("set_n"), F.col("set_o"))
+    exact = (
+        n.crossJoin(o)
+        .where(jac >= 0.9)
+        .select("new_id", "old_id", F.round(jac, 4).alias("jaccard"))
+    )
+    cands = _cross_snapshot_candidates(new_docs, old_docs, cap=(1 << 31) - 1)
+    return exact.join(cands, ["new_id", "old_id"], "left_semi")
