@@ -938,3 +938,75 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("r2"),
     )
+
+
+@register(
+    "readability_score",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(LEN(list_filter(string_split_regex(text, '\s+'),
+                                    t -> t <> '')) AS BIGINT) AS n_words,
+               CAST(LEN(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS BIGINT) AS n_syllables
+        FROM documents
+    ),
+    nd AS (
+        SELECT doc_id, n_words, n_syllables,
+               CAST(CEIL(n_words / 15.0) AS BIGINT) AS n_sentences,
+               GREATEST(n_words, 1) AS w1,
+               GREATEST(CAST(CEIL(n_words / 15.0) AS BIGINT), 1) AS s1
+        FROM base
+    )
+    SELECT doc_id, n_words, n_syllables, n_sentences,
+           ((39 * n_words * w1 + 1180 * n_syllables * s1 - 1559 * s1 * w1
+             + 20 * 100 * s1 * w1) * 1000) // (100 * s1 * w1) - 20000
+               AS fk_milli
+    FROM nd
+    """,
+)
+def readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch–Kincaid grade level per document — the readability screen
+    complexity-based quality filters use (too-low grade = word salad,
+    too-high = OCR garbage or code). Syllables are approximated as vowel
+    GROUPS ([aeiouy]+ runs, the standard cheap estimator); sentences as
+    ceil(words/15) because the fixture corpus has no punctuation — on
+    real text that term is a regexp count over sentence terminators, same
+    plan shape.
+
+    The grade is emitted as an INTEGER milligrade: fk_milli =
+    floor(1000·(grade+20)) − 20000. The formula is an exact rational N/D
+    whose denominators are power-of-2-prone, so a fixed-decimal ROUND
+    lands on exact half-boundaries where the engines' rounding modes
+    disagree (bit in testing at 4dp); integer floor-division on the
+    positive-shifted numerator is bit-identical everywhere and loses
+    nothing a quality threshold cares about.
+
+    Pure scan-side expressions (split size + regexp_extract_all + scalar
+    math): zero exchanges, runs at parquet scan throughput — the cheapest
+    kind of quality signal, worth computing before anything that shuffles.
+    """
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count_col().cast("long").alias("n_words"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0))
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    n_sent = F.ceil(F.col("n_words") / 15.0).cast("long")
+    w1 = F.greatest(F.col("n_words"), F.lit(1))
+    s1 = F.greatest(n_sent, F.lit(1))
+    num = (
+        39 * F.col("n_words") * w1
+        + 1180 * F.col("n_syllables") * s1
+        - 1559 * s1 * w1
+        + 20 * 100 * s1 * w1
+    )
+    den = 100 * s1 * w1
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        n_sent.alias("n_sentences"),
+        (F.floor(num * 1000 / den).cast("long") - 20000).alias("fk_milli"),
+    )

@@ -382,3 +382,53 @@ def sink_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(src_dir, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_ingest_dedup",
+    oracle="""
+    WITH old AS (
+        SELECT md5(text) AS digest FROM documents WHERE doc_id % 3 <> 0
+    ),
+    new_batch AS (
+        SELECT doc_id, md5(text) AS digest, n_chars
+        FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT n.doc_id, n.n_chars
+    FROM new_batch n
+    WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.digest = n.digest)
+    """,
+)
+def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup: incoming documents (the doc_id % 3 = 0 new
+    batch, dedup_cross_snapshot's convention) stream through a LEFT ANTI
+    join against the STATIC historical digest table — the continuous form
+    of cross-snapshot dedup, where the crawl ingests as a stream and
+    history is the lakehouse digest index refreshed between runs.
+
+    Stream-static anti joins are stateless (each micro-batch probes the
+    static side independently — no watermark, no state store), so the
+    bounded availableNow replay emits exactly the batch anti-join, which
+    is the oracle. Only 16-byte digests participate in the join; document
+    text never leaves its scan.
+    """
+    from pyspark.sql import functions as FF
+
+    from pythonmapreduce_spark.catalog import SCHEMAS, load
+
+    src = (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .where(FF.col("doc_id") % 3 == 0)
+        .select("doc_id", FF.md5("text").alias("digest"), "n_chars")
+    )
+    old = (
+        load(spark, sf_dir, "documents")
+        .where(FF.col("doc_id") % 3 != 0)
+        .select(FF.md5("text").alias("digest"))
+        .distinct()
+    )
+    deduped = src.join(old, "digest", "left_anti").select("doc_id", "n_chars")
+    _, name = _run_to_memory(deduped, "append")
+    return spark.table(name)
