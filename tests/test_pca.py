@@ -66,7 +66,7 @@ def test_hll_rollup_error_bound(spark, sf_oracle) -> None:
 def test_kmeans_inertia_monotone(spark, sf_oracle) -> None:
     from pythonmapreduce_spark.pipeline.similarity import kmeans_history
 
-    history, rows = kmeans_history(spark, sf_oracle)
+    history, rows, _cents = kmeans_history(spark, sf_oracle)
     assert len(history) == 3
     # Lloyd's algorithm never increases inertia (allow fp slack).
     assert history[0] >= history[1] - 1e-6 >= history[2] - 2e-6
