@@ -38,6 +38,10 @@ RISK_FAMILIES = [
     "event_paths3",            # trigram top-k boundary
     "skyline_pareto",          # running-min over a global order
     "ab_test_lift",            # hash-assigned arms + scalar pivot
+    "semdedup",                # rounded-dot centroid argmax + pair prune
+    "remove_dup_spans",        # per-doc rebuild from sorted (pos, token)
+    "ewma_smooth",             # row-number band self-join on a float agg
+    "auc_roc",                 # global rank with midrank tie handling
 ]
 
 
