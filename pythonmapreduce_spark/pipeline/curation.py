@@ -659,3 +659,83 @@ def boilerplate_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boiler_ratio"),
         )
     )
+
+
+@register(
+    "k_anonymity_check",
+    oracle="""
+    WITH groups AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT c_mktsegment, c_nationkey, group_size,
+           (group_size < 5) AS violates_k5
+    FROM groups
+    """,
+)
+def k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (market segment,
+    nation): any equivalence class smaller than k=5 re-identifies its
+    members by those attributes alone — the governance gate a dataset
+    must pass before quasi-identifiers ship in a training corpus or a
+    data release (pairs with pii_scrub, which handles DIRECT
+    identifiers).
+
+    One partial+final aggregation on the quasi-identifier key; the
+    violation flag is scan-side math on the |classes|-sized result. At
+    100 TB the class count is bounded by the identifier domain, not row
+    count — the audit costs one combine-enabled pass.
+    """
+    groups = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+    )
+    return groups.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "group_size",
+        (F.col("group_size") < 5).alias("violates_k5"),
+    )
+
+
+@register(
+    "group_rare_categories",
+    oracle="""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY source
+    ),
+    mapped AS (
+        SELECT d.doc_id,
+               CASE WHEN c.n >= 30 THEN d.source ELSE 'OTHER' END AS source_grouped
+        FROM documents d JOIN counts c ON d.source = c.source
+    )
+    SELECT source_grouped,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM mapped GROUP BY source_grouped
+    """,
+)
+def group_rare_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-category collapsing: sources with fewer than 30 documents
+    fold into 'OTHER' — the categorical-feature hygiene step that stops
+    one-hot/target encoders from memorizing singleton categories (and
+    the long-tail bucket every feature store materializes).
+
+    Aggregate-then-broadcast: category counts are a |categories|-row
+    aggregate joined back onto the scan (broadcast at any scale — the
+    category domain is bounded), then one more combine-enabled count on
+    the collapsed key. No row ever shuffles with its full original
+    category cardinality.
+    """
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mapped = docs.join(F.broadcast(counts), "source").select(
+        F.when(F.col("n") >= 30, F.col("source")).otherwise("OTHER").alias(
+            "source_grouped"
+        )
+    )
+    return mapped.groupBy("source_grouped").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )

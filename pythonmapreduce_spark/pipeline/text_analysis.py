@@ -1010,3 +1010,56 @@ def readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_sent.alias("n_sentences"),
         (F.floor(num * 1000 / den).cast("long") - 20000).alias("fk_milli"),
     )
+
+
+@register(
+    "kwic_concordance",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, t, UNNEST(generate_series(1, len(t))) AS p
+        FROM toks
+    )
+    SELECT doc_id, CAST(p AS BIGINT) AS pos,
+           array_to_string(t[GREATEST(p - 2, 1):p + 2], ' ') AS context
+    FROM hits
+    WHERE t[p] = 'query'
+    """,
+)
+def kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance: every occurrence of the term
+    'query' with a ±2-token context window — the corpus-linguistics
+    descendant of the reference's grep job (grep_filter says WHICH docs
+    match; KWIC says each occurrence's position and surroundings, the
+    view an annotator or a prompt-injection auditor actually reads).
+
+    Shuffle-free: position explode + slice + join are all scan-stage
+    expressions; the term filter drops non-hits before anything else
+    happens, so output size is occurrence count, not corpus size. On a
+    100 TB corpus this runs at scan throughput with the term predicate
+    effectively acting as the selectivity gate.
+    """
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col().alias("t")
+    )
+    hits = toks.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.greatest(F.size("t"), F.lit(1)))).alias("p"),
+    ).where(F.element_at("t", F.col("p")) == "query")
+    return hits.select(
+        "doc_id",
+        F.col("p").cast("long").alias("pos"),
+        F.array_join(
+            F.slice(
+                "t",
+                F.greatest(F.col("p") - 2, F.lit(1)),
+                F.col("p") + 2 - F.greatest(F.col("p") - 2, F.lit(1)) + 1,
+            ),
+            " ",
+        ).alias("context"),
+    )
