@@ -310,3 +310,50 @@ def udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "documents").mapInArrow(
         _arrow_byte_stats, "doc_id long, n_bytes long, n_codepoints long"
     )
+
+
+@register(
+    "pandas_api_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def pandas_api_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-on-Spark API surface (``pyspark.pandas``): a groupby
+    aggregation authored in pandas idiom that COMPILES to the same
+    Catalyst plan the DataFrame API produces — the migration path for
+    pandas codebases onto the engine, distinct from pandas_udf (which
+    runs pandas IN workers; this runs NO pandas at execution time).
+
+    ``distributed`` default-index keeps index creation shuffle-free (the
+    default attaches a sequence — a global sort at scale). ``to_spark()``
+    hands back the logical plan, so downstream operators and the oracle
+    compare see an ordinary DataFrame; the whole query stays one
+    partial+final aggregation.
+    """
+    import pyspark.pandas as ps
+
+    from pythonmapreduce_spark.catalog import table_path
+
+    prev = ps.get_option("compute.default_index_type")
+    ps.set_option("compute.default_index_type", "distributed")
+    try:
+        pdf = ps.read_parquet(table_path(sf_dir, "documents"))
+        out = pdf.groupby("lang").agg(
+            n_docs=("doc_id", "count"),
+            total_chars=("n_chars", "sum"),
+            avg_chars=("n_chars", "mean"),
+        )
+        sdf = out.reset_index().to_spark()
+    finally:
+        ps.set_option("compute.default_index_type", prev)
+    return sdf.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.round("avg_chars", 4).alias("avg_chars"),
+    )

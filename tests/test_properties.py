@@ -253,3 +253,29 @@ def test_rag_index_dup_ratio_bounds(spark, sf_smoke) -> None:
         assert 0 < r["n_unique_chunks"] <= r["n_chunks"]
         assert 0.0 <= r["dup_ratio"] < 1.0
         assert r["n_docs"] <= r["n_chunks"]
+
+
+def test_observe_metrics_on_query_plan(spark, sf_oracle) -> None:
+    """`df.observe` — in-flight metric collection on a query plan (the
+    pipeline-monitoring API: row counts and sums recorded DURING the
+    action, no second scan). The observation must agree with a direct
+    aggregation of the same data."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from pythonmapreduce_spark.catalog import load
+
+    docs = load(spark, sf_oracle, "documents")
+    obs = Observation("ingest_stats")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    kept = observed.where(F.col("n_chars") > 0).count()
+    direct = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s")
+    ).first()
+    assert obs.get["n_rows"] == direct["n"]
+    assert obs.get["total_chars"] == direct["s"]
+    assert kept <= direct["n"]
