@@ -2420,3 +2420,63 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(W.orderBy(F.col("frequency").asc(), "user_id")).alias("f_score"),
         F.ntile(5).over(W.orderBy(F.col("monetary").asc(), "user_id")).alias("m_score"),
     )
+
+
+@register(
+    "late_arrival_audit",
+    oracle="""
+    WITH arr AS (
+        SELECT event_id, user_id, ts,
+               MAX(ts) OVER (ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS high_water
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id,
+               CASE WHEN epoch_us(ts) < epoch_us(high_water) - 3600000000
+                    THEN 1 ELSE 0 END AS is_late
+        FROM arr
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(is_late) AS BIGINT) AS n_late,
+           ROUND(SUM(is_late) * 1.0 / COUNT(*), 4) AS late_ratio
+    FROM flagged
+    GROUP BY user_id
+    HAVING SUM(is_late) > 0
+    """,
+)
+def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-drop accounting, batch-side: replaying events in arrival
+    order (event_id), an event whose timestamp lags the running
+    high-water mark by more than 1 hour is exactly what a streaming
+    watermark of 1 hour would DROP. Per-user late counts tell you which
+    sources need a longer watermark BEFORE the streaming job silently
+    sheds their data — the capacity-planning audit behind every
+    `withWatermark` setting in streaming/.
+
+    One global arrival-order window computes the high-water mark (at
+    scale: per ingest-partition high-water marks, the same shape), then
+    a combine-enabled per-user aggregation; comparison in integer µs —
+    no interval arithmetic, no engine drift.
+    """
+    ev = load(spark, sf_dir, "events")
+    w_arr = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, 0)
+    arr = ev.select(
+        "user_id",
+        "ts",
+        F.max("ts").over(w_arr).alias("high_water"),
+    )
+    is_late = (
+        F.unix_micros("ts") < F.unix_micros("high_water") - 3600000000
+    ).cast("int")
+    return (
+        arr.select("user_id", is_late.alias("is_late"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("is_late").cast("long").alias("n_late"),
+            F.round(F.sum("is_late") * 1.0 / F.count(F.lit(1)), 4).alias("late_ratio"),
+        )
+        .where(F.col("n_late") > 0)
+    )

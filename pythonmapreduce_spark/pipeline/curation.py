@@ -739,3 +739,74 @@ def group_rare_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.groupBy("source_grouped").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+@register(
+    "gdpr_erasure",
+    oracle="""
+    WITH del_list AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+    ),
+    ev AS (
+        SELECT 'events' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS rows_before,
+               CAST(SUM(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS rows_removed
+        FROM events e LEFT JOIN del_list d ON e.user_id = d.user_id
+    ),
+    cust AS (
+        SELECT 'customer' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS rows_before,
+               CAST(SUM(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS rows_removed
+        FROM customer c LEFT JOIN del_list d ON c.c_custkey = d.user_id
+    )
+    SELECT table_name, rows_before, rows_removed,
+           rows_before - rows_removed AS rows_after
+    FROM ev
+    UNION ALL
+    SELECT table_name, rows_before, rows_removed,
+           rows_before - rows_removed AS rows_after
+    FROM cust
+    """,
+)
+def gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation audit: a deletion list (here the
+    deterministic user_id % 97 slice standing in for erasure requests)
+    anti-joined through every table that carries the subject key, with a
+    per-table before/removed/after accounting row — the erasure job's
+    dry-run report a data-protection officer signs off before the
+    destructive pass runs (the write itself is merge_upsert /
+    sink_compaction territory).
+
+    The deletion list is tiny and broadcasts to every fact scan; each
+    table contributes one combine-enabled count pass. No fact table ever
+    shuffles — erasure auditing at 100 TB costs one broadcast-join scan
+    per table.
+    """
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer")
+    del_list = ev.where(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    d = F.broadcast(del_list.withColumn("hit", F.lit(1)))
+    ev_row = (
+        ev.join(d, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rows_before"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("rows_removed"),
+        )
+        .select(F.lit("events").alias("table_name"), "rows_before", "rows_removed")
+    )
+    cust_row = (
+        cust.join(d, cust.c_custkey == d.user_id, "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rows_before"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("rows_removed"),
+        )
+        .select(F.lit("customer").alias("table_name"), "rows_before", "rows_removed")
+    )
+    return ev_row.unionByName(cust_row).select(
+        "table_name",
+        "rows_before",
+        "rows_removed",
+        (F.col("rows_before") - F.col("rows_removed")).alias("rows_after"),
+    )
