@@ -1076,8 +1076,10 @@ def dedup_near_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("doc_id").alias("old_id"), F.col("sset").alias("set_o")
     )
     jac = _token_set_jaccard(F.col("set_n"), F.col("set_o"))
+    # bounded ≤300-doc range: the old side broadcasts (BroadcastNestedLoop,
+    # never a CartesianProduct — the engine-wide plan audit forbids those)
     exact = (
-        n.crossJoin(o)
+        n.crossJoin(F.broadcast(o))
         .where(jac >= 0.9)
         .select("new_id", "old_id", F.round(jac, 4).alias("jaccard"))
     )
