@@ -214,3 +214,198 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("forward"))
         .alias("direction"),
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, value AS purchase_value
+        FROM events
+        WHERE event_type = 'purchase'
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ), clicks AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+        FROM events WHERE event_type = 'click'
+    ), b AS (
+        SELECT c.event_id, c.user_id, c.cts, p.pts, p.purchase_value
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND p.pts <= c.cts
+    )
+    SELECT event_id, user_id, cts AS click_ts,
+           CASE WHEN pts IS NOT NULL
+                     AND epoch_us(cts) - epoch_us(pts) <= 7200000000
+                THEN pts END AS purchase_ts,
+           CASE WHEN pts IS NOT NULL
+                     AND epoch_us(cts) - epoch_us(pts) <= 7200000000
+                THEN purchase_value END AS purchase_value
+    FROM b
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-staleness as-of join: the latest purchase at or before each
+    click, but only if it is at most 2 hours stale — older state returns
+    NULL instead of silently attaching stale context (pandas merge_asof's
+    ``tolerance``; the correctness knob for feature lookups where stale
+    features are worse than missing ones).
+
+    Same single-exchange union-window plan as join_asof; the tolerance is
+    a residual NULL-out predicate applied AFTER the window, in integer µs
+    so neither engine does interval arithmetic. Completes the as-of
+    family: backward (join_asof), nearest (join_asof_nearest), bounded
+    staleness (this).
+    """
+    ev = load(spark, sf_dir, "events")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("ets"),
+            F.lit(1).alias("is_right"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("ts").alias("pts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.lit(0).alias("is_right"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("pts"),
+        F.lit(None).cast("double").alias("purchase_value"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ets").asc(), F.col("is_right").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = purchases.unionByName(clicks).select(
+        "user_id",
+        "is_right",
+        "event_id",
+        "ets",
+        F.last("pts", ignorenulls=True).over(w).alias("pts"),
+        F.last("purchase_value", ignorenulls=True).over(w).alias("pv"),
+    ).where(F.col("is_right") == 0)
+    fresh = F.col("pts").isNotNull() & (
+        F.unix_micros("ets") - F.unix_micros("pts") <= 7200000000
+    )
+    return merged.select(
+        "event_id",
+        "user_id",
+        F.col("ets").alias("click_ts"),
+        F.when(fresh, F.col("pts")).alias("purchase_ts"),
+        F.when(fresh, F.col("pv")).alias("purchase_value"),
+    )
+
+
+@register(
+    "bitemporal_asof",
+    oracle="""
+    WITH states AS (
+        SELECT user_id, value,
+               CAST(ts AS TIMESTAMP) AS valid_from,
+               epoch_us(CAST(ts AS TIMESTAMP)) + (event_id % 7) * 3600000000
+                   AS tx_from_us,
+               event_id,
+               LEAD(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+        FROM events WHERE event_type = 'click'
+    ), joined AS (
+        SELECT c.click_id, c.user_id, c.cts,
+               s.value, s.valid_from, s.tx_from_us, s.event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.click_id
+                   ORDER BY s.tx_from_us DESC, s.event_id DESC) AS rn
+        FROM clicks c JOIN states s
+          ON c.user_id = s.user_id
+         AND s.valid_from <= c.cts
+         AND (s.valid_to IS NULL OR c.cts < s.valid_to)
+         AND s.tx_from_us <= epoch_us(c.cts)
+    )
+    SELECT c.click_id AS event_id, c.user_id, c.cts AS click_ts,
+           j.value AS state_value,
+           j.valid_from, j.tx_from_us
+    FROM clicks c LEFT JOIN joined j
+      ON c.click_id = j.click_id AND j.rn = 1
+    """,
+)
+def bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal state lookup: for each click, the state VALID at the
+    click's event time AS KNOWN at that time — the two-axis (valid time ×
+    transaction time) query that scd2_snapshot and point_in_time_join
+    cannot answer, because a state row ingested LATE (its transaction
+    time lags its valid time — here synthesized deterministically as
+    event_id-dependent ingest lag) must be invisible to observations made
+    before it arrived. This is the reproducibility guarantee behind
+    feature-store time travel and restated financial reports.
+
+    Plan: valid intervals close via one lead() window per user; the
+    lookup is a user-key equi-join with residual interval + knowledge
+    predicates, then one row_number per observation picks the most
+    recently learned qualifying state (deterministic (tx, id) order).
+    Transaction time compares in integer µs. At 100 TB both sides
+    co-partition on the user key — one exchange each, no range explosion
+    beyond states-per-user.
+    """
+    ev = load(spark, sf_dir, "events")
+    states = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "value",
+            F.col("ts").alias("valid_from"),
+            (
+                F.unix_micros("ts") + (F.col("event_id") % 7) * 3600000000
+            ).alias("tx_from_us"),
+            "event_id",
+        )
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(
+                W.partitionBy("user_id").orderBy("valid_from", "event_id")
+            ),
+        )
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+    )
+    joined = (
+        clicks.join(states, "user_id")
+        .where(
+            (F.col("valid_from") <= F.col("cts"))
+            & (F.col("valid_to").isNull() | (F.col("cts") < F.col("valid_to")))
+            & (F.col("tx_from_us") <= F.unix_micros("cts"))
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("click_id").orderBy(
+                    F.col("tx_from_us").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("click_id", "value", "valid_from", "tx_from_us")
+    )
+    return clicks.join(joined, "click_id", "left").select(
+        F.col("click_id").alias("event_id"),
+        "user_id",
+        F.col("cts").alias("click_ts"),
+        F.col("value").alias("state_value"),
+        "valid_from",
+        "tx_from_us",
+    )
