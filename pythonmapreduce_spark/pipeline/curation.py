@@ -810,3 +810,64 @@ def gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_removed",
         (F.col("rows_before") - F.col("rows_removed")).alias("rows_after"),
     )
+
+
+@register(
+    "dataset_card_stats",
+    oracle=r"""
+    WITH per_doc AS (
+        SELECT doc_id, lang, n_chars, md5(text) AS digest,
+               CAST(LEN(list_filter(string_split_regex(text, '\s+'),
+                                    t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_unique_texts,
+           ROUND(1.0 - COUNT(DISTINCT digest) * 1.0 / COUNT(*), 4) AS dup_ratio,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           ROUND(AVG(CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END), 4)
+               AS quality_pass_rate
+    FROM per_doc
+    """,
+)
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary: the one-row corpus profile (volume, token
+    count, language spread, exact-duplicate ratio, length profile,
+    quality pass rate) that heads every dataset release — composed as
+    ONE plan over ONE scan, the way release tooling should compute it
+    (not six separate jobs re-reading the corpus).
+
+    All metrics are algebraic or distinct-aggregates on the same pass:
+    tokens/chars partial-aggregate map-side; the two COUNT(DISTINCT)s
+    ride Spark's Expand on a 16-byte digest and a tiny lang code —
+    never text. One scan, one aggregation tree, a 1-row result.
+    """
+    toks_n = F.size(F.expr("filter(split(text, '\\\\s+'), t -> t != '')")).cast(
+        "long"
+    )
+    per_doc = load(spark, sf_dir, "documents").select(
+        "lang",
+        "n_chars",
+        F.md5("text").alias("digest"),
+        toks_n.alias("n_tokens"),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.count_distinct("digest").cast("long").alias("n_unique_texts"),
+        F.round(1.0 - F.count_distinct("digest") * 1.0 / F.count(F.lit(1)), 4).alias(
+            "dup_ratio"
+        ),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 5000), 1.0
+                ).otherwise(0.0)
+            ),
+            4,
+        ).alias("quality_pass_rate"),
+    )

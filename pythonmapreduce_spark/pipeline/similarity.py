@@ -1337,3 +1337,86 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(~F.col("same_label"), F.col("n_id"))).cast("long").alias("neg_id"),
         F.round(F.max(F.when(~F.col("same_label"), F.col("cos_raw"))), 4).alias("neg_cos"),
     )
+
+
+@register(
+    "contamination_embedding",
+    oracle="""
+    WITH n0 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    u AS (
+        SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM n0
+    ),
+    bench AS (
+        SELECT vec_id AS b_id, v AS bv FROM u WHERE vec_id <= 10
+    ),
+    corpus AS (
+        SELECT vec_id, v FROM u WHERE vec_id > 10
+    ),
+    hits AS (
+        SELECT c.vec_id,
+               MAX((CAST(ROUND(list_dot_product(c.v, b.bv) * 10000) AS BIGINT)
+                    + 10000) * 1000000 + b.b_id) AS best_key
+        FROM corpus c CROSS JOIN bench b
+        GROUP BY c.vec_id
+    )
+    SELECT vec_id,
+           CAST(best_key % 1000000 AS BIGINT) AS nearest_bench_id,
+           (best_key // 1000000 - 10000) / 10000.0 AS max_cos,
+           ((best_key // 1000000 - 10000) / 10000.0 >= 0.35) AS contaminated
+    FROM hits
+    """,
+)
+def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination in EMBEDDING space: corpus vectors whose
+    cosine to ANY benchmark vector clears a threshold are flagged —
+    catching paraphrased/translated benchmark leakage that the n-gram
+    scans (ngram_decontaminate / decontamination) cannot see. The two
+    decontamination modalities run on the same corpus; training excludes
+    the union.
+
+    Same integer-key argmax trick as semdedup: the rounded dot in 1e-4
+    units scales past the benchmark-id range so ONE BIGINT max_by yields
+    (best cosine, best id) deterministically in both engines — here via
+    plain MAX over key+id (ids positive, key dominates). The benchmark
+    set broadcasts onto the unit-normalized corpus scan: one cosine per
+    (corpus row × benchmark row), one combine-enabled aggregate, no
+    corpus shuffle. At 100 TB the benchmark side is ~10⁴ vectors — still
+    a broadcast.
+    """
+    raw = _vectors(spark, sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v0")
+    )
+    u = raw.withColumn("nrm", _norm(F.col("v0"))).select(
+        "vec_id",
+        F.transform(F.col("v0"), lambda x: x / F.col("nrm")).alias("v"),
+    )
+    bench = u.where(F.col("vec_id") <= 10).select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv")
+    )
+    corpus = u.where(F.col("vec_id") > 10)
+    # +10000 shift keeps the key positive for every cosine in [-1, 1]:
+    # integer division then floors identically in both engines (Spark's
+    # long cast truncates toward zero, DuckDB's // floors — they only
+    # agree on non-negatives)
+    key = (
+        (F.round(_dot(F.col("v"), F.col("bv")) * 10000).cast("long") + 10000)
+        * 1000000
+        + F.col("b_id")
+    )
+    hits = (
+        corpus.crossJoin(F.broadcast(bench))
+        .groupBy("vec_id")
+        .agg(F.max(key).alias("best_key"))
+    )
+    max_cos = ((F.col("best_key") / 1000000).cast("long") - 10000) / 10000.0
+    return hits.select(
+        "vec_id",
+        (F.col("best_key") % 1000000).cast("long").alias("nearest_bench_id"),
+        max_cos.alias("max_cos"),
+        (max_cos >= 0.35).alias("contaminated"),
+    )
