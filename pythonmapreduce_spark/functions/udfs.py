@@ -357,3 +357,54 @@ def pandas_api_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_chars").cast("long").alias("total_chars"),
         F.round("avg_chars", 4).alias("avg_chars"),
     )
+
+
+def _arrow_lang_stats(table):  # noqa: ANN001
+    """Grouped-Arrow kernel: per-group byte/codepoint totals via
+    pyarrow.compute — C++ vectorized, no pandas materialization."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    text = table.column("text")
+    return pa.table(
+        {
+            "lang": [table.column("lang")[0].as_py()],
+            "n_docs": [table.num_rows],
+            "total_bytes": [pc.sum(pc.binary_length(text)).as_py() or 0],
+            "total_codepoints": [pc.sum(pc.utf8_length(text)).as_py() or 0],
+        }
+    )
+
+
+@register(
+    "udf_group_arrow",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(SUM(length(text)) AS BIGINT) AS total_codepoints
+    FROM documents GROUP BY lang
+    """,
+)
+def udf_group_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInArrow`` — the GROUPED Arrow entry point (Spark 4): each
+    group arrives as one pyarrow.Table and the kernel runs
+    pyarrow.compute (C++ vectorized) with zero pandas materialization —
+    the grouped sibling of udf_map_arrow's mapInArrow, closing the last
+    cell of the Python-UDF matrix (scalar/pandas/arrow × map/grouped/
+    cogrouped/state/UDTF).
+
+    Byte length vs codepoint count is again the honest kernel pair: they
+    differ exactly on non-ASCII documents, so an oracle mismatch exposes
+    any silent re-encoding in the Arrow transport. Grouped shuffle on
+    the lang key, then per-group C++ kernels; output is |langs| rows.
+    """
+    return (
+        load(spark, sf_dir, "documents")
+        .select("lang", "text")
+        .groupBy("lang")
+        .applyInArrow(
+            _arrow_lang_stats,
+            "lang string, n_docs long, total_bytes long, total_codepoints long",
+        )
+    )

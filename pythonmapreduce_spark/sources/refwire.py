@@ -29,8 +29,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from pythonmapreduce_spark.plans.registry import register
@@ -54,6 +56,9 @@ class RefWireDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> "_RefWireStreamReader":  # noqa: ANN001
         return _RefWireStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "_RefWireWriter":  # noqa: ANN001
+        return _RefWireWriter(self.options, overwrite)
 
 
 class _RefWireReader(DataSourceReader):
@@ -123,6 +128,41 @@ class _RefWireStreamReader(SimpleDataSourceStreamReader):
         for p in files[start["n_files"] : end["n_files"]]:
             rows.extend(_decode_wire_file(p))
         return iter(rows)
+
+
+class _RefWireWriter(DataSourceWriter):
+    """Executor-parallel WRITE of the reference's wire format — the sink
+    half of the connector (the reference's master produces this framing
+    driver-side over a socket, /root/reference/master.py:33-40; here each
+    task frames its own partition into one ``.wire`` file).
+
+    Frames are emitted exactly as the reference does: ``#\r#{file}#\r#
+    {chunk}`` concatenated with no record separator (the format is
+    self-delimiting as long as chunks never contain the delimiter — the
+    reference has no escaping, SURVEY §1.3, and neither do we). One file
+    per non-empty partition, named by partition id; overwrite clears the
+    target directory at plan time (driver-side), matching parquet's
+    overwrite contract at this scale of fidelity."""
+
+    def __init__(self, options, overwrite: bool) -> None:  # noqa: ANN001
+        self.path = options.get("path")
+        if overwrite and os.path.isdir(self.path):
+            for old_file in glob.glob(os.path.join(self.path, "*.wire")):
+                os.remove(old_file)
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator) -> WriterCommitMessage:  # noqa: ANN001
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        frames: list[str] = []
+        for row in iterator:
+            frames.append(f"{_DELIM}{row.file_name}{_DELIM}{row.chunk}")
+        if frames:
+            out = os.path.join(self.path, f"part-{pid:05d}.wire")
+            with open(out, "w", encoding="utf-8", newline="") as f:
+                f.write("".join(frames))
+        return WriterCommitMessage()
 
 
 _REGISTERED: set[int] = set()
@@ -222,3 +262,36 @@ def stream_wordcount_refwire(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, name = _run_to_memory(counts, "complete")
     return spark.table(name)
+
+
+@register(
+    "sink_roundtrip_refwire",
+    oracle="SELECT source AS file_name, text AS chunk FROM documents",
+)
+def sink_roundtrip_refwire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless WRITE→READ round trip through the reference's wire format
+    as a Spark sink: the documents table is framed by the custom
+    DataSource's executor-parallel writer (one ``.wire`` file per
+    partition) and read back through its reader; the oracle is the
+    original table, so any framing or decode loss breaks the hash
+    compare. Completes the refwire connector — the reference's format is
+    now both a queryable source AND a writable sink, like every other
+    connector in sources/ (CSV/JSON/ORC/JDBC round trips).
+
+    The format has no escaping (reference parity, SURVEY §1.3): the
+    fixture corpus contains no delimiter bytes, which is exactly the
+    assumption the reference itself lives on.
+    """
+    import uuid as _uuid
+
+    from pythonmapreduce_spark.catalog import load
+
+    register_refwire(spark)
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "pmr_spark_io", f"refwire_rt_{_uuid.uuid4().hex[:8]}"
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("source").alias("file_name"), F.col("text").alias("chunk")
+    )
+    docs.write.format("refwire").mode("overwrite").option("path", out_dir).save()
+    return spark.read.format("refwire").option("path", out_dir).load()
