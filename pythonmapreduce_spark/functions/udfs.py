@@ -366,12 +366,18 @@ def _arrow_lang_stats(table):  # noqa: ANN001
     import pyarrow.compute as pc
 
     text = table.column("text")
+    # explicit schema: a NULL group key would otherwise infer pa.null()
+    # for the lang column and fail the result-type check
     return pa.table(
         {
-            "lang": [table.column("lang")[0].as_py()],
-            "n_docs": [table.num_rows],
-            "total_bytes": [pc.sum(pc.binary_length(text)).as_py() or 0],
-            "total_codepoints": [pc.sum(pc.utf8_length(text)).as_py() or 0],
+            "lang": pa.array([table.column("lang")[0].as_py()], pa.string()),
+            "n_docs": pa.array([table.num_rows], pa.int64()),
+            "total_bytes": pa.array(
+                [pc.sum(pc.binary_length(text)).as_py() or 0], pa.int64()
+            ),
+            "total_codepoints": pa.array(
+                [pc.sum(pc.utf8_length(text)).as_py() or 0], pa.int64()
+            ),
         }
     )
 

@@ -79,6 +79,10 @@ class _RefWireReader(DataSourceReader):
         # newline="" in _decode_wire_file disables universal-newline
         # translation: the delimiter contains a literal \r that text mode
         # would silently fold to \n.
+        # partition is None when partitions() returned [] (empty wire
+        # directory): Spark still schedules one default partition.
+        if partition is None:
+            return
         yield from _decode_wire_file(partition.value)
 
 
