@@ -279,3 +279,51 @@ def test_observe_metrics_on_query_plan(spark, sf_oracle) -> None:
     assert obs.get["n_rows"] == direct["n"]
     assert obs.get["total_chars"] == direct["s"]
     assert kept <= direct["n"]
+
+
+def test_tokenizer_apply_compression_properties(spark, sf_oracle) -> None:
+    """Encoding can only merge symbols: n_symbols ≤ n_chars_enc per doc,
+    compression ∈ (0, 1], and the corpus-wide symbol reduction equals the
+    total number of merge applications (each merge application removes
+    exactly one symbol)."""
+    from pythonmapreduce_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["tokenizer_apply"](spark, sf_oracle).collect()
+    assert rows
+    for r in rows:
+        assert r["n_symbols"] <= r["n_chars_enc"]
+        if r["n_chars_enc"] > 0:
+            assert 0 < r["compression"] <= 1.0
+
+
+def test_semdedup_survivor_structure(spark, sf_oracle) -> None:
+    """Every vector is assigned exactly once; at least one survivor per
+    non-empty cluster (the smallest id in a cluster can never be removed
+    by the smaller-id-neighbor rule)."""
+    from pyspark.sql import functions as F
+
+    from pythonmapreduce_spark.plans import registry
+
+    registry.load_all()
+    df = registry.QUERIES["semdedup"](spark, sf_oracle)
+    n = df.count()
+    assert df.select("vec_id").distinct().count() == n
+    per_cluster = df.groupBy("cluster").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep")
+    )
+    assert per_cluster.where(F.col("n_keep") == 0).count() == 0
+
+
+def test_remove_dup_spans_idempotent(spark, sf_oracle) -> None:
+    """Span removal only removes: n_removed ≥ 0 and cleaned token count
+    equals n_tokens - n_removed (no token invented by the rebuild)."""
+    from pythonmapreduce_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["remove_dup_spans"](spark, sf_oracle).collect()
+    assert rows
+    for r in rows:
+        n_clean = len([t for t in r["cleaned"].split(" ") if t]) if r["cleaned"] else 0
+        assert r["n_removed"] >= 0
+        assert n_clean == r["n_tokens"] - r["n_removed"]
