@@ -2480,3 +2480,60 @@ def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_late") > 0)
     )
+
+
+@register(
+    "resample_ohlc",
+    oracle="""
+    WITH p AS (
+        SELECT CAST(ts AS DATE) AS d, value, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_z
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(d AS VARCHAR) AS day,
+           ROUND(MIN(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+           ROUND(MAX(value), 2) AS high,
+           ROUND(MIN(value), 2) AS low,
+           ROUND(MIN(CASE WHEN rn_z = 1 THEN value END), 2) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_trades,
+           ROUND(SUM(value), 2) AS volume
+    FROM p GROUP BY d
+    """,
+)
+def resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: daily open/high/low/close bars over the purchase
+    stream — the finance-standard resample where open/close are
+    positional (first/last by time), not extremal, so plain min/max
+    aggregation is wrong and the arg-extreme pair is the operator.
+
+    One partial+final aggregation: min_by/max_by on the (µs, event_id)
+    struct key pick the first/last trade deterministically (the id breaks
+    same-microsecond ties identically in both engines), and partial
+    min_by merges map-side like any algebraic aggregate — no window, no
+    sort, |days| output rows regardless of trade volume.
+    """
+    ev = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    tkey = F.struct(F.unix_micros("ts").alias("us"), F.col("event_id").alias("id"))
+    return (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.round(F.min_by("value", tkey), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", tkey), 2).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_trades"),
+            F.round(F.sum("value"), 2).alias("volume"),
+        )
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_trades",
+            "volume",
+        )
+    )

@@ -871,3 +871,75 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("quality_pass_rate"),
     )
+
+
+@register(
+    "split_leakage_check",
+    oracle="""
+    WITH split AS (
+        SELECT doc_id, md5(text) AS digest,
+               CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10 < 8
+                    THEN 'train'
+                    WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10 = 8
+                    THEN 'val'
+                    ELSE 'test' END AS part
+        FROM documents
+    ),
+    per_digest AS (
+        SELECT digest,
+               COUNT(DISTINCT part) AS n_parts,
+               COUNT(DISTINCT CASE WHEN part = 'train' THEN 1 END) AS in_train,
+               COUNT(DISTINCT CASE WHEN part <> 'train' THEN 1 END) AS in_eval
+        FROM split GROUP BY digest
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_digests,
+           CAST(SUM(CASE WHEN n_parts > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cross_split,
+           CAST(SUM(CASE WHEN in_train = 1 AND in_eval = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_train_eval_leaks
+    FROM per_digest
+    """,
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage audit: documents with IDENTICAL text landing on
+    both sides of dataset_split's deterministic boundary — the eval-
+    contamination bug (duplicate docs split across train and test inflate
+    benchmark scores) that every split must be audited for BEFORE the
+    near-dup and n-gram decontamination layers even start. Counts total
+    distinct texts, texts spanning any two splits, and the train↔eval
+    leaks specifically.
+
+    One digest-keyed aggregation (16-byte keys, never text) over the same
+    Knuth-hash split rule dataset_split emits — the audit and the split
+    share one deterministic definition, so a green audit certifies the
+    ACTUAL split, not a re-derivation. Fixture corpus plants exact dups,
+    so the leak counts are non-zero here by design: the point of the
+    audit is to measure, dedup_exact is the fix.
+    """
+    docs = load(spark, sf_dir, "documents")
+    part = (
+        F.when(
+            ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+            % F.lit(4294967296) % 10 < 8,
+            "train",
+        )
+        .when(
+            ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+            % F.lit(4294967296) % 10 == 8,
+            "val",
+        )
+        .otherwise("test")
+    )
+    split = docs.select(F.md5("text").alias("digest"), part.alias("part"))
+    per_digest = split.groupBy("digest").agg(
+        F.count_distinct("part").alias("n_parts"),
+        F.count_distinct(F.when(F.col("part") == "train", 1)).alias("in_train"),
+        F.count_distinct(F.when(F.col("part") != "train", 1)).alias("in_eval"),
+    )
+    return per_digest.agg(
+        F.count(F.lit(1)).cast("long").alias("n_digests"),
+        F.sum((F.col("n_parts") > 1).cast("int")).cast("long").alias("n_cross_split"),
+        F.sum(((F.col("in_train") == 1) & (F.col("in_eval") == 1)).cast("int"))
+        .cast("long")
+        .alias("n_train_eval_leaks"),
+    )
