@@ -180,3 +180,80 @@ def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("p_name", " ", "_").alias("snaked"),
         F.col("p_type").rlike("ST").alias("has_st"),
     )
+
+
+@register(
+    "map_hof",
+    oracle="""
+    WITH m AS (
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+               LEN(json_keys(props)) AS n_keys
+        FROM events
+    )
+    SELECT event_id,
+           n_keys AS n_entries,
+           k_val * 10 AS k_scaled,
+           CASE WHEN k_val >= 5 THEN 1 ELSE 0 END AS n_large
+    FROM m
+    """,
+)
+def map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order MAP functions — transform_values / map_filter /
+    map_entries — completing the HOF surface next to array_hof's array
+    lambdas: the typed map parsed once from JSON is rewritten
+    (values×10), filtered (values ≥ 5), and counted, all as JVM lambda
+    expressions inside the scan stage, no UDF and no re-parse.
+
+    The oracle states the same semantics over DuckDB's JSON accessors
+    (DuckDB has no map lambdas — the FORMULATION differs, the contract
+    doesn't, same convention as resample_ohlc's oracle). Fixture props
+    carry the single key 'k', so entry counts and per-key effects are
+    exactly checkable.
+    """
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    scaled = F.transform_values(m, lambda _k, v: v * 10)
+    large = F.map_filter(m, lambda _k, v: v >= 5)
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.size(F.map_entries(m)).cast("long").alias("n_entries"),
+        F.element_at(scaled, "k").alias("k_scaled"),
+        F.size(F.map_entries(large)).cast("long").alias("n_large"),
+    )
+
+
+@register(
+    "xml_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority AS priority_from_xml,
+           CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price_from_xml
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's built-in XML support (`from_xml` — the spark-xml package
+    folded into core): orders rows are serialized to XML deterministically
+    and parsed back through a typed schema, proving the XML ingestion
+    path round-trips values exactly (the oracle recomputes the same
+    fields straight from the columns, so any parse loss or type coercion
+    in the XML path breaks the hash).
+
+    Both serialize and parse are scan-stage expressions (to_xml/from_xml
+    inside codegen) — the shape an XML feed ingestion takes, with the
+    document boundary per row. Bounded to 1% of orders to keep the
+    driver compare light.
+    """
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    xml = F.to_xml(
+        F.struct(
+            F.col("o_orderpriority").alias("priority"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
+    parsed = F.from_xml(xml, "priority STRING, price DOUBLE")
+    return o.select(
+        "o_orderkey",
+        parsed.getField("priority").alias("priority_from_xml"),
+        parsed.getField("price").alias("price_from_xml"),
+    )
