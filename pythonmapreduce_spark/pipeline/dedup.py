@@ -908,6 +908,14 @@ def remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.expr("filter(split(text, '\\\\s+'), t -> t != '')").alias("t")
     )
+    # span_key never leaves its engine (the output carries no keys), so
+    # each side may use its own injective hash: here one multi-arg
+    # xxhash64 over the 8 tokens — JVM-side, no per-span string
+    # materialization (wall time is flat at test scale, where the
+    # coverage explode and rebuild sort dominate; at 100 TB the avoided
+    # string allocations matter). The oracle keeps md5 over the joined
+    # span; the duplicate-span SETS agree because both hashes group by
+    # span content.
     pos = (
         toks.where(F.size("t") >= 8)
         .select(
@@ -915,9 +923,10 @@ def remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t",
             F.explode(F.sequence(F.lit(1), F.size("t") - 7)).alias("p"),
         )
-        .select(
+        .selectExpr(
             "doc_id",
-            F.md5(F.array_join(F.slice("t", F.col("p"), 8), " ")).alias("span_key"),
+            "xxhash64(get(t, p - 1), get(t, p), get(t, p + 1), get(t, p + 2), "
+            "get(t, p + 3), get(t, p + 4), get(t, p + 5), get(t, p + 6)) AS span_key",
             "p",
         )
     )
