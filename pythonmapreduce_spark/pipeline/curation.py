@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from pythonmapreduce_spark.catalog import load
 from pythonmapreduce_spark.plans.registry import QUERIES, register
+from pythonmapreduce_spark.sources.text_corpus import tokens_col
 
 # Model context window for chunking/packing. Small enough that the fixture
 # corpus (~100 tokens/doc) produces multi-chunk docs and multi-doc bins —
@@ -942,4 +943,263 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(((F.col("in_train") == 1) & (F.col("in_eval") == 1)).cast("int"))
         .cast("long")
         .alias("n_train_eval_leaks"),
+    )
+
+
+@register(
+    "coverage_overlap_sources",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT source, md5(text) AS digest FROM documents
+    ),
+    sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY source
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM d a JOIN d b ON a.digest = b.digest AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT p.source_a, p.source_b, p.n_shared,
+           ROUND(p.n_shared * 1.0 / LEAST(sa.n, sb.n), 4) AS overlap_coef
+    FROM pairs p
+    JOIN sizes sa ON p.source_a = sa.source
+    JOIN sizes sb ON p.source_b = sb.source
+    """,
+)
+def coverage_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-overlap matrix: how many identical documents each pair of
+    sources shares (overlap coefficient = shared / min size) — the
+    crawl-planning signal that says which feeds mirror each other and
+    which add coverage, BEFORE paying to ingest both.
+
+    Pair generation happens on the digest key (same-digest docs join,
+    then group by the source pair) — never a source × source cross join;
+    work is bounded by duplicate volume, and only 16-byte digests + short
+    source codes shuffle. Output is at most |sources|² rows.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.md5("text").alias("digest"))
+        .distinct()
+    )
+    sizes = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = d.select(F.col("source").alias("source_a"), "digest")
+    b = d.select(F.col("source").alias("source_b"), "digest")
+    pairs = (
+        a.join(b, "digest")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") * 1.0 / F.least(F.col("na"), F.col("nb")), 4
+            ).alias("overlap_coef"),
+        )
+    )
+
+
+@register(
+    "ngram_novelty",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               md5(t[p] || ' ' || t[p + 1] || ' ' || t[p + 2]) AS g
+        FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 2)) AS p
+              FROM toks WHERE len(t) >= 3)
+    ),
+    firsts AS (
+        SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+    )
+    SELECT gr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS novelty
+    FROM grams gr JOIN firsts f ON gr.g = f.g
+    GROUP BY gr.doc_id
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: per document, the fraction of its distinct
+    3-gram shingles appearing for the FIRST time in ingestion order
+    (doc_id) — the diminishing-returns diagnostic that tells a crawl when
+    additional data stops adding information (novelty trending to zero ⇒
+    the source is exhausted; the scaling-law data question, measured).
+
+    First occurrence is one digest-keyed min-aggregate (no ordering, no
+    window over the corpus); the per-doc ratio is a second aggregate
+    after a digest equi-join. Shingles travel as 16-byte digests from the
+    scan stage on — Σ|shingles| rows but fixed narrow width.
+    """
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col().alias("t")
+    )
+    grams = (
+        toks.where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 2)).alias("p"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice("t", F.col("p"), 3), " ")).alias("g"),
+        )
+        .distinct()
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("long")
+            .alias("n_novel"),
+            F.round(
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("int")) * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("novelty"),
+        )
+    )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS digest
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_normalized_unique,
+           CAST((SELECT COUNT(DISTINCT md5(text)) FROM documents) AS BIGINT)
+               AS n_raw_unique,
+           CAST((SELECT COUNT(DISTINCT md5(text)) FROM documents) AS BIGINT)
+               - CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_caught_by_normalization
+    FROM norm
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-exact dedup accounting: digests computed AFTER case
+    folding and whitespace collapsing catch trivially reformatted copies
+    (re-wrapped lines, case-shifted mirrors) that byte-exact sha2 misses
+    — the cheap middle tier between dedup_exact and MinHash, and the
+    first thing to try when near-dup volume looks suspiciously high.
+
+    Normalization is scan-side regexp/lower; both distinct counts ride
+    16-byte digests through one aggregation. The report form (raw vs
+    normalized unique counts) is the decision artifact: a large gap says
+    normalize-then-hash before paying for LSH.
+    """
+    docs = load(spark, sf_dir, "documents")
+    norm_digest = F.md5(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    )
+    raw = docs.agg(F.count_distinct(F.md5("text")).cast("long").alias("n_raw_unique"))
+    return (
+        docs.select(norm_digest.alias("digest"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("digest").cast("long").alias("n_normalized_unique"),
+        )
+        .crossJoin(F.broadcast(raw))
+        .select(
+            "n_docs",
+            "n_normalized_unique",
+            "n_raw_unique",
+            (F.col("n_raw_unique") - F.col("n_normalized_unique")).alias(
+                "n_caught_by_normalization"
+            ),
+        )
+    )
+
+
+@register(
+    "source_quality_scorecard",
+    oracle=r"""
+    WITH per_doc AS (
+        SELECT source,
+               md5(text) AS digest,
+               n_chars,
+               CAST(LEN(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+                   AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_chars), 2) AS avg_chars,
+           ROUND(1.0 - COUNT(DISTINCT digest) * 1.0 / COUNT(*), 4) AS dup_ratio,
+           ROUND(AVG(CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END), 4)
+               AS quality_pass_rate,
+           RANK() OVER (ORDER BY
+               ROUND(AVG(CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END), 4)
+                   * (1 - ROUND(1.0 - COUNT(DISTINCT digest) * 1.0 / COUNT(*), 4)) DESC,
+               source) AS source_rank
+    FROM per_doc GROUP BY source
+    """,
+)
+def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality scorecard: volume, length profile, internal
+    duplicate ratio, quality-gate pass rate, and a deterministic rank by
+    (pass rate × uniqueness) — the table a crawl operator sorts to decide
+    which feeds to keep, throttle, or drop. The per-SOURCE grain is what
+    makes curation actionable: corpus-wide stats (dataset_card_stats)
+    say how bad it is, this says WHO.
+
+    One combine-enabled aggregation on the source key (digests for the
+    distinct count, never text), then a rank window over |sources| rows
+    with a source tiebreak so the ordering is total in both engines.
+    """
+    toks_n = F.size(F.expr("filter(split(text, '\\\\s+'), t -> t != '')")).cast("long")
+    per_doc = load(spark, sf_dir, "documents").select(
+        "source",
+        F.md5("text").alias("digest"),
+        "n_chars",
+        toks_n.alias("n_tokens"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(1.0 - F.count_distinct("digest") * 1.0 / F.count(F.lit(1)), 4).alias(
+            "dup_ratio"
+        ),
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 5000), 1.0
+                ).otherwise(0.0)
+            ),
+            4,
+        ).alias("quality_pass_rate"),
+    )
+    from pyspark.sql.window import Window as _W
+
+    score = F.col("quality_pass_rate") * (1 - F.col("dup_ratio"))
+    return agg.select(
+        "source",
+        "n_docs",
+        "avg_chars",
+        "dup_ratio",
+        "quality_pass_rate",
+        F.rank().over(_W.orderBy(score.desc(), F.col("source"))).alias("source_rank"),
     )
