@@ -2537,3 +2537,58 @@ def resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "volume",
         )
     )
+
+
+@register(
+    "event_rate_burst",
+    oracle="""
+    WITH per_hour AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    with_base AS (
+        SELECT event_type, h, n,
+               AVG(n) OVER (PARTITION BY event_type ORDER BY h
+                            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS base
+        FROM per_hour
+    )
+    SELECT event_type, CAST(h AS VARCHAR) AS hour, n,
+           ROUND(base, 4) AS baseline,
+           ROUND(n / base, 4) AS burst_ratio
+    FROM with_base
+    WHERE base IS NOT NULL AND n / base >= 2.0
+    """,
+)
+def event_rate_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-burst detection: hours where an event type's count reaches 2×
+    its trailing-24-hour mean — the ops-monitoring complement of the
+    VALUE anomaly detectors (anomaly_zscore/mad watch how much; this
+    watches how often — retry storms, scraper bursts, bot floods).
+
+    Raw events collapse to (type, hour) counts first (combine-enabled),
+    so the trailing window runs over |types|×|hours| rows; the baseline
+    excludes the current hour (1 PRECEDING) so a burst can't suppress its
+    own detection. Integer counts divide as doubles identically in both
+    engines.
+    """
+    per_hour = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    with_base = per_hour.withColumn("base", F.avg("n").over(w))
+    return with_base.where(
+        F.col("base").isNotNull() & (F.col("n") / F.col("base") >= 2.0)
+    ).select(
+        "event_type",
+        F.col("h").cast("string").alias("hour"),
+        "n",
+        F.round("base", 4).alias("baseline"),
+        F.round(F.col("n") / F.col("base"), 4).alias("burst_ratio"),
+    )

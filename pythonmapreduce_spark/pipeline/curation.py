@@ -1203,3 +1203,81 @@ def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_pass_rate",
         F.rank().over(_W.orderBy(score.desc(), F.col("source"))).alias("source_rank"),
     )
+
+
+@register(
+    "token_budget_allocator",
+    oracle=r"""
+    WITH counts AS (
+        SELECT lang,
+               CAST(SUM(LEN(list_filter(string_split_regex(text, '\s+'),
+                                        t -> t <> ''))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    shares AS (
+        SELECT lang, n_tokens,
+               n_tokens * 1000000 // (SELECT SUM(n_tokens) FROM counts) AS floor_alloc,
+               (n_tokens * 1000000) % (SELECT SUM(n_tokens) FROM counts) AS remainder
+        FROM counts
+    ),
+    ranked AS (
+        SELECT lang, n_tokens, floor_alloc,
+               ROW_NUMBER() OVER (ORDER BY remainder DESC, lang ASC) AS rr
+        FROM shares
+    )
+    SELECT lang, n_tokens,
+           CAST(floor_alloc
+                + CASE WHEN rr <= 1000000 - (SELECT SUM(floor_alloc) FROM ranked)
+                       THEN 1 ELSE 0 END AS BIGINT) AS budget_tokens
+    FROM ranked
+    """,
+)
+def token_budget_allocator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional token-budget apportionment with largest-remainder
+    rounding (Hamilton's method): a 1M-token training budget split across
+    languages exactly proportionally to supply, summing EXACTLY to the
+    budget — naive per-group rounding over- or under-shoots, and at a
+    real 10T-token budget the drift is billions of tokens. The same
+    integer apportionment allocates sampling quotas, shard counts, and
+    eval seats.
+
+    All integer arithmetic (floor division + remainder ranking with a
+    lang tiebreak — no floats anywhere, so the engines cannot disagree);
+    per-lang counts partial-aggregate map-side, the apportionment runs on
+    |langs| rows with one 1-row total broadcast.
+    """
+    toks_n = F.size(F.expr("filter(split(text, '\\\\s+'), t -> t != '')")).cast("long")
+    counts = (
+        load(spark, sf_dir, "documents")
+        .select("lang", toks_n.alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").alias("n_tokens"))
+    )
+    total = counts.agg(F.sum("n_tokens").alias("tot"))
+    shares = counts.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_tokens",
+        (F.col("n_tokens") * 1000000 / F.col("tot")).cast("long").alias("floor_alloc"),
+        ((F.col("n_tokens") * 1000000) % F.col("tot")).alias("remainder"),
+    )
+    from pyspark.sql.window import Window as _W
+
+    ranked = shares.select(
+        "lang",
+        "n_tokens",
+        "floor_alloc",
+        F.row_number()
+        .over(_W.orderBy(F.col("remainder").desc(), F.col("lang")))
+        .alias("rr"),
+    )
+    short = ranked.agg((1000000 - F.sum("floor_alloc")).alias("short"))
+    return ranked.crossJoin(F.broadcast(short)).select(
+        "lang",
+        "n_tokens",
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rr") <= F.col("short"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("budget_tokens"),
+    )

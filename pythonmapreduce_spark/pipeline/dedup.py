@@ -1094,3 +1094,41 @@ def dedup_near_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     cands = _cross_snapshot_candidates(new_docs, old_docs, cap=(1 << 31) - 1)
     return exact.join(cands, ["new_id", "old_id"], "left_semi")
+
+
+@register(
+    "duplicate_cluster_sizes",
+    oracle="""
+    WITH clusters AS (
+        SELECT md5(text) AS digest, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM documents GROUP BY md5(text)
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removable
+    FROM clusters GROUP BY cluster_size
+    """,
+)
+def duplicate_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: how many exact-dup clusters
+    exist at each size, and how many documents dedup would remove — the
+    histogram that distinguishes a benign long tail (many pairs) from a
+    boilerplate flood (few giant clusters) and predicts dedup_exact's
+    yield BEFORE running it. On web corpora this distribution is the
+    power law whose head _BUCKET_CAP exists to survive.
+
+    Two combine-enabled aggregations: digest → cluster size (16-byte
+    keys), then size → counts over the |clusters|-sized intermediate.
+    Nothing wider than a digest ever shuffles.
+    """
+    clusters = (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("digest"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).cast("long").alias("n_removable"),
+    )
