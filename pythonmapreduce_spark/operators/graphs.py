@@ -381,3 +381,84 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(common.cast("double") / union_size, 4) + 0.0).alias("jaccard"),
         )
     )
+
+
+@register(
+    "graph_clustering_coef",
+    oracle=_EDGES_CTE
+    + """
+    , sym AS (
+        SELECT src AS v, dst AS u FROM edges
+        UNION ALL
+        SELECT dst AS v, src AS u FROM edges
+    ),
+    deg AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY v
+    ),
+    tris AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ),
+    tv AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM (
+            SELECT a AS v FROM tris
+            UNION ALL SELECT b AS v FROM tris
+            UNION ALL SELECT c AS v FROM tris
+        ) GROUP BY v
+    )
+    SELECT d.v AS part, d.d AS degree,
+           COALESCE(tv.t, 0) AS n_triangles,
+           ROUND(2.0 * COALESCE(tv.t, 0) / (d.d * (d.d - 1)), 4)
+               AS clustering_coef
+    FROM deg d LEFT JOIN tv ON d.v = tv.v
+    WHERE d.d >= 2
+    """,
+)
+def graph_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient: 2·T(v) / (deg(v)·(deg−1))
+    — how close each part's neighborhood is to a clique, the community-
+    structure metric on top of triangle_count's global tally (same
+    oriented triangle enumeration, now unioned back to all three corners
+    before a vertex-key count).
+
+    Same scale spine as the rest of the graph tier: the oriented edge
+    base materializes once (iter_materialize), wedge volume is the Σdeg²
+    bound, per-vertex triangle counts and degrees are combine-enabled
+    aggregates on vertex keys, and the final join is |V|-sized. Degree<2
+    vertices are excluded (coefficient undefined).
+    """
+    e = iter_materialize(_edges(spark, sf_dir))
+    sym = e.select(F.col("src").alias("v")).unionAll(
+        e.select(F.col("dst").alias("v"))
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    e1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v1"))
+    e2 = e.select(F.col("src").alias("u2"), F.col("dst").alias("w"))
+    wedges = e1.join(
+        e2, (F.col("u") == F.col("u2")) & (F.col("v1") < F.col("w"))
+    ).select("u", "v1", "w")
+    closing = e.select(F.col("src").alias("v1"), F.col("dst").alias("w"))
+    tris = wedges.join(closing, ["v1", "w"]).select(
+        F.col("u").alias("a"), F.col("v1").alias("b"), F.col("w").alias("c")
+    )
+    tv = (
+        tris.select(F.col("a").alias("v"))
+        .unionAll(tris.select(F.col("b").alias("v")))
+        .unionAll(tris.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    return (
+        deg.join(tv, "v", "left")
+        .where(F.col("d") >= 2)
+        .select(
+            F.col("v").alias("part"),
+            F.col("d").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                2.0 * F.coalesce("t", F.lit(0)) / (F.col("d") * (F.col("d") - 1)), 4
+            ).alias("clustering_coef"),
+        )
+    )

@@ -1420,3 +1420,98 @@ def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_cos.alias("max_cos"),
         (max_cos >= 0.35).alias("contaminated"),
     )
+
+
+@register(
+    "embedding_truncate_recall",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id <= {_KNN_QUERIES} AND embedding IS NOT NULL
+    ), c AS (
+        SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings
+        WHERE embedding IS NOT NULL
+    ), full_k AS (
+        SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY ROUND(list_cosine_similarity(qv, nv), 4) DESC,
+                                n_id ASC) AS rn
+            FROM q CROSS JOIN c WHERE q_id <> n_id
+        ) WHERE rn <= {_KNN_K}
+    ), trunc_k AS (
+        SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY ROUND(list_cosine_similarity(qv[1:16], nv[1:16]), 4)
+                                    DESC,
+                                n_id ASC) AS rn
+            FROM q CROSS JOIN c WHERE q_id <> n_id
+        ) WHERE rn <= {_KNN_K}
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT q_id) FROM full_k) AS BIGINT) AS n_queries,
+           CAST({_KNN_K} AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           ROUND(COUNT(*) * 1.0
+                 / (SELECT COUNT(*) FROM full_k), 4) AS recall
+    FROM full_k f JOIN trunc_k t ON f.q_id = t.q_id AND f.n_id = t.n_id
+    """,
+)
+def embedding_truncate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation A/B: recall@k of exact kNN
+    over the FIRST 16 dimensions against exact kNN over all 64 — the
+    measurement behind shipping truncated embeddings (4× less memory and
+    bandwidth; MRL-trained models concentrate signal in the prefix, so
+    this number is the evidence for how far an index can shrink).
+
+    Both retrievals share knn_cosine's plan family (broadcast queries,
+    unshuffled corpus, rank on ROUND(cos,4) with id tiebreak); the
+    truncated variant just slices the vector at the scan. One |queries|×k
+    join scores the overlap into a single summary row — comparable
+    across rounds like the ANN recall contracts.
+    """
+    emb = _vectors(spark, sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.where(F.col("vec_id") <= _KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("n_id"), F.col("v").alias("nv"))
+
+    def topk(qv_col: F.Column, nv_col: F.Column):
+        cos = _dot(qv_col, nv_col) / (_norm(qv_col) * _norm(nv_col))
+        ranked = (
+            c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+            .select(
+                "q_id",
+                "n_id",
+                F.row_number()
+                .over(
+                    W.partitionBy("q_id").orderBy(
+                        F.round(cos, 4).desc(), F.col("n_id")
+                    )
+                )
+                .alias("rn"),
+            )
+            .where(F.col("rn") <= _KNN_K)
+            .select("q_id", "n_id")
+        )
+        return ranked
+
+    full_k = topk(F.col("qv"), F.col("nv"))
+    trunc_k = topk(F.slice("qv", 1, 16), F.slice("nv", 1, 16))
+    hits = full_k.join(trunc_k, ["q_id", "n_id"])
+    n_full = full_k.agg(
+        F.count(F.lit(1)).alias("nf"),
+        F.count_distinct("q_id").alias("nq"),
+    )
+    return (
+        hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .crossJoin(F.broadcast(n_full))
+        .select(
+            F.col("nq").cast("long").alias("n_queries"),
+            F.lit(_KNN_K).cast("long").alias("k"),
+            "n_hits",
+            F.round(F.col("n_hits") * 1.0 / F.col("nf"), 4).alias("recall"),
+        )
+    )
