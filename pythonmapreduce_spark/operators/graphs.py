@@ -462,3 +462,86 @@ def graph_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coef"),
         )
     )
+
+
+@register(
+    "hits_hub_authority",
+    oracle=_EDGES_CTE
+    + """
+    , sym AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges
+    ),
+    v AS (SELECT DISTINCT src AS vid FROM sym),
+    a0 AS (SELECT vid, 1.0 AS a FROM v),
+    h1r AS (
+        SELECT s.src AS vid, SUM(a0.a) AS h
+        FROM sym s JOIN a0 ON s.dst = a0.vid GROUP BY s.src
+    ),
+    h1 AS (
+        SELECT vid, h / (SELECT SUM(h) FROM h1r) AS h FROM h1r
+    ),
+    a1r AS (
+        SELECT s.dst AS vid, SUM(h1.h) AS a
+        FROM sym s JOIN h1 ON s.src = h1.vid GROUP BY s.dst
+    ),
+    a1 AS (
+        SELECT vid, a / (SELECT SUM(a) FROM a1r) AS a FROM a1r
+    )
+    SELECT h1.vid AS part,
+           ROUND(h1.h, 6) AS hub,
+           ROUND(a1.a, 6) AS authority
+    FROM h1 JOIN a1 ON h1.vid = a1.vid
+    ORDER BY hub DESC, part LIMIT 20
+    """,
+)
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One HITS round (hub/authority scores, sum-normalized) over the
+    symmetric co-occurrence graph — the mutually-recursive ranking next
+    to pagerank_iter's single-score iteration (on an undirected graph
+    after one round they coincide up to normalization; the two-table
+    UPDATE shape is the point, it is what link-spam and citation
+    analysis run on directed webs).
+
+    Same spine as the rest of the tier: scores live in O(V) tables
+    co-partitioned on the vertex key, each half-round is one equi-join +
+    combine-enabled sum, normalizers are 1-row broadcasts, and the
+    deterministic top-20 (score desc, id) bounds the output. More rounds
+    = the same pair of joins repeated over iter_materialize'd bases.
+    """
+    e = iter_materialize(_edges(spark, sf_dir))
+    sym = e.select("src", "dst").unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    a0 = sym.select(F.col("src").alias("vid")).distinct().withColumn("a", F.lit(1.0))
+    h1r = (
+        sym.join(a0, sym.dst == a0.vid)
+        .groupBy("src")
+        .agg(F.sum("a").alias("h"))
+        .select(F.col("src").alias("vid"), "h")
+    )
+    h_tot = h1r.agg(F.sum("h").alias("ht"))
+    h1 = h1r.crossJoin(F.broadcast(h_tot)).select(
+        "vid", (F.col("h") / F.col("ht")).alias("h")
+    )
+    a1r = (
+        sym.join(h1, sym.src == h1.vid)
+        .groupBy("dst")
+        .agg(F.sum("h").alias("a"))
+        .select(F.col("dst").alias("vid"), "a")
+    )
+    a_tot = a1r.agg(F.sum("a").alias("at"))
+    a1 = a1r.crossJoin(F.broadcast(a_tot)).select(
+        "vid", (F.col("a") / F.col("at")).alias("a")
+    )
+    return (
+        h1.join(a1, "vid")
+        .select(
+            F.col("vid").alias("part"),
+            F.round("h", 6).alias("hub"),
+            F.round("a", 6).alias("authority"),
+        )
+        .orderBy(F.col("hub").desc(), "part")
+        .limit(20)
+    )

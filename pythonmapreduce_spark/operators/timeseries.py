@@ -2592,3 +2592,56 @@ def event_rate_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("base", 4).alias("baseline"),
         F.round(F.col("n") / F.col("base"), 4).alias("burst_ratio"),
     )
+
+
+@register(
+    "interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(ROUND(AVG(gap_us / 1000000.0), 2) AS DOUBLE) AS mean_gap_s,
+           CAST(ROUND(MEDIAN(gap_us / 1000000.0), 2) AS DOUBLE) AS p50_gap_s,
+           CAST(ROUND(quantile_cont(gap_us / 1000000.0, 0.9), 2) AS DOUBLE)
+               AS p90_gap_s
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    HAVING COUNT(gap_us) >= 5
+    """,
+)
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per user (mean/p50/p90 of gaps
+    between consecutive events) — the burstiness feature behind bot
+    detection (machine-regular gaps), engagement scoring, and arrival-
+    process capacity models; the per-user complement of event_debounce's
+    burst suppression.
+
+    One lag() window per user computes gaps in integer µs (the (ts, id)
+    order ties deterministically), then a combine-enabled aggregate with
+    exact percentiles over each user's bounded gap list. Users with <5
+    gaps are dropped (percentiles meaningless). Gaps convert to seconds
+    before rounding so both engines round the same magnitude.
+    """
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = load(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+    g = gaps.where(F.col("gap_us").isNotNull()).select(
+        "user_id", (F.col("gap_us") / 1000000.0).alias("gap_s")
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 2).alias("mean_gap_s"),
+            F.round(F.percentile("gap_s", F.lit(0.5)), 2).alias("p50_gap_s"),
+            F.round(F.percentile("gap_s", F.lit(0.9)), 2).alias("p90_gap_s"),
+        )
+        .where(F.col("n_gaps") >= 5)
+    )

@@ -1281,3 +1281,42 @@ def token_budget_allocator(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("budget_tokens"),
     )
+
+
+@register(
+    "stratified_kfold",
+    oracle="""
+    WITH folds AS (
+        SELECT doc_id, lang,
+               CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 % 5
+                   AS INTEGER) AS fold
+        FROM documents
+    )
+    SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM folds GROUP BY fold, lang
+    """,
+)
+def stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment (k=5) by the same Knuth
+    multiplicative hash the sampling/split family uses — deterministic,
+    engine-stable, no RNG state to coordinate across executors — with the
+    per-(fold, lang) balance matrix that validates the folds are usable
+    (a fold missing a language invalidates per-lang CV metrics).
+
+    Fold assignment is a scan-side expression; the balance check is one
+    combine-enabled aggregation on (fold, lang). Completes the split
+    family: dataset_split (train/val/test), split_leakage_check (audit),
+    this (CV folds).
+    """
+    folds = load(spark, sf_dir, "documents").select(
+        "lang",
+        (
+            ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+            % F.lit(4294967296) % 5
+        )
+        .cast("int")
+        .alias("fold"),
+    )
+    return folds.groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )

@@ -1132,3 +1132,38 @@ def duplicate_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cluster_size").cast("long").alias("n_docs"),
         F.sum(F.col("cluster_size") - 1).cast("long").alias("n_removable"),
     )
+
+
+@register(
+    "dedup_keep_n_versions",
+    oracle="""
+    WITH versioned AS (
+        SELECT user_id, event_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id, value, CAST(rn AS BIGINT) AS version_rank
+    FROM versioned WHERE rn <= 3
+    """,
+)
+def dedup_keep_n_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-policy dedup: keep the latest N=3 versions per key
+    (newest first by (ts, id)) — the generalization of
+    dedup_keep_latest's N=1 that version-retention policies (Delta
+    VACUUM-style, model-checkpoint pruning, audit trails) actually run.
+
+    Spark plans the rank-filter as WindowGroupLimit: each partition is
+    pruned to ≤N rows per key BEFORE the window sort materializes full
+    partitions — per-key state is N rows regardless of how hot the key
+    is, which is what makes retention sweeps over 100 TB of versions
+    feasible. Deterministic (ts, id) order on both engines.
+    """
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", F.col("rn").cast("long").alias("version_rank"))
+    )
