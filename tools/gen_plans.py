@@ -127,9 +127,20 @@ NOTES = {
         "symbol counts are length arithmetic, never an explode."
     ),
     "remove_dup_spans": (
-        "span identity crosses exchanges only as a 16-byte md5; coverage "
+        "span identity crosses exchanges only as a compact hash; coverage "
         "explodes to (doc_id, pos) int pairs; the anti-join and the rebuild "
         "sort both key on doc_id, reusing one partition layout."
+    ),
+    "graph_clustering_coef": (
+        "the oriented edge base materializes once and feeds wedges, the "
+        "closing probe, AND the degree count; triangle corners union back "
+        "to vertex keys for combine-enabled counting — work stays within "
+        "the wedge bound, output is |V|."
+    ),
+    "hits_hub_authority": (
+        "mutually-recursive two-table update: each half-round is one "
+        "vertex-key equi-join + partial/final sum; normalizers are 1-row "
+        "broadcasts; deterministic top-20 caps the output."
     ),
 }
 
