@@ -37,6 +37,8 @@ SF_SENSITIVE = [
     "boilerplate_detect",   # per-source repeat threshold on 10× segments
     "dedup_near_incremental_recall",  # cross-snapshot pair bound (doc cap)
     "ewma_smooth",          # 30-day tail on a longer daily series
+    "ngram_novelty",        # first-occurrence fractions shift with corpus size
+    "embedding_truncate_recall",  # recall measured over a 10× corpus
 ]
 
 

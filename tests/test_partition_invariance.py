@@ -42,6 +42,9 @@ RISK_FAMILIES = [
     "remove_dup_spans",        # per-doc rebuild from sorted (pos, token)
     "ewma_smooth",             # row-number band self-join on a float agg
     "auc_roc",                 # global rank with midrank tie handling
+    "hits_hub_authority",      # iterative float ranking + top-20 boundary
+    "token_budget_allocator",  # largest-remainder rank at the +1 boundary
+    "resample_ohlc",           # min_by/max_by positional extremes
 ]
 
 
