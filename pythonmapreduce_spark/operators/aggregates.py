@@ -921,3 +921,42 @@ def gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini"),
         F.min("n").cast("long").alias("n_customers"),
     )
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE l_quantity > 30) AS BIGINT) AS n_bulk,
+           ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+               AS discounted_revenue,
+           ROUND(AVG(l_quantity) FILTER (WHERE l_linestatus = 'F'), 4)
+               AS avg_qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard ``FILTER (WHERE ...)`` aggregate modifiers — several
+    differently-filtered aggregates over ONE scan and ONE hash aggregate,
+    the conditional-aggregation syntax that replaces CASE-WHEN pivoting
+    (dow_hour_activity's form) with declared intent. Issued through
+    ``spark.sql`` to exercise the parser path; Catalyst compiles each
+    FILTER into the same conditional partial aggregate the CASE form
+    produces — one pass either way, verified by the shared oracle.
+    """
+    from pythonmapreduce_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER (WHERE l_quantity > 30) AS BIGINT) AS n_bulk,
+               ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+                   AS discounted_revenue,
+               ROUND(AVG(l_quantity) FILTER (WHERE l_linestatus = 'F'), 4)
+                   AS avg_qty_filled
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )

@@ -292,3 +292,77 @@ def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.col("content")).alias("digest"),
         )
     )
+
+
+@register(
+    "source_libsvm",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding[1:4], x -> ROUND(CAST(x AS DOUBLE), 3)) AS v
+        FROM embeddings WHERE vec_id <= 100 AND embedding IS NOT NULL
+    )
+    SELECT CAST(vec_id AS DOUBLE) AS label,
+           array_to_string(list_transform(v, x -> CAST(ROUND(x * 1000) AS BIGINT)),
+                           ',') AS fvec_milli
+    FROM e
+    """,
+)
+def source_libsvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `libsvm` source bundled with Spark ML — the sparse
+    (label, index:value) text format classic ML tooling exchanges.
+    A bounded slice of the embeddings table is serialized to libsvm lines
+    BY A SPARK JOB (text sink, no driver loop), read back through
+    ``format("libsvm")`` into ml sparse vectors, and re-emitted as
+    integer-milli feature strings — the oracle recomputes the same
+    values straight from the embeddings, so format serialization,
+    1-based→0-based index mapping, and vector reconstruction must all be
+    lossless for the hash to match.
+
+    Values are fixed to 3 decimals BEFORE writing (the libsvm text is
+    the system of record, and ROUND(x·1000) on the read-back is exact on
+    those values), keeping the comparison float-artifact-free. The
+    vector column is flattened via vector_to_array — driver
+    canonicalizers reject UDT cells.
+    """
+    import uuid as _uuid
+
+    from pyspark.ml.functions import vector_to_array
+
+    from pythonmapreduce_spark.catalog import load
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .where((F.col("vec_id") <= 100) & F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.transform(
+                F.slice("embedding", 1, 4),
+                lambda x: F.round(x.cast("double"), 3),
+            ).alias("v"),
+        )
+    )
+    line = F.concat(
+        F.col("vec_id").cast("double").cast("string"),
+        F.lit(" 1:"), F.element_at("v", 1).cast("string"),
+        F.lit(" 2:"), F.element_at("v", 2).cast("string"),
+        F.lit(" 3:"), F.element_at("v", 3).cast("string"),
+        F.lit(" 4:"), F.element_at("v", 4).cast("string"),
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "pmr_spark_io", f"libsvm_{_uuid.uuid4().hex[:8]}"
+    )
+    emb.select(line.alias("value")).write.mode("overwrite").text(out_dir)
+    back = (
+        spark.read.format("libsvm")
+        .option("numFeatures", "4")
+        .load(out_dir)
+    )
+    arr = vector_to_array(F.col("features"))
+    return back.select(
+        "label",
+        F.array_join(
+            F.transform(arr, lambda x: F.round(x * 1000).cast("long").cast("string")),
+            ",",
+        ).alias("fvec_milli"),
+    )

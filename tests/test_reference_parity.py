@@ -95,3 +95,64 @@ def test_hostile_tokens_survive(spark) -> None:
     }
     expected = Counter(w for t in hostile for w in t.split())
     assert got == dict(expected)
+
+
+def test_bpe_merges_match_pure_python(spark, sf_smoke) -> None:
+    """Independent golden check for the tokenizer trainer: a from-scratch
+    pure-Python BPE (word-frequency table, frequency-weighted adjacent
+    pair counts, lexicographic tiebreak, greedy left-to-right merge)
+    must produce exactly the merges bpe_train_merges emits — the same
+    external-recomputation pattern the wordcount goldens use, applied to
+    the iterative tier."""
+    import duckdb
+
+    from pythonmapreduce_spark.pipeline.bpe import _ROUNDS, bpe_train_merges
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM read_parquet('{sf_smoke}/documents.parquet')"
+        ).fetchall()
+    ]
+    freq: dict[tuple[str, ...], int] = {}
+    for t in texts:
+        for w in t.split():
+            if "\x01" in w:
+                continue
+            key = tuple(w)
+            freq[key] = freq.get(key, 0) + 1
+
+    def merge_word(word: tuple[str, ...], pa: str, pb: str) -> tuple[str, ...]:
+        out: list[str] = []
+        i = 0
+        while i < len(word):
+            if i + 1 < len(word) and word[i] == pa and word[i + 1] == pb:
+                out.append(pa + pb)
+                i += 2  # greedy left-to-right: resume AFTER the merge
+            else:
+                out.append(word[i])
+                i += 1
+        return tuple(out)
+
+    expected = []
+    cur = dict(freq)
+    for rnd in range(1, _ROUNDS + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for word, f in cur.items():
+            for i in range(len(word) - 1):
+                pairs[(word[i], word[i + 1])] = pairs.get((word[i], word[i + 1]), 0) + f
+        if not pairs:
+            break
+        (pa, pb), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((rnd, pa, pb, cnt))
+        nxt: dict[tuple[str, ...], int] = {}
+        for word, f in cur.items():
+            m = merge_word(word, pa, pb)
+            nxt[m] = nxt.get(m, 0) + f
+        cur = nxt
+
+    got = [
+        (r["round"], r["pa"], r["pb"], r["cnt"])
+        for r in bpe_train_merges(spark, sf_smoke).orderBy("round").collect()
+    ]
+    assert got == expected
