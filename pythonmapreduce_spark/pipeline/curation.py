@@ -1320,3 +1320,75 @@ def stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folds.groupBy("fold", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+@register(
+    "preference_pair_prep",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, source,
+               ROUND(1.0 / (1.0 + EXP(-(CAST(n_chars AS DOUBLE) - 250) / 100)), 6)
+                   AS score
+        FROM documents
+    )
+    SELECT a.source,
+           a.doc_id AS chosen_id, b.doc_id AS rejected_id,
+           a.score AS chosen_score, b.score AS rejected_score,
+           ROUND(a.score - b.score, 6) AS score_gap
+    FROM scored a JOIN scored b
+      ON a.source = b.source AND a.doc_id <> b.doc_id
+    WHERE a.score - b.score >= 0.3
+    """,
+)
+def preference_pair_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining for DPO/RLHF-style training: within each
+    source (the blocking key standing in for "same prompt"), every
+    (chosen, rejected) document pair whose quality-score gap clears a
+    margin — the data-prep step that turns a scored corpus into
+    preference pairs, where the MARGIN is what keeps labels clean
+    (near-tied pairs teach noise). The score is a deterministic sigmoid
+    over length standing in for a reward model; a real scorer's column
+    drops in without touching the plan.
+
+    Scoring is scan-side; pairing is a self-equi-join ON THE BLOCKING
+    KEY (never a global cross join) with the margin predicate applied in
+    the join — pair volume is Σ|block|², the bounded-block discipline
+    every pair generator in this repo follows (dedup_containment,
+    fuzzy_match). At 100 TB blocks are prompts (tens of candidates), not
+    sources.
+    """
+    scored = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.round(
+            1.0 / (1.0 + F.exp(-(F.col("n_chars").cast("double") - 250) / 100)), 6
+        ).alias("score"),
+    )
+    a = scored.select(
+        F.col("source").alias("source"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("score").alias("chosen_score"),
+    )
+    b = scored.select(
+        F.col("source").alias("source_b"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("source") == F.col("source_b"))
+            & (F.col("chosen_id") != F.col("rejected_id"))
+            & (F.col("chosen_score") - F.col("rejected_score") >= 0.3),
+        )
+        .select(
+            "source",
+            "chosen_id",
+            "rejected_id",
+            "chosen_score",
+            "rejected_score",
+            F.round(F.col("chosen_score") - F.col("rejected_score"), 6).alias(
+                "score_gap"
+            ),
+        )
+    )

@@ -432,3 +432,26 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = src.join(old, "digest", "left_anti").select("doc_id", "n_chars")
     _, name = _run_to_memory(deduped, "append")
     return spark.table(name)
+
+
+@register(
+    "stream_update_counts",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode — the third of the three streaming output
+    modes (append: stream_dedup et al.; complete: stream_wordcount;
+    update: this): only rows whose aggregate CHANGED in a micro-batch
+    reach the sink, the mode incremental dashboards and upsert sinks
+    consume. A bounded availableNow replay has exactly one batch, so
+    every group updates once and the sink equals the batch aggregate —
+    which is the oracle; multi-batch update-mode delta semantics are
+    pinned separately by the foreachBatch upsert's replay test.
+    """
+    src = events_stream_source(spark, sf_dir)
+    counts = src.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    _, name = _run_to_memory(counts, "update")
+    return spark.table(name)
