@@ -478,3 +478,102 @@ def inverted_index_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("postings_head"),
         )
     )
+
+
+@register(
+    "negative_sampling_pairs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        FROM documents WHERE doc_id <= 50
+    ),
+    pos AS (
+        SELECT DISTINCT t[p] AS center, t[p + 1] AS context
+        FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 1)) AS p
+              FROM toks WHERE len(t) >= 2)
+        WHERE t[p] <> t[p + 1]
+    ),
+    vocab AS (
+        SELECT word, ROW_NUMBER() OVER (ORDER BY word) - 1 AS wid,
+               COUNT(*) OVER () AS vsize
+        FROM (SELECT DISTINCT UNNEST(t) AS word FROM toks)
+    ),
+    neg AS (
+        SELECT p.center, p.context, k.k,
+               ('0x' || substr(md5(p.center || ':' || p.context || ':' || k.k), 1, 8))
+                   ::BIGINT AS h
+        FROM pos p, (SELECT UNNEST(range(2)) AS k) k
+    )
+    SELECT n.center, n.context, CAST(n.k AS BIGINT) AS neg_slot,
+           v.word AS negative
+    FROM neg n JOIN vocab v ON v.wid = n.h % v.vsize
+    WHERE v.word <> n.center AND v.word <> n.context
+    """,
+)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training-pair generation with negative sampling — the
+    word2vec/contrastive data-prep shape: distinct (center, context)
+    positives from adjacent-token windows, and k=2 deterministic
+    negatives per positive drawn from the vocabulary by hash (a real
+    trainer draws from the unigram^0.75 table; the HASH-indexed draw is
+    the engine-stable equivalent, and the plan is identical — an
+    integer-keyed join into a vocab table). Collisions with the pair's
+    own words are dropped, as trainers do.
+
+    Scale shape: positives collapse by DISTINCT on (center, context)
+    digest-sized keys; the vocab table is id-indexed once (vocabulary-
+    sized, broadcastable); negative assignment is a pure equi-join on
+    the hash-derived id — no RNG state, no sampling skew, reproducible
+    across any partitioning. Bounded here to 50 docs to keep the driver
+    compare light.
+    """
+    toks = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 50)
+        .select("doc_id", tokens_col().alias("t"))
+    )
+    pos = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("p"), "t"
+        )
+        .select(
+            F.element_at("t", F.col("p")).alias("center"),
+            F.element_at("t", F.col("p") + 1).alias("context"),
+        )
+        .where(F.col("center") != F.col("context"))
+        .distinct()
+    )
+    from pyspark.sql.window import Window as _W
+
+    vocab = (
+        toks.select(F.explode("t").alias("word"))
+        .distinct()
+        .select(
+            "word",
+            (F.row_number().over(_W.orderBy("word")) - 1).alias("wid"),
+        )
+    )
+    vsize = vocab.agg(F.count(F.lit(1)).alias("vsize"))
+    neg = (
+        pos.crossJoin(F.broadcast(spark.range(2).select(F.col("id").alias("k"))))
+        .withColumn(
+            "h",
+            F.expr(
+                "cast(conv(substring(md5(concat(center, ':', context, ':', k)), 1, 8), 16, 10) as bigint)"
+            ),
+        )
+        .crossJoin(F.broadcast(vsize))
+        .withColumn("wid", F.col("h") % F.col("vsize"))
+    )
+    return (
+        neg.join(F.broadcast(vocab), "wid")
+        .where((F.col("word") != F.col("center")) & (F.col("word") != F.col("context")))
+        .select(
+            "center",
+            "context",
+            F.col("k").cast("long").alias("neg_slot"),
+            F.col("word").alias("negative"),
+        )
+    )
