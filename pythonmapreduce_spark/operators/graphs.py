@@ -545,3 +545,80 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("hub").desc(), "part")
         .limit(20)
     )
+
+
+def _cc_oracle(rounds: int) -> str:
+    """Unrolled min-label propagation over the symmetric edge set."""
+    parts = [
+        _EDGES_CTE
+        + """
+    , sym AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges
+    ),
+    l0 AS (SELECT DISTINCT src AS vid, src AS lbl FROM sym)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+    l{r} AS (
+        SELECT v.vid, LEAST(v.lbl, COALESCE(MIN(n.lbl), v.lbl)) AS lbl
+        FROM l{p} v
+        LEFT JOIN sym s ON s.src = v.vid
+        LEFT JOIN l{p} n ON n.vid = s.dst
+        GROUP BY v.vid, v.lbl
+    )"""
+        )
+    return (
+        "".join(parts)
+        + f"""
+    SELECT lbl AS component, CAST(COUNT(*) AS BIGINT) AS n_vertices
+    FROM l{rounds} GROUP BY lbl
+    """
+    )
+
+
+@register("graph_cc_rounds", oracle=_cc_oracle(3))
+def graph_cc_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by min-label propagation run for EXACTLY 3
+    rounds — the driver-checkable twin of dedup_clusters (which is
+    rows-only because its edges come from the LSH hash family and it
+    iterates to data-dependent convergence; here the edge set is the
+    oracle-able co-occurrence graph and the round count is pinned, so
+    the intermediate label state is deterministic and the unrolled CTE
+    reproduces it exactly — same trick as bfs_distances' fixed hops).
+    Emits component label → size after round 3; labels that have not yet
+    converged are part of the CONTRACT, not an error.
+
+    Per round: one vertex-key equi-join against the label table + a
+    min-aggregate — labels O(V), edges reused from the materialized
+    base, the iterative shape pagerank/bfs share. On a cluster rounds
+    continue to convergence with iter_materialize cutting lineage.
+    """
+    e = iter_materialize(_edges(spark, sf_dir))
+    sym = e.select("src", "dst").unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = sym.select(F.col("src").alias("vid")).distinct().withColumn(
+        "lbl", F.col("vid")
+    )
+    for _ in range(3):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("vid", "dst2"), F.col("dst") == F.col("dst2"))
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbl"))
+            .select(F.col("src").alias("vid"), "nbl")
+        )
+        labels = (
+            labels.join(nbr_min, "vid", "left")
+            .select(
+                "vid",
+                F.least(F.col("lbl"), F.coalesce("nbl", F.col("lbl"))).alias("lbl"),
+            )
+        )
+        labels = iter_materialize(labels)
+    return labels.groupBy(F.col("lbl").alias("component")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices")
+    )
