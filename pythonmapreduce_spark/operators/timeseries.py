@@ -2645,3 +2645,77 @@ def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_gaps") >= 5)
     )
+
+
+@register(
+    "session_stats",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id))
+                        > 1800000000
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS duration_s
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(AVG(n_events), 4) AS avg_events,
+           ROUND(AVG(duration_s), 2) AS avg_duration_s,
+           ROUND(MAX(duration_s), 2) AS max_duration_s
+    FROM per_session GROUP BY user_id
+    """,
+)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session metrics (count, mean events/session, mean and max
+    duration) over 30-minute-gap sessionization — the product-analytics
+    readout on top of the raw sessionizer (window_session emits the
+    sessions; THIS is the number a dashboard shows). Same gaps-and-
+    islands base: boundary flag from an integer-µs lag comparison,
+    session ids from the running flag sum, both windows sharing ONE
+    partition sort per user; then two combine-enabled aggregations.
+    """
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w.rowsBetween(W.unboundedPreceding, 0)
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    flagged = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            prev_us.isNull()
+            | (F.unix_micros("ts") - prev_us > 1800000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w_cum)
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1000000.0
+        ).alias("duration_s"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_events"),
+        F.round(F.avg("duration_s"), 2).alias("avg_duration_s"),
+        F.round(F.max("duration_s"), 2).alias("max_duration_s"),
+    )
