@@ -2719,3 +2719,133 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("duration_s"), 2).alias("avg_duration_s"),
         F.round(F.max("duration_s"), 2).alias("max_duration_s"),
     )
+
+
+@register(
+    "stickiness_dau_mau",
+    oracle="""
+    WITH user_days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    fan AS (
+        SELECT user_id, day AS active_day,
+               CAST(UNNEST(generate_series(CAST(day AS TIMESTAMP),
+                   CAST(day + INTERVAL 29 DAY AS TIMESTAMP),
+                   INTERVAL 1 DAY)) AS DATE) AS obs_day
+        FROM user_days
+    ),
+    mau AS (
+        SELECT obs_day AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+        FROM fan GROUP BY obs_day
+    ),
+    dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM user_days GROUP BY day
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day_str, d.dau, m.mau,
+           ROUND(d.dau * 1.0 / m.mau, 4) AS stickiness
+    FROM dau d JOIN mau m ON d.day = m.day
+    """,
+)
+def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — THE product engagement ratio (what
+    fraction of the monthly audience shows up daily). Exact trailing
+    30-day distinct users via sliding_distinct_users' collapse-then-fan
+    shape: raw events first reduce to DISTINCT (user, day) pairs, each
+    pair fans into the 30 observation days it supports, and the
+    30-day distinct count is then exact per day — the fan-out is over
+    the BOUNDED pair set, never raw events. Day strings only after the
+    joins (both engines compare dates, not strings).
+
+    Output restricted to days where the full join exists; stickiness is
+    a single rounded division. At 100 TB the (user, day) reduction is
+    the whole trick — events collapse by ~10³ before anything fans out.
+    """
+    ev = load(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    fan = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 29))
+        ).alias("obs_day"),
+    )
+    mau = fan.groupBy(F.col("obs_day").alias("day")).agg(
+        F.count_distinct("user_id").cast("long").alias("mau")
+    )
+    dau = user_days.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    return dau.join(mau, "day").select(
+        F.col("day").cast("string").alias("day_str"),
+        "dau",
+        "mau",
+        F.round(F.col("dau") * 1.0 / F.col("mau"), 4).alias("stickiness"),
+    )
+
+
+@register(
+    "revenue_nrr",
+    oracle="""
+    WITH monthly AS (
+        SELECT user_id, date_trunc('month', ts) AS m, SUM(value) AS rev
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, date_trunc('month', ts)
+    ),
+    paired AS (
+        SELECT a.m AS base_month, SUM(a.rev) AS base_rev,
+               SUM(COALESCE(b.rev, 0)) AS next_rev
+        FROM monthly a
+        LEFT JOIN monthly b
+          ON a.user_id = b.user_id AND b.m = a.m + INTERVAL 1 MONTH
+        GROUP BY a.m
+    )
+    SELECT CAST(CAST(base_month AS DATE) AS VARCHAR) AS month,
+           ROUND(base_rev, 2) AS base_revenue,
+           ROUND(next_rev, 2) AS retained_revenue,
+           ROUND(next_rev / base_rev, 4) AS nrr
+    FROM paired WHERE base_rev > 0
+    """,
+)
+def revenue_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net revenue retention per month: of each month's paying users, how
+    much they spend the FOLLOWING month, as a fraction of the base —
+    the revenue-weighted counterpart of retention_cohorts' user counts
+    (expansion can push NRR above 1; the number a subscription business
+    steers by).
+
+    Events collapse to (user, month, revenue) first (combine-enabled);
+    the month-over-month pairing is a self-equi-join on the user key
+    with a one-month offset — cohort revenue never fans out, and the
+    final accounting is |months| rows.
+    """
+    monthly = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("month", "ts").alias("m"))
+        .agg(F.sum("value").alias("rev"))
+    )
+    b = monthly.select(
+        F.col("user_id").alias("user_b"),
+        F.col("m").alias("m_b"),
+        F.col("rev").alias("rev_b"),
+    )
+    paired = (
+        monthly.join(
+            b,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("m_b") == F.add_months(F.col("m"), 1)),
+            "left",
+        )
+        .groupBy(F.col("m").alias("base_month"))
+        .agg(
+            F.sum("rev").alias("base_rev"),
+            F.sum(F.coalesce("rev_b", F.lit(0.0))).alias("next_rev"),
+        )
+    )
+    return paired.where(F.col("base_rev") > 0).select(
+        F.col("base_month").cast("date").cast("string").alias("month"),
+        F.round("base_rev", 2).alias("base_revenue"),
+        F.round("next_rev", 2).alias("retained_revenue"),
+        F.round(F.col("next_rev") / F.col("base_rev"), 4).alias("nrr"),
+    )
