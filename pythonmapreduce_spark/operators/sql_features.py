@@ -12,6 +12,7 @@ semantics inside ordinary hash aggregates.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pythonmapreduce_spark.catalog import register_views
 from pythonmapreduce_spark.plans.registry import register
@@ -93,3 +94,89 @@ def collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, ["part"])
     return spark.sql(_COLLATION_SPARK)
+
+
+_SQL_UDF_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           AS total_charge
+FROM lineitem
+WHERE l_extendedprice * (1 - l_discount) > 1000
+GROUP BY l_returnflag
+"""
+
+
+@register("sql_udf", oracle=_SQL_UDF_ORACLE)
+def sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language scalar UDFs (Spark 4 ``CREATE FUNCTION ... RETURN``):
+    the business-logic authoring surface for users who never leave SQL —
+    named, typed, reusable expressions (here TPC-H's revenue and charge
+    formulas) declared once and called like built-ins.
+
+    Why this beats a Python UDF for the same job: the analyzer INLINES the
+    function body into the calling expression tree, so the call costs
+    nothing — predicates written through the UDF still push down, the
+    whole expression stays inside WholeStageCodegen, and no Python worker
+    ever starts. The oracle is the hand-inlined SQL: identical results
+    prove the inlining is semantically transparent. Functions are session-
+    scoped (TEMPORARY); a shared catalog would hold the production
+    equivalents.
+    """
+    register_views(spark, sf_dir, ["lineitem"])
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION line_revenue(price DOUBLE, disc DOUBLE) "
+        "RETURNS DOUBLE RETURN price * (1 - disc)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION line_charge(price DOUBLE, disc DOUBLE, tax DOUBLE) "
+        "RETURNS DOUBLE RETURN line_revenue(price, disc) * (1 + tax)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(SUM(line_charge(l_extendedprice, l_discount, l_tax)), 2)
+                   AS total_charge
+        FROM lineitem
+        WHERE line_revenue(l_extendedprice, l_discount) > 1000
+        GROUP BY l_returnflag
+        """
+    )
+
+
+_UNION_BY_NAME_ORACLE = """
+SELECT o_orderkey, o_totalprice, CAST(NULL AS DATE) AS o_orderdate,
+       'price_feed' AS src
+FROM orders WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice, o_orderdate,
+       'date_feed' AS src
+FROM orders WHERE o_orderkey % 11 = 0
+"""
+
+
+@register("union_by_name", oracle=_UNION_BY_NAME_ORACLE)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union: two feeds of the same entity with DIFFERENT
+    column sets combined by COLUMN NAME (``unionByName`` with
+    ``allowMissingColumns``), absent columns NULL-filled per branch.
+
+    This is the ingestion reality union positional UNION ALL gets wrong:
+    batches produced by different pipeline versions (source_schema_
+    evolution's regime) must align on names, not positions — a reordered
+    or missing column in positional union silently corrupts rows at 100 TB
+    (no error, wrong data). unionByName is a zero-exchange plan: each
+    branch is scanned with its own projection and concatenated; the NULL
+    fill is a literal in the narrower branch's project node.
+    """
+    from pythonmapreduce_spark.catalog import load
+
+    orders = load(spark, sf_dir, "orders")
+    price_feed = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_totalprice", F.lit("price_feed").alias("src")
+    )
+    date_feed = orders.where(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey", "o_orderdate", F.lit("date_feed").alias("src")
+    )
+    return price_feed.unionByName(date_feed, allowMissingColumns=True)

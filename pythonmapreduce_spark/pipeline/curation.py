@@ -1392,3 +1392,139 @@ def preference_pair_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "domain_temperature_mix",
+    oracle="""
+    WITH c AS (
+        SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+    ),
+    t AS (
+        SELECT lang, cnt,
+               CAST(FLOOR(SQRT(MIN(cnt) OVER () * 1.0 / cnt) * 10000) AS BIGINT)
+                   AS thr
+        FROM c
+    )
+    SELECT d.lang, t.cnt AS n_orig, COUNT(*) AS n_kept,
+           ROUND(t.thr / 10000.0, 4) AS keep_rate
+    FROM documents d JOIN t ON d.lang = t.lang
+    WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 % 10000 < t.thr
+    GROUP BY d.lang, t.cnt, t.thr
+    """,
+)
+def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain rebalancing (alpha = 0.5): each language
+    keeps a sqrt(smallest/own) fraction of its documents, the multilingual-
+    training mixture law (mT5/XLM-R style) that SOFTENS dominance instead
+    of flattening it — domain_mix's uniform leveling is the alpha -> 0
+    limit, keeping everything is alpha = 1. The smallest language keeps
+    100%; a language 100x larger keeps 10% instead of domain_mix's 1%.
+
+    Same deterministic Knuth-hash keep rule as dataset_split/domain_mix, so
+    the kept subsets are reproducible AND nested across alpha values (a
+    doc kept at a lower rate is kept at every higher rate) — re-mixing at a
+    new temperature never churns the already-kept corpus. Scale shape is
+    identical to domain_mix: a |langs|-row rate table broadcasts onto the
+    corpus scan, the 100 TB side is filtered by a stateless hash predicate,
+    never shuffled. SQRT on both engines is IEEE correctly-rounded over
+    identical doubles, so the floored per-mille thresholds match exactly.
+    """
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    thr = counts.select(
+        "lang",
+        "cnt",
+        F.floor(
+            F.sqrt(F.min("cnt").over(Window.partitionBy()) * 1.0 / F.col("cnt"))
+            * 10000
+        )
+        .cast("bigint")
+        .alias("thr"),
+    )
+    keep = (
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+        % F.lit(4294967296)
+        % 10000
+        < F.col("thr")
+    )
+    return (
+        docs.join(F.broadcast(thr), "lang")
+        .where(keep)
+        .groupBy(
+            "lang",
+            F.col("cnt").alias("n_orig"),
+            F.round(F.col("thr") / 10000.0, 4).alias("keep_rate"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        .select("lang", "n_orig", "n_kept", "keep_rate")
+    )
+
+
+@register(
+    "dataset_shuffle_shards",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hv
+        FROM documents
+    ),
+    placed AS (
+        SELECT CAST(hv % 64 AS INTEGER) AS shard, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY hv % 64
+                                  ORDER BY hv // 64, doc_id) AS pos
+        FROM h
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM((pos % 1048576) * (doc_id % 1048576)) AS BIGINT)
+               AS perm_checksum
+    FROM placed
+    GROUP BY shard
+    """,
+)
+def dataset_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: the last step
+    before a training run, where the curated corpus must be (a) spread
+    across N shard files with no source/time clustering and (b) in a
+    reproducible pseudo-random order WITHIN each shard (so every epoch and
+    every restart reads the same sequence). RNG-free: shard = Knuth
+    avalanche hash mod 64, within-shard order = (remaining hash bits, id).
+
+    Scale shape: this is exactly `repartition(64, shard)` +
+    `sortWithinPartitions(hv, id)` + write — ONE hash exchange and a
+    per-partition sort; there is deliberately NO global total order (a
+    full orderBy would range-partition and resort the entire corpus for
+    an ordering property training does not need — shard-local order plus
+    hashed shard assignment is what samplers actually consume). The
+    emitted per-shard permutation checksum (sum of pos x id, masked to
+    stay in BIGINT on both engines) pins the entire within-shard order:
+    any reordering changes it.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+            % F.lit(4294967296)
+        ).alias("hv"),
+    )
+    placed = docs.select(
+        (F.col("hv") % 64).cast("int").alias("shard"),
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.partitionBy(F.col("hv") % 64).orderBy(
+                F.floor(F.col("hv") / 64), F.col("doc_id")
+            )
+        )
+        .alias("pos"),
+    )
+    return placed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("pos") % 1048576) * (F.col("doc_id") % 1048576))
+        .cast("long")
+        .alias("perm_checksum"),
+    )
