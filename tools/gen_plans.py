@@ -142,6 +142,18 @@ NOTES = {
         "vertex-key equi-join + partial/final sum; normalizers are 1-row "
         "broadcasts; deterministic top-20 caps the output."
     ),
+    "ann_pq": (
+        "the final ADC scan: the encoded corpus (8 one-byte codes/vector) "
+        "never shuffles; the 20 query distance tables broadcast; the "
+        "estimated distance is a JVM higher-order fold, and the only "
+        "exchange is the q_id top-k window. Training/encode are separate "
+        "bounded-collect jobs upstream of this plan."
+    ),
+    "dataset_shuffle_shards": (
+        "exactly the write topology: one hash exchange on the shard key + "
+        "per-partition sort (window), partial+final aggregate for the "
+        "checksums — deliberately NO global range sort."
+    ),
 }
 
 
