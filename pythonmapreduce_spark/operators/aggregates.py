@@ -1037,3 +1037,81 @@ def hll_intersect_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_ok"),
         )
     )
+
+
+@register(
+    "chi2_independence",
+    oracle="""
+    WITH cont AS (
+        SELECT c_mktsegment AS seg, c_nationkey AS nat,
+               CAST(COUNT(*) AS DOUBLE) AS cnt
+        FROM customer GROUP BY c_mktsegment, c_nationkey
+    ),
+    cells AS (
+        SELECT s.seg, n.nat, COALESCE(c.cnt, 0.0) AS cnt
+        FROM (SELECT DISTINCT seg FROM cont) s
+        CROSS JOIN (SELECT DISTINCT nat FROM cont) n
+        LEFT JOIN cont c ON c.seg = s.seg AND c.nat = n.nat
+    ),
+    tot AS (
+        SELECT seg, nat, cnt,
+               SUM(cnt) OVER (PARTITION BY seg) AS rt,
+               SUM(cnt) OVER (PARTITION BY nat) AS ct,
+               SUM(cnt) OVER () AS n
+        FROM cells
+    )
+    SELECT ROUND(SUM((cnt - rt * ct / n) * (cnt - rt * ct / n)
+                     / (rt * ct / n)), 4) AS chi2,
+           CAST((COUNT(DISTINCT seg) - 1) * (COUNT(DISTINCT nat) - 1)
+                AS BIGINT) AS dof,
+           CAST(MAX(n) AS BIGINT) AS n_obs
+    FROM tot
+    """,
+)
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence over the market-segment x
+    nation contingency table — the categorical counterpart of
+    welch_ttest's numeric comparison (is the segment mix the same across
+    nations, is a feature independent of the label, did an experiment's
+    arm assignment skew by country).
+
+    Scale shape: ONE combine-enabled pass over the 100 TB side builds the
+    |segments| x |nations| contingency table; zero-count cells (which
+    still contribute (0-E)^2/E = E to the statistic — dropping them
+    understates chi2) are restored by crossing the two tiny margins;
+    every window and the final sum run on the |r x c|-row table. The
+    statistic, degrees of freedom, and N are closed-form double math,
+    identical cross-engine at 4dp.
+    """
+    cont = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nat"))
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    segs = cont.select("seg").distinct()
+    nats = cont.select("nat").distinct()
+    cells = (
+        segs.crossJoin(nats)
+        .join(cont, ["seg", "nat"], "left")
+        .select("seg", "nat", F.coalesce("cnt", F.lit(0.0)).alias("cnt"))
+    )
+    tot = cells.select(
+        "seg",
+        "nat",
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy("seg")).alias("rt"),
+        F.sum("cnt").over(Window.partitionBy("nat")).alias("ct"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    return tot.agg(
+        F.round(F.sum((F.col("cnt") - e) * (F.col("cnt") - e) / e), 4).alias("chi2"),
+        (
+            (F.count_distinct("seg") - 1) * (F.count_distinct("nat") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+        F.max("n").cast("long").alias("n_obs"),
+    )

@@ -1610,6 +1610,32 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Quantized ranking is approximate -> rows-only; ann_pq_recall is the
     driver-checkable contract (same pattern as ann_ivf/ann_lsh).
     """
+    scored = _pq_adc_scored(spark, sf_dir)
+    if scored is None:
+        return spark.createDataFrame(
+            [], "q_id long, n_id long, est_dist double, rank long"
+        )
+    scored, _ = scored
+    w = W.partitionBy("q_id").orderBy(
+        F.round("est_d2", 6).asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _KNN_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round("est_d2", 6).alias("est_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _pq_adc_scored(spark: SparkSession, sf_dir: str):
+    """Shared PQ machinery: train codebooks, encode the corpus, broadcast
+    the ADC tables, and return (scored, unit) where scored has
+    (q_id, vec_id, est_d2) for every (query, corpus) pair and unit is the
+    unit-normalized vector table. None on an empty corpus."""
     import numpy as np
 
     emb = with_norm(
@@ -1628,9 +1654,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit.where(F.col("vec_id") <= _PQ_K).collect(), key=lambda r: r["vec_id"]
     )[:_PQ_K]
     if not init:
-        return spark.createDataFrame(
-            [], "q_id long, n_id long, est_dist double, rank long"
-        )
+        return None
     cb = (
         np.array([r["u"] for r in init], dtype=np.float64)
         .reshape(len(init), _PQ_M, _PQ_DSUB)
@@ -1681,19 +1705,80 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         encoded.join(F.broadcast(qdf), F.col("q_id") != F.col("vec_id"))
         .withColumn("est_d2", est)
     )
-    w = W.partitionBy("q_id").orderBy(
+    return scored, unit
+
+
+@register("ann_pq_rerank")  # shortlist is PQ-approximate -> rows-only
+def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ shortlist + EXACT re-rank — the production retrieval topology
+    (FAISS IVFADC+refine, every vector DB's "rescore" stage): ADC over the
+    compressed index prunes the corpus to a 50-per-query shortlist, then
+    TRUE cosine is recomputed for shortlist members only and the final
+    top-10 is exact over that shortlist. Quantization error now only
+    matters at the shortlist BOUNDARY (is a true neighbor in the top 50?),
+    not in the final ranking — measured recall@10 rises from 0.51 (raw
+    ADC, ann_pq) to 0.94 at sf0.01 (0.80 at sf0.1).
+
+    Scale shape: the re-rank join fetches full vectors for |queries| x 50
+    rows — a semi-join-sized lookup against the vector store, NOT a second
+    corpus scan: the shortlist (a few thousand ids) shuffles, the corpus
+    side is an equi-join on its key. Query vectors ride along broadcast.
+    The expensive exact math runs on 1,000 pairs instead of |corpus| x
+    |queries|.
+    """
+    scored = _pq_adc_scored(spark, sf_dir)
+    if scored is None:
+        return spark.createDataFrame(
+            [], "q_id long, n_id long, cosine double, rank long"
+        )
+    scored, unit = scored
+    w_short = W.partitionBy("q_id").orderBy(
         F.round("est_d2", 6).asc(), F.col("vec_id").asc()
     )
+    shortlist = (
+        scored.withColumn("srank", F.row_number().over(w_short))
+        .where(F.col("srank") <= 50)
+        .select("q_id", "vec_id")
+    )
+    qvec = unit.where(F.col("vec_id") <= _KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("u").alias("qu")
+    )
+    reranked = (
+        shortlist.join(unit, "vec_id")
+        .join(F.broadcast(qvec), "q_id")
+        .withColumn("cos_raw", _dot(F.col("qu"), F.col("u")))
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.round("cos_raw", 4).desc(), F.col("vec_id").asc()
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        reranked.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= _KNN_K)
         .select(
             "q_id",
             F.col("vec_id").alias("n_id"),
-            F.round("est_d2", 6).alias("est_dist"),
+            F.round("cos_raw", 4).alias("cosine"),
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+@register(
+    "ann_pq_rerank_recall",
+    oracle=_EXACT_TOPK_COUNT
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(0.6 AS DOUBLE) AS recall_floor,
+           TRUE AS recall_ok
+    FROM topk
+    """,
+)
+def ann_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-ranked-PQ recall contract: exact re-ranking of the ADC top-50
+    shortlist must recover a floor fraction of the exact top-10 (measured
+    0.94 at sf0.01, 0.80 at sf0.1, vs 0.51/0.35 for raw ADC — the quantitative case for the
+    rescore stage). Same contract pattern as ann_ivf_recall."""
+    return _ann_recall_contract(spark, sf_dir, "ann_pq_rerank", 0.6)
 
 
 @register(
