@@ -70,6 +70,9 @@ HEADLINE = [
     "remove_dup_spans",
     "semdedup",
     "auc_roc",
+    # round-3 third wave: the compressed-index ANN tier (PQ train + encode
+    # + ADC scan — the 100 TB retrieval path).
+    "ann_pq",
 ]
 
 

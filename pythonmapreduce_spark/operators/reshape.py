@@ -74,3 +74,52 @@ def unpivot_op(spark: SparkSession, sf_dir: str) -> DataFrame:
             valueColumnName="metric_value",
         )
     )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "transpose_op",
+    oracle="""
+    SELECT 'n_events' AS key,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS DOUBLE) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE) AS view
+    FROM events
+    UNION ALL
+    SELECT 'total_value' AS key,
+           ROUND(SUM(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 2) AS click,
+           ROUND(SUM(CASE WHEN event_type = 'error' THEN value ELSE 0 END), 2) AS error,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase,
+           ROUND(SUM(CASE WHEN event_type = 'signup' THEN value ELSE 0 END), 2) AS signup,
+           ROUND(SUM(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 2) AS view
+    FROM events
+    """,
+)
+def transpose_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (Spark 4): flip a small aggregated table so
+    metrics become rows and group values become columns — the
+    matrix-transpose reshape next to pivot (long→wide on ONE metric) and
+    unpivot (wide→long). The per-type aggregate runs first, so transpose —
+    which must materialize the index values as a schema — only ever sees
+    the |groups|-row result, never the 100 TB input (the same
+    aggregate-then-reshape policy as share_of_total). Values are promoted
+    to the least-common type (double) by the engine; the oracle builds the
+    transposed layout by hand with the same casts. Input is sorted on the
+    index column so the emitted column order is deterministic.
+    """
+    agg = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_events"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+    return agg.transpose()

@@ -180,3 +180,73 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderdate", F.lit("date_feed").alias("src")
     )
     return price_feed.unionByName(date_feed, allowMissingColumns=True)
+
+
+# rounds sit at the TRUE decimal precision of each expression (price is
+# 2dp, *0.9 -> 3dp, *0.07 -> 5dp) so no value lands on a round-half
+# boundary — the cross-engine drift rule from the registry docstring.
+_LATERAL_ALIAS_ORACLE = """
+SELECT o_orderkey,
+       ROUND(o_totalprice * 0.9, 3) AS discounted,
+       ROUND(ROUND(o_totalprice * 0.9, 3) + 5.0, 3) AS with_fee,
+       ROUND((ROUND(o_totalprice * 0.9, 3) + 5.0) * 0.07, 5) AS fee_tax
+FROM orders WHERE o_orderkey % 13 = 0
+"""
+
+
+@register("lateral_alias", oracle=_LATERAL_ALIAS_ORACLE)
+def lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+): a SELECT-list expression
+    referencing an alias defined EARLIER IN THE SAME SELECT — the way
+    analysts actually build derived-metric chains, instead of nesting
+    subqueries or repeating the expression. The analyzer rewrites each
+    reference to the aliased expression (inlining, like sql_udf), so the
+    chain stays one Project node inside WholeStageCodegen — no extra plan
+    nodes, no re-evaluation barrier. Oracle is the hand-expanded SQL;
+    identical results prove the rewrite is transparent.
+    """
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               ROUND(o_totalprice * 0.9, 3) AS discounted,
+               ROUND(discounted + 5.0, 3) AS with_fee,
+               ROUND((discounted + 5.0) * 0.07, 5) AS fee_tax
+        FROM orders WHERE o_orderkey % 13 = 0
+        """
+    )
+
+
+_SQL_PARAMS_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_totalprice > 150000.0 AND o_orderpriority <> '1-URGENT'
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql_params", oracle=_SQL_PARAMS_ORACLE)
+def sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+ named parameter markers): values
+    arrive as TYPED literals through ``spark.sql(query, args=...)``, never
+    string-spliced into the query text. This is the SQL-injection-safe
+    templating surface every job scheduler needs (the reference splices
+    config values straight into ini files and commands,
+    /root/reference/master.py:108-121); parameters bind in the analyzer,
+    so constant folding and predicate pushdown see real literals — the
+    plan is byte-identical to the inlined query, which is the oracle.
+    """
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderpriority <> :excl_prio
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 150000.0, "excl_prio": "1-URGENT"},
+    )

@@ -1531,6 +1531,7 @@ def _pq_partials(cb):
     import pandas as pd
 
     c = np.asarray(cb, dtype=np.float64)  # (M, K, DSUB)
+    c2 = (c**2).sum(axis=2)  # (M, K)
 
     def fn(batches):
         for pdf in batches:
@@ -1538,9 +1539,14 @@ def _pq_partials(cb):
                 continue
             x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["u"]])
             xs = x.reshape(len(x), _PQ_M, _PQ_DSUB)
-            # (n, M, K): squared dist of each subvector to each code
-            d2 = ((xs[:, :, None, :] - c[None, :, :, :]) ** 2).sum(axis=3)
-            a = d2.argmin(axis=2)  # (n, M), first min deterministic
+            # argmin over ||x-c||^2 = argmin over (-2 x.c + ||c||^2): per-
+            # subspace GEMM instead of the (n, M, K, DSUB) broadcast temp
+            # (which materializes ~1.3 GB per 10k-row Arrow batch).
+            a = np.empty((len(x), _PQ_M), dtype=np.int64)
+            for m in range(_PQ_M):
+                a[:, m] = (c2[m][None, :] - 2.0 * (xs[:, m, :] @ c[m].T)).argmin(
+                    axis=1
+                )  # first min deterministic
             rows = {"sub": [], "code": [], "pos": [], "s": [], "n": []}
             for m in range(_PQ_M):
                 for k in range(_PQ_K):
@@ -1565,6 +1571,7 @@ def _pq_encode(cb):
     import pandas as pd
 
     c = np.asarray(cb, dtype=np.float64)
+    c2 = (c**2).sum(axis=2)  # (M, K)
 
     def fn(batches):
         for pdf in batches:
@@ -1572,8 +1579,11 @@ def _pq_encode(cb):
                 continue
             x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["u"]])
             xs = x.reshape(len(x), _PQ_M, _PQ_DSUB)
-            d2 = ((xs[:, :, None, :] - c[None, :, :, :]) ** 2).sum(axis=3)
-            codes = d2.argmin(axis=2).astype("int32")  # (n, M)
+            codes = np.empty((len(x), _PQ_M), dtype=np.int32)
+            for m in range(_PQ_M):
+                codes[:, m] = (
+                    c2[m][None, :] - 2.0 * (xs[:, m, :] @ c[m].T)
+                ).argmin(axis=1)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"].values, "codes": list(codes)}
             )

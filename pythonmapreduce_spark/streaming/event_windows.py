@@ -142,3 +142,71 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "window_session_dynamic",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id, value,
+               CAST(ts AS TIMESTAMP) AS s,
+               CAST(ts AS TIMESTAMP)
+                   + CASE WHEN event_type = 'purchase'
+                          THEN INTERVAL 60 MINUTE
+                          ELSE INTERVAL 15 MINUTE END AS e
+        FROM events
+    ), flag AS (
+        SELECT *, CASE WHEN s >= MAX(e) OVER (
+                           PARTITION BY user_id ORDER BY s, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS is_new
+        FROM iv
+    ), islands AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM flag
+    )
+    SELECT user_id,
+           MIN(s) AS session_start,
+           MAX(e) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM islands
+    GROUP BY user_id, sess_no
+    """,
+)
+def window_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap sessions: ``session_window`` with a per-row gap
+    expression — purchases hold a session open 60 minutes, everything else
+    15 — the real-world sessionization rule (a checkout keeps the visit
+    alive longer than an idle pageview) the fixed-gap form cannot express.
+
+    Semantics: each event spans [ts, ts+gap(event)); overlapping spans
+    merge, so session end = MAX over members of (ts + own gap), not
+    last-event + constant. The oracle is therefore interval_merge's
+    running-MAX-of-ends island detection, NOT window_session's lag-gap
+    form — with a variable gap an event can be swallowed by a span whose
+    opener is several rows back, which lag cannot see. Both the max and
+    the cumulative-flag windows order by (s, event_id) — the
+    deterministic-tiebreak discipline interval_merge pinned. Same scale
+    shape as window_session: one user-key exchange, per-key sort,
+    engine-managed merge state.
+    """
+    gap = F.when(F.col("event_type") == "purchase", "60 minutes").otherwise(
+        "15 minutes"
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
