@@ -622,3 +622,79 @@ def graph_cc_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("lbl").alias("component")).agg(
         F.count(F.lit(1)).cast("long").alias("n_vertices")
     )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled k-core peeling over the symmetric edge set."""
+    parts = [
+        _EDGES_CTE
+        + """
+    , sym AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges
+    ),
+    a0 AS (SELECT DISTINCT src AS vid FROM sym)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+    a{r} AS (
+        SELECT s.src AS vid
+        FROM sym s
+        JOIN a{p} x ON s.src = x.vid
+        JOIN a{p} y ON s.dst = y.vid
+        GROUP BY s.src
+        HAVING COUNT(*) >= {k}
+    )"""
+        )
+    selects = [
+        f"SELECT {r} AS peel_round, CAST(COUNT(*) AS BIGINT) AS n_alive FROM a{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("kcore_rounds", oracle=_kcore_oracle(3, 3))
+def kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by EXACTLY 3 peeling rounds (k=3): each round
+    recomputes degrees over the surviving subgraph and drops vertices
+    below k — the density filter that strips hangers-on before community
+    detection, and the standard "find the engaged core" cut for social/
+    co-occurrence graphs. Fixed round count makes the intermediate
+    survivor sets deterministic, so the unrolled CTE reproduces them
+    exactly (graph_cc_rounds' trick); full peeling runs rounds to
+    fixpoint with iter_materialize cutting lineage.
+
+    Per round: two semi-joins restrict the materialized edge base to the
+    surviving subgraph (vertex-key equi-joins, survivor sets O(V)), then
+    one combine-enabled degree count — no edge regeneration, no pair
+    explosion. Emits survivors per round; a round losing no vertices is
+    the converged core.
+    """
+    e = iter_materialize(_edges(spark, sf_dir))
+    sym = e.select("src", "dst").unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    alive = sym.select(F.col("src").alias("vid")).distinct()
+    counts = []
+    for r in range(1, 4):
+        deg = (
+            sym.join(alive.withColumnRenamed("vid", "sv"), F.col("src") == F.col("sv"), "left_semi")
+            .join(alive.withColumnRenamed("vid", "dv"), F.col("dst") == F.col("dv"), "left_semi")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = iter_materialize(
+            deg.where(F.col("deg") >= 3).select(F.col("src").alias("vid"))
+        )
+        counts.append(
+            alive.agg(F.count(F.lit(1)).cast("long").alias("n_alive")).select(
+                F.lit(r).alias("peel_round"), "n_alive"
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out

@@ -300,3 +300,73 @@ def media_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+_MAGIC = {
+    0: bytes.fromhex("89504E470D0A1A0A"),          # PNG signature
+    1: bytes.fromhex("FFD8FFE0"),                   # JPEG/JFIF SOI
+    2: b"RIFF" + bytes(4) + b"WAVE",                # RIFF container, WAVE form
+    3: b"",                                         # raw text, no container
+}
+
+
+@register(
+    "media_type_sniff",
+    oracle="""
+    SELECT CASE doc_id % 4 WHEN 0 THEN 'image/png'
+                           WHEN 1 THEN 'image/jpeg'
+                           WHEN 2 THEN 'audio/wav'
+                           ELSE 'application/octet-stream' END AS detected_type,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(LENGTH(text)
+                    + CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                      WHEN 2 THEN 12 ELSE 0 END) AS BIGINT)
+               AS total_bytes
+    FROM documents
+    WHERE text IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def media_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-type sniffing by MAGIC BYTES — the ingestion gate that
+    trusts the payload, not the filename/metadata (mislabeled blobs are
+    routine in crawled media, and a wrong decoder pick crashes or, worse,
+    silently mangles). Payloads get real container signatures (PNG
+    8-byte signature, JPEG/JFIF SOI, RIFF....WAVE) prepended
+    deterministically by doc_id, and the sniffer classifies from the
+    leading bytes ALONE; the oracle derives the expected class from the
+    same doc_id rule, independently of the byte matching.
+
+    Scale shape: the whole sniff is substring(payload, 1, 12) + a hex
+    prefix CASE — JVM expressions in the scan stage, no Python, no
+    decode; payload bytes never reach an exchange (the aggregate ships
+    (type, count, bytes) partials). This is the cheap pre-filter in
+    front of multimodal_features' per-type decode fan-out.
+    """
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    payload = F.concat(
+        F.when(F.col("doc_id") % 4 == 0, F.lit(_MAGIC[0]))
+        .when(F.col("doc_id") % 4 == 1, F.lit(_MAGIC[1]))
+        .when(F.col("doc_id") % 4 == 2, F.lit(_MAGIC[2]))
+        .otherwise(F.lit(b"")),
+        F.encode(F.col("text"), "UTF-8"),
+    )
+    hx = F.hex(F.expr("substring(payload, 1, 12)"))
+    detected = (
+        F.when(hx.startswith("89504E470D0A1A0A"), "image/png")
+        .when(hx.startswith("FFD8FF"), "image/jpeg")
+        .when(
+            hx.startswith("52494646") & (F.substring(hx, 17, 8) == F.lit("57415645")),
+            "audio/wav",
+        )
+        .otherwise("application/octet-stream")
+    )
+    return (
+        docs.select(payload.alias("payload"))
+        .select(detected.alias("detected_type"), F.length("payload").alias("nb"))
+        .groupBy("detected_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("nb").cast("long").alias("total_bytes"),
+        )
+    )

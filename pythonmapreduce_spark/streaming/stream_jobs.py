@@ -487,3 +487,69 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     _, name = _run_to_memory(deduped, "append")
     return spark.table(name)
+
+
+@register(
+    "stream_chained_agg",
+    # Bounded-replay equivalence: append mode emits a 6-hour window once
+    # the propagated watermark (max event time - the 2 h delay) passes its
+    # end, so the oracle is the batch rollup restricted to those
+    # finalized windows — the cutoff measured and pinned empirically
+    # (473/477 windows at sf0.001).
+    oracle="""
+    WITH b AS (
+        SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS ws,
+               event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)))
+                   AS n_hours
+        FROM events GROUP BY 1, 2
+    )
+    SELECT ws AS window_start, ws + INTERVAL 6 HOUR AS window_end, event_type,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_hours AS BIGINT) AS n_hours
+    FROM b
+    WHERE ws + INTERVAL 6 HOUR <=
+          (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 2 HOUR FROM events)
+    """,
+)
+def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful aggregations in ONE streaming query (Spark 3.5+
+    multiple-stateful-operator support): events -> 1-hour tumbling counts
+    -> 6-hour rollup of those counts, both windows maintained
+    incrementally in the same query. Before this worked, the rollup
+    needed a second streaming job reading the first's sink — double
+    infrastructure, double latency; this is the streaming twin of
+    rollup_time's batch cascade.
+
+    The upstream agg must run in append mode (complete is illegal under
+    a downstream stateful op), so each 1-hour row flows downstream
+    exactly once when its window finalizes, and the 6-hour agg's event
+    time is the upstream WINDOW itself — the watermark propagates
+    through both operators from the single withWatermark at the source.
+    State is O(open windows) per operator. n_hours (how many distinct
+    upstream rows each rollup absorbed) pins the two-level structure
+    against the batch oracle.
+    """
+    src = events_stream_source(spark, sf_dir)
+    hourly = (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rolled = (
+        hourly.groupBy(F.window(F.col("w"), "6 hours").alias("w6"), "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+        )
+        .select(
+            F.col("w6.start").alias("window_start"),
+            F.col("w6.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "n_hours",
+        )
+    )
+    _, name = _run_to_memory(rolled, "append")
+    return spark.table(name)
