@@ -2849,3 +2849,144 @@ def revenue_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("next_rev", 2).alias("retained_revenue"),
         F.round(F.col("next_rev") / F.col("base_rev"), 4).alias("nrr"),
     )
+
+
+@register(
+    "survival_km",
+    oracle="""
+    WITH lastd AS (
+        SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    hor AS (SELECT MAX(last_day) AS horizon FROM lastd),
+    deaths AS (
+        SELECT last_day AS d, CAST(COUNT(*) AS BIGINT) AS churned
+        FROM lastd, hor WHERE last_day < horizon GROUP BY last_day
+    ),
+    total AS (SELECT COUNT(*) AS n FROM lastd),
+    curve AS (
+        SELECT d, churned,
+               (SELECT n FROM total)
+                   - COALESCE(SUM(churned) OVER (ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS at_risk
+        FROM deaths
+    )
+    SELECT CAST(d AS VARCHAR) AS day, churned,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           ROUND(EXP(SUM(LN(1 - churned * 1.0 / at_risk))
+                     OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)), 6) AS survival
+    FROM curve
+    """,
+)
+def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve over user lifetimes: churn day = a
+    user's last observed event; users still active on the final day of
+    the horizon are CENSORED (observation ended, not churn) — the
+    estimator retention dashboards should use instead of naive
+    "active/total" ratios, because censoring is exactly what those
+    ratios get wrong. S(d) = prod over days <= d of (1 - churned/at_risk).
+
+    Scale shape: one user-key aggregate collapses the 100 TB event log to
+    |users| last-seen rows; deaths collapse to |days|; every window (the
+    at-risk countdown and the cumulative product) runs on the |days|-row
+    curve. The product is EXP(SUM(LN(.))) — formulated IDENTICALLY in the
+    oracle so both engines walk the same float path (round 6dp).
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    lastd = ev.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("last_day")
+    )
+    horizon = lastd.agg(F.max("last_day").alias("horizon"))
+    total = lastd.agg(F.count(F.lit(1)).alias("n"))
+    deaths = (
+        lastd.join(F.broadcast(horizon))
+        .where(F.col("last_day") < F.col("horizon"))
+        .groupBy(F.col("last_day").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("churned"))
+    )
+    wprev = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    curve = deaths.join(F.broadcast(total)).select(
+        "d",
+        "churned",
+        (F.col("n") - F.coalesce(F.sum("churned").over(wprev), F.lit(0))).alias(
+            "at_risk"
+        ),
+    )
+    return curve.select(
+        F.col("d").cast("string").alias("day"),
+        "churned",
+        F.col("at_risk").cast("long").alias("at_risk"),
+        F.round(
+            F.exp(
+                F.sum(F.log(1 - F.col("churned") * 1.0 / F.col("at_risk"))).over(wcum)
+            ),
+            6,
+        ).alias("survival"),
+    )
+
+
+@register(
+    "pr_curve",
+    oracle="""
+    WITH scored AS (
+        SELECT LEAST(GREATEST(value / 500.0, 0.0), 1.0) AS p,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    thr AS (SELECT UNNEST([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                AS threshold)
+    SELECT threshold,
+           CAST(SUM(CASE WHEN p >= threshold AND y = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN p >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+               AS predicted_pos,
+           ROUND(SUM(CASE WHEN p >= threshold AND y = 1 THEN 1 ELSE 0 END) * 1.0
+                 / NULLIF(SUM(CASE WHEN p >= threshold THEN 1 ELSE 0 END), 0), 4)
+               AS precision,
+           ROUND(SUM(CASE WHEN p >= threshold AND y = 1 THEN 1 ELSE 0 END) * 1.0
+                 / NULLIF(SUM(y), 0), 4) AS recall
+    FROM scored CROSS JOIN thr
+    GROUP BY threshold
+    """,
+)
+def pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision–recall curve at 9 fixed thresholds — the operating-point
+    sweep that closes the eval family (auc_roc summarizes ranking,
+    calibration_bins checks probability meaning, this picks the
+    deployment threshold). Score/label convention shared with
+    calibration_bins (clamped value/500 vs purchase).
+
+    Scale shape: the 9-row threshold table fans the scan 9× BEFORE the
+    aggregate, so the whole sweep is still one partial+final HashAggregate
+    on ≤9 groups — no per-threshold re-scan, no global sort (the exact-AUC
+    route); at 100 TB the 9× row multiplier beats 9 scans and the
+    alternative (sort by score, cumulative windows) beats both only when
+    you need ALL operating points, which is auc_roc's job.
+    """
+    scored = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.least(F.greatest(F.col("value") / 500.0, F.lit(0.0)), F.lit(1.0)).alias("p"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        )
+    )
+    thr = F.explode(F.array(*[F.lit(i / 10.0) for i in range(1, 10)])).alias(
+        "threshold"
+    )
+    fanned = scored.select("p", "y", thr)
+    hit = (F.col("p") >= F.col("threshold")).cast("long")
+    return fanned.groupBy("threshold").agg(
+        F.sum(hit * F.col("y")).cast("long").alias("tp"),
+        F.sum(hit).cast("long").alias("predicted_pos"),
+        F.round(
+            F.sum(hit * F.col("y")) * 1.0 / F.nullif(F.sum(hit), F.lit(0)), 4
+        ).alias("precision"),
+        F.round(F.sum(hit * F.col("y")) * 1.0 / F.nullif(F.sum("y"), F.lit(0)), 4).alias(
+            "recall"
+        ),
+    )

@@ -1167,3 +1167,118 @@ def dedup_keep_n_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("user_id", "event_id", "value", F.col("rn").cast("long").alias("version_rank"))
     )
+
+
+@register(
+    "winnow_fingerprints",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, UNNEST(range(1, LEN(t) - 2)) AS p, t
+        FROM toks WHERE LEN(t) >= 8
+    ),
+    hashed AS (
+        SELECT doc_id, p,
+               ('0x' || substr(md5(array_to_string(t[p : p + 3], ' ')), 1, 8))::BIGINT
+                   AS h
+        FROM grams
+    ),
+    keyed AS (SELECT doc_id, p, h, h * 8 - p AS m FROM hashed),
+    win AS (
+        SELECT doc_id, p,
+               MIN(m) OVER w5 AS mmin,
+               ARG_MIN(p, m) OVER w5 AS pmin,
+               LEAD(p, 4) OVER (PARTITION BY doc_id ORDER BY p) AS lead4
+        FROM keyed
+        WINDOW w5 AS (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+    ),
+    selected AS (
+        SELECT DISTINCT doc_id, pmin, (mmin + pmin) // 8 AS fp
+        FROM win WHERE lead4 IS NOT NULL
+    ),
+    gc AS (SELECT doc_id, COUNT(*) AS n_grams FROM hashed GROUP BY doc_id),
+    sc AS (SELECT doc_id, COUNT(*) AS n_selected FROM selected GROUP BY doc_id)
+    SELECT gc.doc_id,
+           CAST(gc.n_grams AS BIGINT) AS n_grams,
+           CAST(sc.n_selected AS BIGINT) AS n_selected,
+           ROUND(sc.n_selected * 1.0 / (gc.n_grams - 4), 4) AS density
+    FROM gc JOIN sc ON gc.doc_id = sc.doc_id
+    """,
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken — the
+    MOSS algorithm): hash every 4-token k-gram, then in each window of 5
+    consecutive k-grams keep the MINIMUM hash (rightmost on ties) — the
+    guarantee-bearing sampler behind plagiarism detection and local
+    document fingerprinting: any shared run of >= 8 tokens between two
+    documents is guaranteed to share a selected fingerprint, while only
+    ~2/(w+1) of positions are kept. The rightmost-min tiebreak is folded
+    into one integer key m = h*8 - p (valid because position spread
+    within a window is < 8), so the per-window argmin is an ordinary
+    MIN(struct) — deterministic on both engines with no float anywhere.
+
+    Emits per-doc selection stats (grams, selected, density ~ 1/3): on
+    this vocabulary-random corpus cross-doc fingerprint collisions are
+    near-zero, so the per-doc form pins every window/argmin decision
+    densely instead of hashing an almost-empty pair table; matching runs
+    the tfidf_cosine_pairs posting-join shape over `fp` when used for
+    detection. Scale: grams explode linearly in the scan stage, selection
+    is one per-doc window sort, only (doc_id, fp) ints would ever reach
+    a matching exchange.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr("filter(split(text, '\\\\s+'), x -> x != '')").alias("t"),
+        )
+        .where(F.size("t") >= 8)
+    )
+    hashed = (
+        toks.select(
+            "doc_id", "t", F.explode(F.sequence(F.lit(1), F.size("t") - 3)).alias("p")
+        )
+        .selectExpr(
+            "doc_id",
+            "p",
+            "CAST(conv(substring(md5(array_join(slice(t, p, 4), ' ')), 1, 8), 16, 10)"
+            " AS BIGINT) AS h",
+        )
+    )
+    keyed = hashed.withColumn("m", F.col("h") * 8 - F.col("p"))
+    word = Window.partitionBy("doc_id").orderBy("p")
+    w5 = word.rowsBetween(0, 4)
+    win = keyed.select(
+        "doc_id",
+        "p",
+        F.min(F.struct("m", "p")).over(w5).alias("mn"),
+        F.lead("p", 4).over(word).alias("lead4"),
+    )
+    selected = (
+        win.where(F.col("lead4").isNotNull())
+        .select(
+            "doc_id",
+            F.col("mn.p").alias("pmin"),
+            F.expr("(mn.m + mn.p) div 8").alias("fp"),
+        )
+        .distinct()
+    )
+    gc = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    sc = selected.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_selected")
+    )
+    return gc.join(sc, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_selected",
+        F.round(F.col("n_selected") * 1.0 / (F.col("n_grams") - 4), 4).alias(
+            "density"
+        ),
+    )
