@@ -1511,12 +1511,20 @@ def dataset_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             % F.lit(4294967296)
         ).alias("hv"),
     )
-    placed = docs.select(
-        (F.col("hv") % 64).cast("int").alias("shard"),
+    # name the shard key BEFORE the window so the window partitioning and
+    # the final groupBy share one exchange (partitioning by the raw
+    # `hv % 64` expression defeats Catalyst's partitioning reuse — it
+    # cannot prove the aliased groupBy key is the same, measured +1
+    # exchange)
+    sharded = docs.select(
+        (F.col("hv") % 64).cast("int").alias("shard"), "doc_id", "hv"
+    )
+    placed = sharded.select(
+        "shard",
         "doc_id",
         F.row_number()
         .over(
-            Window.partitionBy(F.col("hv") % 64).orderBy(
+            Window.partitionBy("shard").orderBy(
                 F.floor(F.col("hv") / 64), F.col("doc_id")
             )
         )

@@ -45,6 +45,13 @@ RISK_FAMILIES = [
     "hits_hub_authority",      # iterative float ranking + top-20 boundary
     "token_budget_allocator",  # largest-remainder rank at the +1 boundary
     "resample_ohlc",           # min_by/max_by positional extremes
+    "ann_pq_recall",           # Lloyd-trained codebooks: float partial sums
+    #                            feed an argmin encode (kmeans-family risk)
+    "winnow_fingerprints",     # per-window argmin selection (integer key,
+    #                            must not depend on partition boundaries)
+    "dataset_shuffle_shards",  # hash sharding + within-shard permutation
+    "survival_km",             # EXP(SUM(LN)) cumulative product over days
+    "stream_chained_agg",      # two chained stateful operators, one query
 ]
 
 

@@ -324,13 +324,22 @@ def test_semdedup_centroids_broadcast(spark, sf_smoke) -> None:
     assert "CartesianProduct" not in plan
 
 
+def _partition_keys(plan: str) -> list[str]:
+    """Every hash/range partitioning key list in a formatted plan (the
+    node header and its Arguments: line are separate lines, so match the
+    partitioning expression itself)."""
+    import re as _re
+
+    return _re.findall(r"(?:hash|range)partitioning\(([^)]*)\)", plan)
+
+
 def test_boilerplate_digests_only_shuffle(spark, sf_smoke) -> None:
     # segment text must never cross an exchange — only md5 digests do
     plan = _plan(registry.QUERIES["boilerplate_detect"](spark, sf_smoke))
-    import re as _re
-
-    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
-        assert "seg_key" in m.group(1) or "doc_id" in m.group(1), m.group(0)
+    keys = _partition_keys(plan)
+    assert keys, "expected at least one exchange"
+    for k in keys:
+        assert "seg_key" in k or "doc_id" in k or "source" in k, k
 
 
 def test_ewma_aggregates_before_fanout(spark, sf_smoke) -> None:
@@ -338,3 +347,44 @@ def test_ewma_aggregates_before_fanout(spark, sf_smoke) -> None:
     # 30x band fan-out: the partial+final agg pair appears below the join
     plan = _plan(registry.QUERIES["ewma_smooth"](spark, sf_smoke))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_ann_pq_adc_scan_shape(spark, sf_smoke) -> None:
+    # the ADC scoring scan: query distance tables broadcast onto the
+    # encoded corpus (no corpus-side hash exchange before the top-k
+    # window), estimated distance as a JVM fold — no second Python stage
+    # after the encode pass
+    plan = _plan(registry.QUERIES["ann_pq"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the only Python stage is the encode mapInPandas — no row-at-a-time
+    # Python anywhere
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dataset_shuffle_shards_single_exchange(spark, sf_smoke) -> None:
+    # the write topology: ONE hash exchange on the shard key (the window
+    # partition), no global range sort
+    plan = _plan(registry.QUERIES["dataset_shuffle_shards"](spark, sf_smoke))
+    keys = _partition_keys(plan)
+    assert keys and all(k.startswith("shard") for k in keys), keys
+    assert "rangepartitioning" not in plan
+
+
+def test_winnow_selection_one_partition_sort(spark, sf_smoke) -> None:
+    # gram explode happens in the scan stage; the min-per-window and the
+    # per-doc aggregates all ride doc_id-keyed exchanges (no token text
+    # in any exchange key)
+    plan = _plan(registry.QUERIES["winnow_fingerprints"](spark, sf_smoke))
+    keys = _partition_keys(plan)
+    assert keys, "expected doc_id exchanges"
+    for k in keys:
+        assert "doc_id" in k, k
+
+
+def test_media_sniff_stays_codegen(spark, sf_smoke) -> None:
+    # the sniff is scan-stage JVM expressions: no Python stage anywhere
+    plan = _plan(registry.QUERIES["media_type_sniff"](spark, sf_smoke))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
