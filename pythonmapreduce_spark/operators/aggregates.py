@@ -442,11 +442,12 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String aggregation with deterministic ordering.
-
-    Spark has no ordered string_agg; sort_array(collect_list) → array_join
-    is the canonical equivalent (ordering pinned, unlike bare collect_list
-    whose order is partition arrival)."""
+    """String aggregation with deterministic ordering, built from
+    sort_array(collect_list) → array_join (ordering pinned, unlike bare
+    collect_list whose order is partition arrival). Spark 4.0 added the
+    SQL-standard native form — listagg WITHIN GROUP — registered
+    separately as listagg_op; this composition remains the pre-4.0
+    equivalent and pins that both produce identical results."""
     return (
         load(spark, sf_dir, "nation")
         .groupBy("n_regionkey")
@@ -1114,4 +1115,77 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dof"),
         F.max("n").cast("long").alias("n_obs"),
+    )
+
+
+@register(
+    "listagg_op",
+    oracle="""
+    SELECT n_regionkey,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+           STRING_AGG(DISTINCT SUBSTR(n_name, 1, 1), '' ORDER BY SUBSTR(n_name, 1, 1))
+               AS initials
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def listagg_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ordered string aggregation — Spark 4.0's ``listagg(...)
+    WITHIN GROUP (ORDER BY ...)`` (SQL:2016), including the DISTINCT
+    form. agg_stringagg predates this function and builds the same result
+    from sort_array(collect_list); this registers the first-class parser/
+    aggregate path so users migrating warehouse SQL keep their syntax.
+    The WITHIN GROUP ordering is the load-bearing part: an unordered
+    string_agg is partition-arrival-ordered and non-deterministic at any
+    scale.
+    """
+    from pythonmapreduce_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["nation"])
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+               listagg(DISTINCT SUBSTR(n_name, 1, 1), '')
+                   WITHIN GROUP (ORDER BY SUBSTR(n_name, 1, 1)) AS initials
+        FROM nation
+        GROUP BY n_regionkey
+        """
+    )
+
+
+@register(
+    "regr_funcs",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+           ROUND(REGR_AVGX(l_extendedprice, l_quantity), 4) AS avg_x,
+           ROUND(REGR_AVGY(l_extendedprice, l_quantity), 4) AS avg_y
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def regr_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-standard linear-regression AGGREGATE family (regr_slope /
+    regr_intercept / regr_r2 / regr_count / regr_avgx / regr_avgy) —
+    one-pass moment-based OLS as built-ins on BOTH engines. ols_fit
+    derives the same statistics from hand-rolled moment aggregates; this
+    row certifies the engine-native family warehouse SQL actually calls.
+    Like every moment aggregate here it partial-aggregates map-side: six
+    regression statistics cost one partial+final HashAggregate, not six
+    passes.
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.expr("CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)").alias("n"),
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias("slope"),
+        F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4).alias(
+            "intercept"
+        ),
+        F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias("r2"),
+        F.round(F.expr("regr_avgx(l_extendedprice, l_quantity)"), 4).alias("avg_x"),
+        F.round(F.expr("regr_avgy(l_extendedprice, l_quantity)"), 4).alias("avg_y"),
     )

@@ -2990,3 +2990,75 @@ def pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+@register(
+    "bandit_ucb",
+    oracle="""
+    WITH arms AS (
+        SELECT event_type AS arm,
+               CAST(COUNT(*) AS BIGINT) AS n_pulls,
+               ROUND(AVG(CASE WHEN value > 250 THEN 1.0 ELSE 0.0 END), 6)
+                   AS mean_reward
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
+    ),
+    tot AS (SELECT SUM(n_pulls) AS big_n FROM arms),
+    scored AS (
+        SELECT arm, n_pulls, mean_reward,
+               ROUND(mean_reward + SQRT(2 * LN(big_n) / n_pulls), 6) AS ucb
+        FROM arms, tot
+    )
+    SELECT arm, n_pulls, mean_reward, ucb,
+           CASE WHEN ROW_NUMBER() OVER (ORDER BY ucb DESC, arm) = 1
+                THEN TRUE ELSE FALSE END AS next_pick
+    FROM scored
+    """,
+)
+def bandit_ucb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 multi-armed-bandit allocation readout: per arm (event type
+    standing in for a variant), pull count, mean reward, and the
+    UCB1 score mean + sqrt(2 ln N / n) — the optimism bonus that makes
+    under-explored arms win the next pull. The argmax arm is flagged
+    deterministically (score, then arm name). This is the adaptive
+    sibling of ab_test_lift's fixed-split readout: the same one-pass
+    aggregation feeds an allocator instead of a significance test.
+
+    Scale shape: one combine-enabled aggregate collapses the event log to
+    |arms| rows; the total, the scores, and the argmax window all run on
+    that tiny table (aggregate-then-window, as share_of_total). The
+    ln/sqrt math runs on identical doubles in both engines, rounded at
+    6dp.
+    """
+    from pyspark.sql import Window
+
+    arms = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy(F.col("event_type").alias("arm"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pulls"),
+            F.round(
+                F.avg(F.when(F.col("value") > 250, 1.0).otherwise(0.0)), 6
+            ).alias("mean_reward"),
+        )
+    )
+    tot = arms.agg(F.sum("n_pulls").alias("big_n"))
+    scored = arms.join(F.broadcast(tot)).select(
+        "arm",
+        "n_pulls",
+        "mean_reward",
+        F.round(
+            F.col("mean_reward")
+            + F.sqrt(2 * F.log(F.col("big_n")) / F.col("n_pulls")),
+            6,
+        ).alias("ucb"),
+    )
+    w = Window.orderBy(F.col("ucb").desc(), F.col("arm"))
+    return scored.select(
+        "arm",
+        "n_pulls",
+        "mean_reward",
+        "ucb",
+        (F.row_number().over(w) == 1).alias("next_pick"),
+    )
