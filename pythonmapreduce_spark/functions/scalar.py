@@ -351,3 +351,57 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "bigint").alias("k_value"),
         F.variant_get(v, "$.k", "string").alias("k_text"),
     )
+
+
+@register(
+    "try_parsing",
+    oracle="""
+    WITH feed AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 7 = 0 THEN 'not-a-timestamp'
+                    WHEN event_id % 7 = 1 THEN '2024-13-45 99:99:99'
+                    ELSE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+               END AS ts_raw
+        FROM events
+    ),
+    parsed AS (
+        SELECT event_type, ts_raw,
+               TRY_STRPTIME(ts_raw, '%Y-%m-%d %H:%M:%S') AS ts_ok
+        FROM feed
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(ts_ok) AS BIGINT) AS n_parsed,
+           CAST(COUNT(*) - COUNT(ts_ok) AS BIGINT) AS n_failed,
+           CAST(MIN(ts_ok) AS VARCHAR) AS first_valid
+    FROM parsed
+    GROUP BY event_type
+    """,
+)
+def try_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe timestamp ingestion: ``try_to_timestamp`` turns malformed
+    raw strings (garbage and calendar-invalid values alike, injected
+    deterministically by event_id) into NULLs instead of failing the job
+    — the temporal sibling of try_arithmetic, and with
+    bad_records_quarantine the pattern that keeps one bad row in a 100 TB
+    feed from killing the batch while still making the loss OBSERVABLE
+    (n_failed per type, not a silent drop — the reference silently skips
+    malformed records, /root/reference/reducer_node.py:41-42).
+    """
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.expr(
+            "try_to_timestamp("
+            "CASE WHEN event_id % 7 = 0 THEN 'not-a-timestamp' "
+            "WHEN event_id % 7 = 1 THEN '2024-13-45 99:99:99' "
+            "ELSE date_format(ts, 'yyyy-MM-dd HH:mm:ss') END, "
+            "'yyyy-MM-dd HH:mm:ss')"
+        ).alias("ts_ok"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.count("ts_ok").cast("long").alias("n_parsed"),
+        (F.count(F.lit(1)) - F.count("ts_ok")).cast("long").alias("n_failed"),
+        F.min("ts_ok").cast("string").alias("first_valid"),
+    )

@@ -366,3 +366,94 @@ def source_libsvm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("fvec_milli"),
     )
+
+
+@register(
+    "sink_dynamic_overwrite",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_corrected
+    FROM (
+        SELECT lang, doc_id FROM documents WHERE lang <> 'en'
+        UNION ALL
+        SELECT lang, -doc_id AS doc_id FROM documents WHERE lang = 'en'
+    )
+    GROUP BY lang
+    """,
+)
+def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the backfill primitive: rewriting one
+    partition's corrected data replaces ONLY the partitions present in
+    the incoming frame and leaves every other partition's files untouched
+    (static mode would silently TRUNCATE the whole table first — the
+    classic warehouse data-loss foot-gun this mode exists to prevent).
+
+    Here the full table lands partitioned by lang, then a corrected 'en'
+    batch (doc_id negated as the visible marker) overwrites in dynamic
+    mode; the read-back must show corrected 'en' rows alongside intact
+    originals for every other lang — which is exactly what the oracle
+    states. At 100 TB this is the nightly-restatement path: work scales
+    with the restated partition, never the table.
+    """
+    path = _scratch(f"documents_dyn_overwrite_{os.getpid()}")
+    base = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    base.write.mode("overwrite").partitionBy("lang").parquet(path)
+    corrected = base.where(F.col("lang") == "en").select(
+        (-F.col("doc_id")).alias("doc_id"), "lang"
+    )
+    (
+        corrected.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang")
+        .parquet(path)
+    )
+    out = spark.read.schema("doc_id long, lang string").parquet(path)
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("doc_id") < 0).cast("long")).cast("long").alias("n_corrected"),
+    )
+
+
+@register(
+    "source_file_provenance",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def source_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level file provenance via ``input_file_name()`` — the audit
+    column every ingestion pipeline adds so a bad record can be traced to
+    the exact source file (and the file re-ingested or quarantined). The
+    table is first written as a lang-partitioned layout, read back with
+    the provenance pseudo-column, and the lang parsed OUT OF THE FILE
+    PATH must reproduce the partition column exactly — proving the
+    provenance column is consistent with physical layout.
+
+    Scale: input_file_name() is a zero-cost scan-local expression (the
+    task already knows its split); grouping by provenance costs the same
+    as any low-cardinality aggregate.
+    """
+    path = _scratch(f"documents_prov_{os.getpid()}")
+    (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(path)
+    )
+    out = spark.read.schema("doc_id long, lang string").parquet(path)
+    from_path = F.regexp_extract(F.expr("input_file_name()"), r"lang=([^/]+)/", 1)
+    return (
+        out.select("doc_id", from_path.alias("lang"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        )
+    )
