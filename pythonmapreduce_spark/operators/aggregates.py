@@ -1189,3 +1189,42 @@ def regr_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_avgx(l_extendedprice, l_quantity)"), 4).alias("avg_x"),
         F.round(F.expr("regr_avgy(l_extendedprice, l_quantity)"), 4).alias("avg_y"),
     )
+
+
+@register(
+    "distinct_salted",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof COUNT(DISTINCT) via two-level aggregation: distinct
+    values of a HOT key are first counted per (key, salt) where salt =
+    a hash of the VALUE (so each value lands in exactly one salt bucket
+    and bucket distincts are disjoint), then the per-bucket counts sum.
+    Result is provably identical to plain COUNT(DISTINCT) — which is the
+    oracle — but no single task ever holds a hot key's full value set:
+    the classic rewrite for the one aggregation shape partial-aggregation
+    does NOT save (a distinct agg must see all values of a key in one
+    place; with 10^9 users on one key that task OOMs; 16-way salting
+    bounds it at 1/16th, and the second stage sums 16 tiny rows).
+
+    The exact companion counter (n_events) rides the first stage for
+    free, partial-aggregated as usual.
+    """
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    salted = ev.groupBy(
+        "event_type",
+        (F.xxhash64("user_id") % 16).alias("salt"),
+    ).agg(
+        F.count_distinct("user_id").alias("nd"),
+        F.count(F.lit(1)).alias("nr"),
+    )
+    return salted.groupBy("event_type").agg(
+        F.sum("nd").cast("long").alias("n_users"),
+        F.sum("nr").cast("long").alias("n_events"),
+    )

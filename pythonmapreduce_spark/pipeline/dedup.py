@@ -1282,3 +1282,88 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "density"
         ),
     )
+
+
+@register(
+    "dedup_intradoc_spans",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    positions AS (
+        SELECT doc_id, t, UNNEST(range(1, LEN(t))) AS p
+        FROM toks WHERE LEN(t) >= 2
+    ),
+    spans AS (
+        SELECT doc_id, p, md5(array_to_string(t[p : p + 1], ' ')) AS sk
+        FROM positions
+    ),
+    firsts AS (
+        SELECT doc_id, sk, MIN(p) AS p0
+        FROM spans GROUP BY doc_id, sk
+    ),
+    covered AS (
+        SELECT DISTINCT s.doc_id, UNNEST([s.p, s.p + 1]) AS cp
+        FROM spans s JOIN firsts f
+          ON s.doc_id = f.doc_id AND s.sk = f.sk
+        WHERE s.p >= f.p0 + 2
+    )
+    SELECT tk.doc_id,
+           CAST(LEN(tk.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.n_removed, 0) AS BIGINT) AS n_removed
+    FROM toks tk
+    LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n_removed FROM covered GROUP BY doc_id
+    ) c ON tk.doc_id = c.doc_id
+    """,
+)
+def dedup_intradoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document repetition removal: a 2-token span repeating inside
+    the SAME document keeps its first occurrence and marks every later
+    non-overlapping occurrence's positions for removal — the
+    within-document cleanup (navigation loops, stutter, template echoes)
+    next to remove_dup_spans' CROSS-document rewrite, and the removal
+    form of repetition_filter's keep/drop flag (Gopher-style filters
+    flag; this cleans).
+
+    Spans occurring again at p >= first + span_len are disjoint from the
+    kept first occurrence, so the rule is deterministic without
+    interval arithmetic; overlapping tails between later occurrences
+    union away in the DISTINCT. Scale shape is remove_dup_spans': span
+    keys travel as digests, coverage as (doc_id, position) ints, and
+    EVERY stage keys on doc_id — one partition layout end to end, no
+    cross-doc exchange at all (the span table never leaves its doc).
+    """
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("filter(split(text, '\\\\s+'), x -> x != '')").alias("t")
+    )
+    spans = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.md5(F.array_join(F.slice("t", F.col("p"), 2), " ")).alias("sk"),
+        )
+    )
+    firsts = spans.groupBy("doc_id", "sk").agg(F.min("p").alias("p0"))
+    covered = (
+        spans.join(firsts, ["doc_id", "sk"])
+        .where(F.col("p") >= F.col("p0") + 2)
+        .select("doc_id", F.explode(F.array("p", F.col("p") + 1)).alias("cp"))
+        .distinct()
+    )
+    removed = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_removed")
+    )
+    return toks.join(removed, "doc_id", "left").select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+    )
