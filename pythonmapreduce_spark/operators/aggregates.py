@@ -1228,3 +1228,65 @@ def distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nd").cast("long").alias("n_users"),
         F.sum("nr").cast("long").alias("n_events"),
     )
+
+
+@register(
+    "share_of_parent",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               ROUND(SUM(o.o_totalprice), 2) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation, revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY region), 4)
+               AS share_of_region,
+           ROUND(SUM(revenue) OVER (PARTITION BY region)
+                 / SUM(revenue) OVER (), 4) AS region_share_of_total
+    FROM rev
+    """,
+)
+def share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical percent-of-parent: each nation's share of ITS region's
+    revenue, and each region's share of the grand total — the two-level
+    drill-down readout every BI hierarchy renders (share_of_total is the
+    single-level case). Same aggregate-then-window policy: the orders
+    fact aggregates down to |nations| rows through broadcast dims, and
+    BOTH share windows run on that tiny table — the region partition
+    window and the unpartitioned total window cost nothing there,
+    while computing shares before aggregating would window the raw fact.
+    """
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", F.col("n_name").alias("nation")
+    )
+    region = load(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region")
+    )
+    rev = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("region", "nation")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    wreg = Window.partitionBy("region")
+    wall = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(wreg), 4).alias(
+            "share_of_region"
+        ),
+        F.round(F.sum("revenue").over(wreg) / F.sum("revenue").over(wall), 4).alias(
+            "region_share_of_total"
+        ),
+    )

@@ -3062,3 +3062,155 @@ def bandit_ucb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ucb",
         (F.row_number().over(w) == 1).alias("next_pick"),
     )
+
+
+@register(
+    "gains_deciles",
+    oracle="""
+    WITH scored AS (
+        SELECT event_id,
+               LEAST(GREATEST(value / 500.0, 0.0), 1.0) AS p,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+        SELECT p, y, NTILE(10) OVER (ORDER BY p DESC, event_id) AS decile
+        FROM scored
+    ),
+    agg AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS positives
+        FROM ranked GROUP BY decile
+    )
+    SELECT decile, n, positives,
+           ROUND(SUM(positives) OVER (ORDER BY decile
+                     ROWS UNBOUNDED PRECEDING) * 1.0
+                 / NULLIF(SUM(positives) OVER (), 0), 4) AS cum_capture,
+           ROUND(positives * 10.0 / NULLIF(SUM(positives) OVER (), 0), 4)
+               AS lift
+    FROM agg
+    """,
+)
+def gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / lift table: rank by model score, cut into
+    deciles, report what share of all positives the top-k deciles capture
+    and each decile's lift over random — the campaign-targeting readout
+    ("mail the top 2 deciles, get 44% of converters"). Ranked-decile
+    complement of pr_curve's fixed thresholds; same score/label
+    convention as calibration_bins. The NTILE tiebreak is pinned with
+    event_id so decile boundaries are engine-stable.
+
+    Scale shape: one global sort (the unavoidable cost of exact ranked
+    deciles — same family as auc_roc), then all windows run on the 10-row
+    aggregate. Approximate deciles via approx_quantile edges would remove
+    the sort at 100 TB; this is the exact reference form.
+    """
+    from pyspark.sql import Window
+
+    scored = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            F.least(F.greatest(F.col("value") / 500.0, F.lit(0.0)), F.lit(1.0)).alias("p"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        )
+    )
+    ranked = scored.select(
+        "p",
+        "y",
+        F.ntile(10).over(Window.orderBy(F.col("p").desc(), F.col("event_id"))).alias(
+            "decile"
+        ),
+    )
+    agg = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("positives"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    return agg.select(
+        "decile",
+        "n",
+        "positives",
+        F.round(
+            F.sum("positives").over(wcum) * 1.0
+            / F.nullif(F.sum("positives").over(wall), F.lit(0)),
+            4,
+        ).alias("cum_capture"),
+        F.round(
+            F.col("positives") * 10.0
+            / F.nullif(F.sum("positives").over(wall), F.lit(0)),
+            4,
+        ).alias("lift"),
+    )
+
+
+@register(
+    "ks_statistic",
+    oracle="""
+    WITH scored AS (
+        SELECT LEAST(GREATEST(value / 500.0, 0.0), 1.0) AS p,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    per_score AS (
+        SELECT p, CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+        FROM scored GROUP BY p
+    ),
+    cdfs AS (
+        SELECT p,
+               SUM(pos) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) * 1.0
+                   / NULLIF(SUM(pos) OVER (), 0) AS cdf_pos,
+               SUM(neg) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) * 1.0
+                   / NULLIF(SUM(neg) OVER (), 0) AS cdf_neg
+        FROM per_score
+    )
+    SELECT ROUND(MAX(ABS(cdf_pos - cdf_neg)), 6) AS ks,
+           CAST(COUNT(*) AS BIGINT) AS n_score_points
+    FROM cdfs
+    """,
+)
+def ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov separation: the maximum gap between the score
+    CDFs of the positive and negative classes — credit-scoring's
+    standard single-number discriminative-power metric next to auc_roc
+    (AUC integrates the separation; KS takes its max, and names the
+    score cutoff where separation peaks). Scores are grouped to distinct
+    values FIRST, so ties contribute atomically and the result cannot
+    depend on within-tie row order.
+
+    Scale shape: the per-score aggregate collapses the event log to
+    |distinct scores| rows; the CDF windows and the max run on that
+    table. Like auc_roc, the exact statistic needs one global ordering
+    of score points — |scores|, not |events|.
+    """
+    from pyspark.sql import Window
+
+    scored = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.least(F.greatest(F.col("value") / 500.0, F.lit(0.0)), F.lit(1.0)).alias("p"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        )
+    )
+    per_score = scored.groupBy("p").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
+    )
+    wcum = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cdfs = per_score.select(
+        (
+            F.sum("pos").over(wcum) * 1.0 / F.nullif(F.sum("pos").over(wall), F.lit(0))
+        ).alias("cdf_pos"),
+        (
+            F.sum("neg").over(wcum) * 1.0 / F.nullif(F.sum("neg").over(wall), F.lit(0))
+        ).alias("cdf_neg"),
+    )
+    return cdfs.agg(
+        F.round(F.max(F.abs(F.col("cdf_pos") - F.col("cdf_neg"))), 6).alias("ks"),
+        F.count(F.lit(1)).cast("long").alias("n_score_points"),
+    )

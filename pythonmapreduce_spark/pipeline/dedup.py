@@ -1367,3 +1367,63 @@ def dedup_intradoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("t").cast("long").alias("n_tokens"),
         F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
     )
+
+
+@register(
+    "dedup_survivorship",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source, lang, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang, n_chars
+                   ORDER BY CAST(SUBSTR(source, 4) AS BIGINT), doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY lang, n_chars) AS grp
+        FROM documents
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_survivors,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lost,
+           CAST(SUM(CASE WHEN rn = 1 AND grp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contested_wins
+    FROM ranked
+    GROUP BY source
+    """,
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship rules (MDM golden-record selection): when several
+    records match the same entity, the SURVIVOR is chosen by an explicit
+    precedence policy — source priority first (lower src-number = more
+    trusted feed), then a stable id tiebreak — rather than
+    dedup_keep_latest's recency-only rule. The match key here is the
+    (lang, n_chars) blocking key standing in for an entity-resolution
+    linkage (the fuzzy_match / dedup tiers produce the real one); the
+    policy layer is what this query certifies.
+
+    Per-source survivor/lost/contested-win counts make the precedence
+    effect auditable (a trusted source should win its collisions).
+    Scale shape: one window over the match key — WindowGroupLimit-class
+    work, no pair generation; the rules would arrive as a broadcast
+    priority table without changing the plan (here the rank is parsed
+    from the source name so both engines derive it identically).
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "n_chars").orderBy(
+        F.substring("source", 4, 10).cast("long"), "doc_id"
+    )
+    wg = Window.partitionBy("lang", "n_chars")
+    ranked = docs.select(
+        "source",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wg).alias("grp"),
+    )
+    return ranked.groupBy("source").agg(
+        F.sum((F.col("rn") == 1).cast("long")).cast("long").alias("n_survivors"),
+        F.sum((F.col("rn") > 1).cast("long")).cast("long").alias("n_lost"),
+        F.sum(((F.col("rn") == 1) & (F.col("grp") > 1)).cast("long"))
+        .cast("long")
+        .alias("n_contested_wins"),
+    )

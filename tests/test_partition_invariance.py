@@ -52,6 +52,7 @@ RISK_FAMILIES = [
     "dataset_shuffle_shards",  # hash sharding + within-shard permutation
     "survival_km",             # EXP(SUM(LN)) cumulative product over days
     "stream_chained_agg",      # two chained stateful operators, one query
+    "gains_deciles",           # global NTILE boundaries under a pinned order
 ]
 
 
