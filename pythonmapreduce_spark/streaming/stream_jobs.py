@@ -553,3 +553,52 @@ def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, name = _run_to_memory(rolled, "append")
     return spark.table(name)
+
+
+@register(
+    "stream_state_inspect",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The State Data Source (Spark 4): open a streaming checkpoint and
+    read the operator's STATE STORE as a DataFrame — the ops capability
+    that turns "why is my streaming job's state growing" from a
+    black-box metric into a queryable table (inspect hot keys, audit
+    eviction, debug a stuck aggregation) without touching the running
+    query.
+
+    A watermarked streaming dedup runs to completion against its own
+    checkpoint; ``spark.read.format("statestore")`` then reads that
+    checkpoint's state: exactly one state row per retained dedup key, so
+    the key struct unpacks to the batch DISTINCT — the oracle. At
+    production scale the state read is partition-parallel over the
+    checkpoint's store files (one task per state partition), same as any
+    file source; no running cluster is needed.
+    """
+    ckpt = os.path.join(
+        tempfile.gettempdir(), "pmr_spark_state", uuid.uuid4().hex[:12]
+    )
+    src = events_stream_source(spark, sf_dir)
+    deduped = (
+        src.withWatermark("ts", "40 days")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"state_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        state = spark.read.format("statestore").load(ckpt)
+    except Exception:  # zero-batch replay (empty source): no state dir
+        return spark.createDataFrame([], "user_id long, event_type string")
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("key.event_type").alias("event_type"),
+    )
