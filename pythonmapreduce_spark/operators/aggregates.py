@@ -1013,7 +1013,11 @@ def hll_intersect_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_union"),
     )
     exact = (
-        ev.where(F.col("event_type").isin("click", "purchase"))
+        ev.where(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("user_id").isNotNull()  # sketch side and oracle's
+            # JOIN USING both exclude NULL users; the exact side must too
+        )
         .groupBy("user_id")
         .agg(F.count_distinct("event_type").alias("n_types"))
         .agg(
@@ -1219,7 +1223,7 @@ def distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     salted = ev.groupBy(
         "event_type",
-        (F.xxhash64("user_id") % 16).alias("salt"),
+        F.pmod(F.xxhash64("user_id"), F.lit(16)).alias("salt"),
     ).agg(
         F.count_distinct("user_id").alias("nd"),
         F.count(F.lit(1)).alias("nr"),

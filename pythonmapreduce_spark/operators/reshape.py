@@ -76,8 +76,6 @@ def unpivot_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
-
 
 @register(
     "transpose_op",

@@ -1290,7 +1290,7 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
         SELECT doc_id,
                list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     positions AS (
         SELECT doc_id, t, UNNEST(range(1, LEN(t))) AS p
@@ -1336,8 +1336,13 @@ def dedup_intradoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     EVERY stage keys on doc_id — one partition layout end to end, no
     cross-doc exchange at all (the span table never leaves its doc).
     """
-    toks = load(spark, sf_dir, "documents").select(
-        "doc_id", F.expr("filter(split(text, '\\\\s+'), x -> x != '')").alias("t")
+    toks = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.expr("filter(split(text, '\\\\s+'), x -> x != '')").alias("t"),
+        )
     )
     spans = (
         toks.where(F.size("t") >= 2)
@@ -1412,7 +1417,7 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     w = Window.partitionBy("lang", "n_chars").orderBy(
-        F.substring("source", 4, 10).cast("long"), "doc_id"
+        F.expr("substr(source, 4)").cast("long"), "doc_id"
     )
     wg = Window.partitionBy("lang", "n_chars")
     ranked = docs.select(

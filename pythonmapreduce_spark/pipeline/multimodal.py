@@ -318,7 +318,7 @@ _MAGIC = {
                            WHEN 2 THEN 'audio/wav'
                            ELSE 'application/octet-stream' END AS detected_type,
            CAST(COUNT(*) AS BIGINT) AS n_files,
-           CAST(SUM(LENGTH(text)
+           CAST(SUM(OCTET_LENGTH(ENCODE(text))
                     + CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
                                       WHEN 2 THEN 12 ELSE 0 END) AS BIGINT)
                AS total_bytes

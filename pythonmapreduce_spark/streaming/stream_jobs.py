@@ -594,10 +594,11 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    try:
-        state = spark.read.format("statestore").load(ckpt)
-    except Exception:  # zero-batch replay (empty source): no state dir
+    if not os.path.isdir(os.path.join(ckpt, "state")):
+        # zero-batch replay (empty source) never creates a state dir; a
+        # corrupt/unreadable checkpoint should RAISE, not read as empty
         return spark.createDataFrame([], "user_id long, event_type string")
+    state = spark.read.format("statestore").load(ckpt)
     return state.select(
         F.col("key.user_id").alias("user_id"),
         F.col("key.event_type").alias("event_type"),
