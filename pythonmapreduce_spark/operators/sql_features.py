@@ -250,3 +250,79 @@ def sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 150000.0, "excl_prio": "1-URGENT"},
     )
+
+
+_SQL_VARIABLES_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_totalprice > 175000.0 AND o_orderdate >= DATE '1995-01-01'
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql_variables", oracle=_SQL_VARIABLES_ORACLE)
+def sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 ``DECLARE VARIABLE`` / ``SET
+    VARIABLE``): typed, session-scoped named values referenced directly
+    in queries — the scripting-state surface for multi-statement SQL
+    jobs (thresholds computed once, reused across statements) that
+    otherwise forces string templating. Variables resolve in the
+    analyzer to literals, so pushdown and constant folding see real
+    constants — same transparency contract as sql_params (per-call
+    binding) and sql_udf (named expressions); the oracle is the
+    hand-inlined query.
+    """
+    register_views(spark, sf_dir, ["orders"])
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE since_date DATE DEFAULT DATE '1990-01-01'")
+    spark.sql("SET VARIABLE price_floor = 175000.0")
+    spark.sql("SET VARIABLE since_date = DATE '1995-01-01'")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        WHERE o_totalprice > price_floor AND o_orderdate >= since_date
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+_SQL_PIPE_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'O'
+GROUP BY c_mktsegment
+ORDER BY revenue DESC
+LIMIT 3
+"""
+
+
+@register("sql_pipe_syntax", oracle=_SQL_PIPE_ORACLE)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0, from the GoogleSQL/ZetaSQL proposal):
+    queries written as a top-to-bottom dataflow — ``FROM … |> WHERE …
+    |> JOIN … |> AGGREGATE … |> ORDER BY`` — instead of the inside-out
+    SELECT order. Each |> stage is sugar over the same logical operators
+    (the plan is identical to the classic form, which is the oracle), so
+    the feature is purely parser-level: the readability of a DataFrame
+    chain with the portability of SQL text.
+    """
+    register_views(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'O'
+        |> JOIN customer ON o_custkey = c_custkey
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     ROUND(SUM(o_totalprice), 2) AS revenue
+           GROUP BY c_mktsegment
+        |> ORDER BY revenue DESC
+        |> LIMIT 3
+        """
+    )
