@@ -698,3 +698,105 @@ def kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.unionAll(c)
     return out
+
+
+def _bigstar_oracle(rounds: int) -> str:
+    """Unrolled alternating large-star / small-star rounds (edges kept
+    oriented a > b throughout; m = min of the closed neighborhood)."""
+    parts = [
+        _EDGES_CTE
+        + """
+    , e0 AS (SELECT src AS a, dst AS b FROM edges)"""
+    ]
+    idx = 0
+    for _ in range(rounds):
+        for op in ("L", "S"):
+            p, idx = idx, idx + 1
+            sym = f"""
+    sym{idx} AS (
+        SELECT a AS v, b AS u FROM e{p}
+        UNION ALL
+        SELECT b AS v, a AS u FROM e{p}
+    ),
+    m{idx} AS (
+        SELECT v, LEAST(MIN(u), v) AS m FROM sym{idx} GROUP BY v
+    )"""
+            if op == "L":
+                new = f"""
+    e{idx} AS (
+        SELECT DISTINCT s.u AS a, m.m AS b
+        FROM sym{idx} s JOIN m{idx} m ON s.v = m.v
+        WHERE s.u > s.v
+    )"""
+            else:
+                new = f"""
+    e{idx} AS (
+        SELECT DISTINCT a, b FROM (
+            SELECT s.u AS a, m.m AS b
+            FROM sym{idx} s JOIN m{idx} m ON s.v = m.v
+            WHERE s.u < s.v
+            UNION ALL
+            SELECT m.v AS a, m.m AS b FROM m{idx} m
+        ) WHERE a <> b
+    )"""
+            parts.append("," + sym + "," + new)
+    return (
+        "".join(parts)
+        + f"""
+    SELECT b AS root, CAST(COUNT(DISTINCT a) AS BIGINT) AS n_children
+    FROM e{idx} GROUP BY b
+    """
+    )
+
+
+@register("graph_cc_bigstar", oracle=_bigstar_oracle(2))
+def graph_cc_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by ALTERNATING large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the algorithm that replaces min-label propagation at extreme scale:
+    each operation is one neighborhood min-aggregate + one re-keyed edge
+    emission, and the alternation contracts components in O(log n)
+    rounds instead of O(diameter) (graph_cc_rounds' propagation walks
+    the diameter; a 10^9-vertex path graph never finishes that way).
+    large-star hangs every larger neighbor off the neighborhood minimum;
+    small-star re-hangs the smaller ones; edges stay oriented a > b so
+    the pair space only shrinks.
+
+    Run for exactly 2 alternating rounds with the intermediate edge sets
+    deterministic (pure integer min/join/distinct), so the unrolled CTE
+    oracle reproduces the exact parent multiset — same fixed-depth trick
+    as graph_cc_rounds/bfs_distances; production runs to fixpoint with
+    iter_materialize cutting lineage per round. Per round nothing wider
+    than (vertex, vertex) int pairs crosses an exchange.
+    """
+    e = iter_materialize(_edges(spark, sf_dir)).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    for op in ("L", "S", "L", "S"):
+        sym = e.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
+            e.select(F.col("b").alias("v"), F.col("a").alias("u"))
+        )
+        m = sym.groupBy("v").agg(F.least(F.min("u"), F.col("v")).alias("m"))
+        if op == "L":
+            e = (
+                sym.join(m, "v")
+                .where(F.col("u") > F.col("v"))
+                .select(F.col("u").alias("a"), F.col("m").alias("b"))
+                .distinct()
+            )
+        else:
+            smaller = (
+                sym.join(m, "v")
+                .where(F.col("u") < F.col("v"))
+                .select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+            selfrow = m.select(F.col("v").alias("a"), F.col("m").alias("b"))
+            e = (
+                smaller.unionAll(selfrow)
+                .where(F.col("a") != F.col("b"))
+                .distinct()
+            )
+        e = iter_materialize(e)
+    return e.groupBy(F.col("b").alias("root")).agg(
+        F.count_distinct("a").cast("long").alias("n_children")
+    )

@@ -53,6 +53,8 @@ RISK_FAMILIES = [
     "survival_km",             # EXP(SUM(LN)) cumulative product over days
     "stream_chained_agg",      # two chained stateful operators, one query
     "gains_deciles",           # global NTILE boundaries under a pinned order
+    "graph_cc_bigstar",        # 4 chained star-contraction rounds (integer
+    #                            min/join/distinct) across materializations
 ]
 
 
