@@ -1536,3 +1536,110 @@ def dataset_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("perm_checksum"),
     )
+
+
+@register(
+    "batch_padding_efficiency",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               LEN(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                   AS n_tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    naive AS (
+        SELECT n_tok,
+               (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 32 AS batch
+        FROM toks
+    ),
+    bucketed AS (
+        SELECT n_tok,
+               (ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) - 1) // 32 AS batch
+        FROM toks
+    ),
+    pn AS (
+        SELECT SUM(mx * n) AS padded, SUM(s) AS real FROM (
+            SELECT MAX(n_tok) AS mx, COUNT(*) AS n, SUM(n_tok) AS s
+            FROM naive GROUP BY batch
+        )
+    ),
+    pb AS (
+        SELECT SUM(mx * n) AS padded, SUM(s) AS real FROM (
+            SELECT MAX(n_tok) AS mx, COUNT(*) AS n, SUM(n_tok) AS s
+            FROM bucketed GROUP BY batch
+        )
+    )
+    SELECT 'arrival_order' AS strategy,
+           CAST(padded AS BIGINT) AS padded_tokens,
+           CAST(real AS BIGINT) AS real_tokens,
+           ROUND(1.0 - real * 1.0 / padded, 4) AS waste_ratio
+    FROM pn
+    UNION ALL
+    SELECT 'length_bucketed' AS strategy,
+           CAST(padded AS BIGINT) AS padded_tokens,
+           CAST(real AS BIGINT) AS real_tokens,
+           ROUND(1.0 - real * 1.0 / padded, 4) AS waste_ratio
+    FROM pb
+    """,
+)
+def batch_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching A/B: padding waste of arrival-order
+    batches (batch cost = batch_size x max length in batch) versus
+    batches formed after sorting by length — the dynamic-batching /
+    bucketed-sampler win every training and inference stack exploits,
+    measured on this corpus as one comparable pair of waste ratios. The
+    per-batch padded cost is exactly what a GPU pays; the delta is free
+    throughput.
+
+    Scale shape: per-doc token counts come from the scan; each strategy
+    is one global rank (the same exact-ordering cost family as
+    gains_deciles — at 100 TB the sort becomes repartitionByRange on
+    n_tok, which preserves the batching quality) and the waste rollup is
+    a two-level aggregate on |batches| rows.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias(
+                "n_tok"
+            ),
+        )
+    )
+
+    def waste(batched: DataFrame, label: str) -> DataFrame:
+        per_batch = batched.groupBy("batch").agg(
+            F.max("n_tok").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_tok").alias("s"),
+        )
+        return per_batch.agg(
+            F.sum(F.col("mx") * F.col("n")).cast("long").alias("padded_tokens"),
+            F.sum("s").cast("long").alias("real_tokens"),
+        ).select(
+            F.lit(label).alias("strategy"),
+            "padded_tokens",
+            "real_tokens",
+            F.round(
+                1.0 - F.col("real_tokens") * 1.0 / F.col("padded_tokens"), 4
+            ).alias("waste_ratio"),
+        )
+
+    naive = toks.select(
+        "n_tok",
+        F.floor((F.row_number().over(Window.orderBy("doc_id")) - 1) / 32).alias(
+            "batch"
+        ),
+    )
+    bucketed = toks.select(
+        "n_tok",
+        F.floor(
+            (F.row_number().over(Window.orderBy("n_tok", "doc_id")) - 1) / 32
+        ).alias("batch"),
+    )
+    return waste(naive, "arrival_order").unionAll(
+        waste(bucketed, "length_bucketed")
+    )
