@@ -14,6 +14,8 @@ built-in aggregation — and group size, not table size, bounds worker memory.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -413,4 +415,60 @@ def udf_group_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             _arrow_lang_stats,
             "lang string, n_docs long, total_bytes long, total_codepoints long",
         )
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def _scored_length_iter_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Iterator-form scalar pandas UDF (Iterator[pd.Series] ->
+    Iterator[pd.Series]): the prologue below runs ONCE PER PYTHON WORKER
+    before any batch — the hook for loading a model/tokenizer/codec a
+    single time instead of per batch. The 'model' here is a deterministic
+    weight table standing in for real weights."""
+    import numpy as np
+
+    # one-time per-worker init (a real pipeline loads the model here)
+    weights = np.array([0.25, 0.5, 0.25], dtype=np.float64)
+
+    for texts in batches:
+        n = texts.str.split().map(len).astype("float64")
+        # toy 3-tap scoring against the preloaded weights
+        yield (
+            n * weights[1] + (n - 1.0).clip(lower=0) * weights[0]
+            + (n + 1.0) * weights[2]
+        ).round(4)
+
+
+@register(
+    "udf_scalar_iter",
+    oracle=r"""
+    WITH n AS (
+        SELECT doc_id,
+               CAST(LEN(list_filter(string_split_regex(text, '\s+'),
+                                    t -> t <> '')) AS DOUBLE) AS nt
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           ROUND(nt * 0.5 + GREATEST(nt - 1.0, 0) * 0.25 + (nt + 1.0) * 0.25, 4)
+               AS score
+    FROM n
+    """,
+)
+def udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATOR-form scalar pandas UDF (``Iterator[pd.Series] ->
+    Iterator[pd.Series]``) — the variant whose whole reason to exist is
+    EXPENSIVE PER-WORKER INITIALIZATION: code before the first ``yield``
+    runs once per Python worker, every Arrow batch then streams through
+    the already-initialized state. For a 100 TB scoring pass with a
+    model/tokenizer that takes seconds to load, the series-at-a-time form
+    (udf_scalar) has nowhere to express that one-time init at all — this
+    form is how
+    model-based quality scoring (quality_classifier's real-weights
+    version) actually deploys. Completes the Python-UDF matrix next to
+    pandas_udf / Arrow scalar / grouped / cogrouped / state / UDTF /
+    mapInPandas / mapInArrow.
+    """
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return docs.select(
+        "doc_id", _scored_length_iter_udf(F.col("text")).alias("score")
     )
