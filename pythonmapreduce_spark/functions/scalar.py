@@ -405,3 +405,43 @@ def try_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.count("ts_ok")).cast("long").alias("n_failed"),
         F.min("ts_ok").cast("string").alias("first_valid"),
     )
+
+
+@register(
+    "timezone_funcs",
+    oracle="""
+    WITH localized AS (
+        SELECT event_type,
+               EXTRACT(hour FROM (CAST(ts AS TIMESTAMP)
+                   AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York'))
+                   AS local_hour
+        FROM events
+    )
+    SELECT event_type, CAST(local_hour AS BIGINT) AS local_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM localized
+    GROUP BY event_type, local_hour
+    """,
+)
+def timezone_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IANA time-zone conversion (``convert_timezone``, Spark 3.4+):
+    event timestamps stored in UTC localized to a business zone before
+    hour-of-day bucketing — the step every "when are users active"
+    readout silently needs (dow_hour_activity buckets in UTC; a
+    New-York-centric product shifted 5 hours is a different curve).
+    Both engines resolve the SAME IANA tzdata rules (DST transitions
+    included), which is exactly what the oracle pins: DuckDB's
+    double AT TIME ZONE is the same UTC→zone wall-clock mapping.
+    Conversion is a scan-stage scalar; the aggregate is the usual
+    partial+final pass on ≤ 24×|types| groups.
+    """
+    ev = load(spark, sf_dir, "events")
+    localized = ev.select(
+        "event_type",
+        F.hour(
+            F.expr("convert_timezone('UTC', 'America/New_York', ts)")
+        ).cast("long").alias("local_hour"),
+    )
+    return localized.groupBy("event_type", "local_hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
