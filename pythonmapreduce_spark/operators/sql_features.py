@@ -326,3 +326,66 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> LIMIT 3
         """
     )
+
+
+_ANALYZE_ORACLE = """
+SELECT 'n_nationkey' AS col_name, 'min' AS stat,
+       CAST(MIN(n_nationkey) AS VARCHAR) AS value FROM nation
+UNION ALL
+SELECT 'n_nationkey', 'max', CAST(MAX(n_nationkey) AS VARCHAR) FROM nation
+UNION ALL
+SELECT 'n_nationkey', 'num_nulls',
+       CAST(COUNT(*) - COUNT(n_nationkey) AS VARCHAR) FROM nation
+UNION ALL
+SELECT 'n_nationkey', 'distinct_count',
+       CAST(COUNT(DISTINCT n_nationkey) AS VARCHAR) FROM nation
+UNION ALL
+SELECT 'n_regionkey', 'min', CAST(MIN(n_regionkey) AS VARCHAR) FROM nation
+UNION ALL
+SELECT 'n_regionkey', 'max', CAST(MAX(n_regionkey) AS VARCHAR) FROM nation
+UNION ALL
+SELECT 'n_regionkey', 'num_nulls',
+       CAST(COUNT(*) - COUNT(n_regionkey) AS VARCHAR) FROM nation
+UNION ALL
+SELECT 'n_regionkey', 'distinct_count',
+       CAST(COUNT(DISTINCT n_regionkey) AS VARCHAR) FROM nation
+"""
+
+
+@register("analyze_table_stats", oracle=_ANALYZE_ORACLE)
+def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS`` — the catalog
+    statistics that FEED the cost-based optimizer: row counts size join
+    orders, column min/max drive range-predicate selectivity, NDV drives
+    join-cardinality estimates. Without them the CBO falls back to raw
+    file sizes; at 100 TB a wrong join order from a missing ANALYZE is a
+    thousand-executor mistake. This query writes a managed table, ANALYZEs
+    two columns, and reads the stats BACK OUT OF THE CATALOG (DESCRIBE
+    EXTENDED table col) — the oracle recomputes each statistic directly,
+    so any catalog-side drift (stale stats, lossy serialization) fails
+    the compare. NDV is exact here (25 rows; the HLL±5% kicks in at
+    cardinalities where exactness is priced accordingly).
+    """
+    import os as _os
+
+    from pythonmapreduce_spark.catalog import load
+
+    tbl = f"analyze_stats_{_os.getpid()}"
+    load(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(tbl)
+    spark.sql(
+        f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS n_nationkey, n_regionkey"
+    )
+    wanted = ("min", "max", "num_nulls", "distinct_count")
+    parts = []
+    for col in ("n_nationkey", "n_regionkey"):
+        d = (
+            spark.sql(f"DESCRIBE EXTENDED {tbl} {col}")
+            .where(F.col("info_name").isin(*wanted))
+            .select(
+                F.lit(col).alias("col_name"),
+                F.col("info_name").alias("stat"),
+                F.col("info_value").alias("value"),
+            )
+        )
+        parts.append(d)
+    return parts[0].unionAll(parts[1])
