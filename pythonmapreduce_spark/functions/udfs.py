@@ -431,7 +431,10 @@ def _scored_length_iter_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]
     weights = np.array([0.25, 0.5, 0.25], dtype=np.float64)
 
     for texts in batches:
-        n = texts.str.split().map(len).astype("float64")
+        # (?a) pins ASCII \S, matching the engine-wide Java/RE2 \s+
+        # tokenizer contract (pandas str.split() would split on Unicode
+        # whitespace the oracle's regex does not)
+        n = texts.str.count(r"(?a)\S+").astype("float64")
         # toy 3-tap scoring against the preloaded weights
         yield (
             n * weights[1] + (n - 1.0).clip(lower=0) * weights[0]

@@ -701,8 +701,9 @@ def kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bigstar_oracle(rounds: int) -> str:
-    """Unrolled alternating large-star / small-star rounds (edges kept
-    oriented a > b throughout; m = min of the closed neighborhood)."""
+    """Unrolled alternating large-star / small-star rounds (m = min of
+    the closed neighborhood; the seed edges arrive oriented src < dst
+    from _EDGES_CTE, every star round re-emits oriented a > b)."""
     parts = [
         _EDGES_CTE
         + """
@@ -759,8 +760,9 @@ def graph_cc_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds instead of O(diameter) (graph_cc_rounds' propagation walks
     the diameter; a 10^9-vertex path graph never finishes that way).
     large-star hangs every larger neighbor off the neighborhood minimum;
-    small-star re-hangs the smaller ones; edges stay oriented a > b so
-    the pair space only shrinks.
+    small-star re-hangs the smaller ones; every star round re-emits
+    edges oriented a > b (the seed set arrives src < dst and both
+    engines symmetrize it identically), so the pair space only shrinks.
 
     Run for exactly 2 alternating rounds with the intermediate edge sets
     deterministic (pure integer min/join/distinct), so the unrolled CTE

@@ -279,7 +279,7 @@ def sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql("DECLARE OR REPLACE VARIABLE since_date DATE DEFAULT DATE '1990-01-01'")
     spark.sql("SET VARIABLE price_floor = 175000.0")
     spark.sql("SET VARIABLE since_date = DATE '1995-01-01'")
-    return spark.sql(
+    out = spark.sql(
         """
         SELECT o_orderpriority,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -289,6 +289,11 @@ def sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+    # variables resolve to literals during the (eager) analysis above;
+    # drop them so no session-global state leaks past this query
+    spark.sql("DROP TEMPORARY VARIABLE IF EXISTS price_floor")
+    spark.sql("DROP TEMPORARY VARIABLE IF EXISTS since_date")
+    return out
 
 
 _SQL_PIPE_ORACLE = """
@@ -367,10 +372,21 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinalities where exactness is priced accordingly).
     """
     import os as _os
+    import shutil as _shutil
 
     from pythonmapreduce_spark.catalog import load
 
     tbl = f"analyze_stats_{_os.getpid()}"
+    # the warehouse DIRECTORY outlives the in-memory catalog: drop both
+    # the entry and any stale location from a killed/recycled-pid run
+    # (same failure mode bucketing.write_bucketed documents)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if warehouse.startswith(prefix):
+            warehouse = warehouse[len(prefix):]
+            break
+    _shutil.rmtree(_os.path.join(warehouse, tbl), ignore_errors=True)
     load(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(tbl)
     spark.sql(
         f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS n_nationkey, n_regionkey"
@@ -388,4 +404,9 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         parts.append(d)
-    return parts[0].unionAll(parts[1])
+    out = parts[0].unionAll(parts[1])
+    # DESCRIBE is a command — its rows are already materialized in the
+    # plan, so the scratch table can be dropped before returning
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    _shutil.rmtree(_os.path.join(warehouse, tbl), ignore_errors=True)
+    return out

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from pythonmapreduce_spark.catalog import load
 from pythonmapreduce_spark.plans.registry import QUERIES, register
-from pythonmapreduce_spark.sources.text_corpus import tokens_col
+from pythonmapreduce_spark.sources.text_corpus import token_count_col, tokens_col
 
 # Model context window for chunking/packing. Small enough that the fixture
 # corpus (~100 tokens/doc) produces multi-chunk docs and multi-doc bins —
@@ -1602,12 +1602,7 @@ def batch_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         load(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
-        .select(
-            "doc_id",
-            F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias(
-                "n_tok"
-            ),
-        )
+        .select("doc_id", token_count_col().cast("long").alias("n_tok"))
     )
 
     def waste(batched: DataFrame, label: str) -> DataFrame:
