@@ -154,6 +154,17 @@ NOTES = {
         "per-partition sort (window), partial+final aggregate for the "
         "checksums — deliberately NO global range sort."
     ),
+    "graph_cc_bigstar": (
+        "four star-contraction rounds, each one neighborhood min-aggregate "
+        "+ a re-keyed distinct edge emission over the materialized previous "
+        "round — nothing wider than (vertex, vertex) int pairs in any "
+        "exchange; the O(log n)-round CC shape."
+    ),
+    "winnow_fingerprints": (
+        "gram explode + hashing in the scan stage; ONE doc_id partition "
+        "sort serves both the 5-gram min window and the lead() validity "
+        "check; all later aggregates reuse doc_id-keyed exchanges."
+    ),
 }
 
 
