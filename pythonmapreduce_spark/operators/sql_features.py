@@ -410,3 +410,28 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     _shutil.rmtree(_os.path.join(warehouse, tbl), ignore_errors=True)
     return out
+
+
+_GROUP_ORDER_ALL_ORACLE = """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register("group_order_by_all", oracle=_GROUP_ORDER_ALL_ORACLE)
+def group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` (Spark 3.4+/4, matching the
+    DuckDB-popularized shorthand): every non-aggregate SELECT item groups,
+    every output column orders — the repetition-free form analysts write
+    for wide rollups, where re-listing twelve dimension columns twice is
+    where grouping bugs come from. The analyzer expands ALL to the
+    explicit lists, so the plan is the ordinary partial+final aggregate +
+    sort; the oracle runs the IDENTICAL text on DuckDB, pinning that the
+    two engines expand ALL the same way.
+    """
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(_GROUP_ORDER_ALL_ORACLE)
