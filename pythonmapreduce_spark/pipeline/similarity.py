@@ -1,19 +1,23 @@
 """Similarity search over embedding vectors (array<float> columns).
 
-Three operators:
-- ``knn_cosine``: brute-force top-k cosine neighbors for a bounded query
-  set — the exact baseline. Per-row norms are precomputed and the query
-  side is broadcast, so the big side streams through one stage with no
-  shuffle of the corpus.
-- ``ann_ivf``: IVF-style approximate search — assign every vector to its
-  nearest centroid (one linear pass), probe only the closest clusters at
-  query time. This is the 100 TB path: cluster assignment partitions the
-  corpus, and each query touches ~nprobe/K of the data.
-- ``dup_embedding``: embedding-cosine near-duplicate pairs over a bounded
-  id range (oracle-checkable exact variant of semantic dedup).
+The family, exact to approximate:
+- exact kNN in three result-identical formulations — ``knn_cosine``
+  (HOF expressions, broadcast queries, corpus unshuffled),
+  ``knn_blocked`` (two-stage block-local top-k merge), ``knn_gemm``
+  (Arrow-batch numpy GEMM with per-batch pruning) — plus the
+  ``knn_classify``/``knn_eval`` layer on top.
+- approximate indexes: ``ann_ivf`` (centroid probing), ``ann_lsh``
+  (hyperplane bands), ``ann_pq`` (product-quantized 8-byte codes + ADC)
+  and ``ann_pq_rerank`` (exact rescore of the ADC shortlist) — each
+  pinned by an oracle-backed recall-floor contract query.
+- embedding analytics: ``dup_embedding``/``semdedup`` near-dup pruning,
+  centroids, int8 quantization, Gram/PCA, k-means, norm audits,
+  Matryoshka truncation A/B, hard-negative mining.
 
-All vector math is built-in array expressions (zip_with/aggregate) in
-double precision — JVM-side, no Python in the scoring loop.
+Scoring math is JVM-side array expressions (zip_with/aggregate) in
+double precision wherever the plan allows; Python appears only as
+Arrow-batched numpy kernels (GEMM, PQ train/encode) with bounded driver
+collects.
 """
 
 from __future__ import annotations
