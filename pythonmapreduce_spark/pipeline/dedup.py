@@ -1,15 +1,24 @@
 r"""Deduplication operators for large-scale training-data pipelines.
 
-Four tiers, each with a different cost/recall point at 100 TB:
-- exact (hash groupBy): one shuffle on a 64-hex digest, keep min doc_id.
-- near-dup via MinHash+LSH: shingle → k minhashes → band → bucket join.
-  Candidate generation is linear in corpus size (each doc emits B band
-  keys); only same-bucket pairs are verified. No O(n²) anywhere.
-- SimHash: 64-bit signature per doc (Arrow-vectorized), Hamming-ball
-  candidate pairs via 4×16-bit band buckets (pigeonhole: distance ≤ 3 ⇒
-  at least one of 4 bands equal).
-- n-gram Jaccard: exact verification metric, run only on candidate pairs
-  (or bounded subsets for the oracle twin).
+The tiers, cheapest signal first (each a different cost/recall point at
+100 TB):
+- metadata keys: canonical-URL dedup (``dedup_url``) before any content
+  hashing.
+- exact content: byte hash (``dedup_exact``), normalize-then-hash
+  (``dedup_exact_normalized``), cross-snapshot/incremental anti-joins,
+  latest/N-version retention, MDM survivorship rules — one shuffle on a
+  digest, never text.
+- near-dup: MinHash+LSH bands (``dedup_near`` + incremental form),
+  SimHash Hamming bands, blocked exact Jaccard/containment — candidate
+  generation linear (B band keys per doc), only same-bucket pairs
+  verified, ``_BUCKET_CAP`` bounding pathological buckets; recall-floor
+  contract queries (``dedup_near_recall`` et al.) pin answer quality.
+- sub-document: duplicated-span reporting and REWRITE
+  (``remove_dup_spans``), intra-document repetition removal, MOSS
+  winnowing fingerprints — span identity travels as digests + (doc, pos)
+  ints.
+- clustering: min-label / survivor selection over the near-dup pair graph
+  (``dedup_clusters``).
 
 The reference's nearest concept is the inverted index's per-key distinct
 set (/root/reference/mapreduce_inverted.py:11) — dedup generalizes "group
