@@ -1294,3 +1294,61 @@ def share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region_share_of_total"
         ),
     )
+
+
+@register(
+    "corr_matrix",
+    oracle="""
+    SELECT 'l_quantity' AS var_a, 'l_extendedprice' AS var_b,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) + 0.0 AS r
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           ROUND(CORR(l_quantity, l_discount), 6) + 0.0 FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_tax',
+           ROUND(CORR(l_quantity, l_tax), 6) + 0.0 FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           ROUND(CORR(l_extendedprice, l_discount), 6) + 0.0 FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_tax',
+           ROUND(CORR(l_extendedprice, l_tax), 6) + 0.0 FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', 'l_tax',
+           ROUND(CORR(l_discount, l_tax), 6) + 0.0 FROM lineitem
+    """,
+)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (upper triangle) over four
+    numeric measures in ONE aggregation pass — the first-look EDA screen
+    for collinear features before any modeling. All k(k-1)/2
+    correlations ride a single partial+final HashAggregate (each CORR is
+    five moment partials; the pass costs one scan regardless of k), not
+    k²/2 separate jobs — the multi-statistic twin of regr_funcs' policy.
+    Emitted long-form (var_a, var_b, r), the shape a heatmap consumes;
+    the `+ 0.0` normalizes the IEEE -0.0 a rounded near-zero correlation
+    can produce on one engine and not the other (registry docstring
+    rule).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_quantity", "l_tax"),
+        ("l_extendedprice", "l_discount"),
+        ("l_extendedprice", "l_tax"),
+        ("l_discount", "l_tax"),
+    ]
+    wide = li.agg(
+        *[
+            (F.round(F.corr(a, b), 6) + 0.0).alias(f"r_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    stacked = ", ".join(
+        f"'{a}', '{b}', r_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stacked}) AS (var_a, var_b, r)"
+    )
