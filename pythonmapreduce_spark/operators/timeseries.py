@@ -3214,3 +3214,227 @@ def ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.abs(F.col("cdf_pos") - F.col("cdf_neg"))), 6).alias("ks"),
         F.count(F.lit(1)).cast("long").alias("n_score_points"),
     )
+
+
+@register(
+    "rolling_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, ROUND(SUM(value), 2) AS revenue
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    stats AS (
+        SELECT d, revenue,
+               AVG(revenue) OVER w AS mu,
+               STDDEV_SAMP(revenue) OVER w AS sigma,
+               COUNT(*) OVER w AS n_base
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CAST(d AS VARCHAR) AS day, revenue,
+           CAST(n_base AS BIGINT) AS n_base,
+           ROUND((revenue - mu) / NULLIF(sigma, 0), 4) + 0.0 AS z,
+           COALESCE(ABS((revenue - mu) / NULLIF(sigma, 0)) > 2, FALSE)
+               AS is_outlier
+    FROM stats
+    WHERE n_base >= 7
+    """,
+)
+def rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAILING-window z-score: each day scored against the mean/stddev of
+    its own preceding 14 days (current day excluded — including it
+    dilutes the very anomaly being scored) — the adaptive form of
+    anomaly_zscore's global statistics, which go stale the moment the
+    series has trend or seasonality. Days with under 7 baseline
+    observations are suppressed (a z-score against 3 points is noise).
+
+    Scale shape identical to the rest of the daily-series family: the
+    event log collapses to |days| rows first; the trailing frame is a
+    ROWS window on that tiny series. On both engines the frame excludes
+    the current row identically (14 PRECEDING .. 1 PRECEDING).
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("d").rowsBetween(-14, -1)
+    stats = daily.select(
+        "d",
+        "revenue",
+        F.avg("revenue").over(w).alias("mu"),
+        F.stddev_samp("revenue").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_base"),
+    )
+    z = (F.col("revenue") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0))
+    return (
+        stats.where(F.col("n_base") >= 7)
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "revenue",
+            F.col("n_base").cast("long").alias("n_base"),
+            (F.round(z, 4) + 0.0).alias("z"),
+            F.coalesce(F.abs(z) > 2, F.lit(False)).alias("is_outlier"),
+        )
+    )
+
+
+@register(
+    "attribution_decay",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT event_id AS t_id, user_id, event_type AS touch_type,
+               CAST(ts AS TIMESTAMP) AS t_ts
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    weighted AS (
+        SELECT p.p_id, t.touch_type,
+               POWER(0.5, EPOCH_US(p.p_ts - t.t_ts) / 1800000000.0) AS w
+        FROM purchases p JOIN touches t
+          ON p.user_id = t.user_id
+         AND t.t_ts <= p.p_ts
+         AND t.t_ts > p.p_ts - INTERVAL 2 HOUR
+    ),
+    shared AS (
+        SELECT touch_type, w / SUM(w) OVER (PARTITION BY p_id) AS credit
+        FROM weighted
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(SUM(credit), 4) AS total_credit
+    FROM shared
+    GROUP BY touch_type
+    """,
+)
+def attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAY multi-touch attribution: every click/view in the 2-hour
+    lookback before a purchase earns credit 0.5^(age/30min), normalized
+    so each purchase distributes exactly 1.0 across its touches — the
+    multi-touch model between attribution_touch's all-or-nothing
+    first/last rules (recent touches matter more, but nothing is zeroed).
+    Decay exponents come from exact integer-microsecond age (µs-diff is
+    the one timestamp arithmetic both engines agree on bit-for-bit), so
+    the weights are identical doubles cross-engine.
+
+    Plan shape is attribution_touch's: user-key equi-join with the
+    residual time band, per-purchase normalization as a window over each
+    purchase's own touches (bounded by the lookback), then one tiny
+    aggregate per touch type.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("t_ts"),
+    )
+    age_us = F.unix_micros("p_ts") - F.unix_micros("t_ts")
+    weighted = (
+        purchases.join(
+            touches,
+            (F.col("p_user") == F.col("t_user"))
+            & (F.col("t_ts") <= F.col("p_ts"))
+            & (F.col("t_ts") > F.col("p_ts") - F.expr("INTERVAL 2 HOURS")),
+        )
+        .select(
+            "p_id", "touch_type", F.pow(0.5, age_us / 1800000000.0).alias("w")
+        )
+    )
+    shared = weighted.select(
+        "touch_type",
+        (F.col("w") / F.sum("w").over(Window.partitionBy("p_id"))).alias("credit"),
+    )
+    return shared.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.round(F.sum("credit"), 4).alias("total_credit"),
+    )
+
+
+@register(
+    "session_funnel",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - LAG(CAST(ts AS TIMESTAMP))
+                               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, event_type, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM gaps
+    ),
+    sessions AS (
+        SELECT user_id, sess_no,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+               MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+        FROM islands
+        GROUP BY user_id, sess_no
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_signup,
+           CAST(SUM(CASE WHEN last_purchase >= first_signup THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted,
+           ROUND(SUM(CASE WHEN last_purchase >= first_signup THEN 1 ELSE 0 END)
+                 * 1.0 /
+                 NULLIF(SUM(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END),
+                        0), 4) AS conv_rate
+    FROM sessions
+    """,
+)
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-session conversion funnel: of the sessions (30-min gaps,
+    window_session's definition) that contain a signup, how many reach a
+    purchase AT OR AFTER that signup before the session ends —
+    funnel_steps answers "did the user ever convert", this answers "did
+    the VISIT convert", the number a landing-page change actually moves.
+    The ordering constraint is one conditional min/max pair per session
+    (first signup vs last purchase), no per-step self-join.
+
+    Scale shape: session assignment is the engine's session_window merge
+    (one user-key exchange); per-session flags are a combine-enabled
+    aggregate; the funnel rollup runs on |sessions| rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "last_purchase"
+        ),
+    )
+    converted = (F.col("last_purchase") >= F.col("first_signup")).cast("long")
+    with_signup = F.col("first_signup").isNotNull().cast("long")
+    return sessions.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(with_signup).cast("long").alias("n_with_signup"),
+        F.sum(F.coalesce(converted, F.lit(0))).cast("long").alias("n_converted"),
+        F.round(
+            F.sum(F.coalesce(converted, F.lit(0)))
+            * 1.0
+            / F.nullif(F.sum(with_signup), F.lit(0)),
+            4,
+        ).alias("conv_rate"),
+    )

@@ -1815,3 +1815,98 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignments depend on trained float centroids); this row is its
     driver-checkable tripwire, same pattern as ann_ivf_recall."""
     return _ann_recall_contract(spark, sf_dir, "ann_pq", 0.3)
+
+
+@register(
+    "embedding_drift",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    mid AS (SELECT CAST(FLOOR(MAX(vec_id) / 2.0) AS BIGINT) AS m FROM v),
+    a AS (
+        SELECT LIST(cmean ORDER BY pos) AS c, MAX(nrows) AS n FROM (
+            SELECT pos, AVG(val) AS cmean, COUNT(*) AS nrows FROM (
+                SELECT UNNEST(ve) AS val, UNNEST(range(1, 65)) AS pos
+                FROM v, mid WHERE vec_id <= m
+            ) GROUP BY pos
+        )
+    ),
+    b AS (
+        SELECT LIST(cmean ORDER BY pos) AS c, MAX(nrows) AS n FROM (
+            SELECT pos, AVG(val) AS cmean, COUNT(*) AS nrows FROM (
+                SELECT UNNEST(ve) AS val, UNNEST(range(1, 65)) AS pos
+                FROM v, mid WHERE vec_id > m
+            ) GROUP BY pos
+        )
+    )
+    SELECT CAST(a.n AS BIGINT) AS n_ref, CAST(b.n AS BIGINT) AS n_cur,
+           ROUND(list_cosine_similarity(a.c, b.c), 6) AS centroid_cosine,
+           ROUND(sqrt(list_dot_product(
+                     list_transform(list_zip(a.c, b.c),
+                                    p -> p[1] - p[2]),
+                     list_transform(list_zip(a.c, b.c),
+                                    p -> p[1] - p[2]))), 6) AS centroid_l2
+    FROM a, b
+    """,
+)
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: the corpus split into a
+    reference half and a current half (by id, standing in for two
+    snapshot dates), compared by CENTROID — cosine near 1 and a small L2
+    shift mean the encoder/data distribution is stable; a drop is the
+    first alarm that an upstream model or source changed and every
+    downstream ANN index and classifier threshold is now suspect. The
+    vector-space sibling of psi_drift's scalar histogram comparison.
+
+    Scale shape: two mean-pooling aggregates (64 coordinate sums each,
+    map-side partials, the embedding_centroid plan) and a 1x1 join of
+    two single-row results — nothing but 128 doubles past the
+    aggregates. Per-coordinate means divide identically on both engines;
+    emitted at 6dp.
+    """
+    v = _vectors(spark, sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("ve")
+    )
+    # explicit FLOOR: DuckDB CAST(x.5 AS BIGINT) rounds where Spark
+    # truncates (benford_check pinned the same divergence)
+    mid = v.agg(F.floor(F.max("vec_id") / 2.0).cast("long").alias("m"))
+    tagged = v.join(F.broadcast(mid)).select(
+        (F.col("vec_id") <= F.col("m")).alias("is_ref"), "ve"
+    )
+
+    def centroid(df):
+        sums = df.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("ve")[i]).alias(f"s{i}") for i in range(64)],
+        )
+        arr = F.array(*[F.col(f"s{i}") / F.col("n") for i in range(64)])
+        return sums.select("n", arr.alias("c"))
+
+    a = centroid(tagged.where(F.col("is_ref")))
+    b = centroid(tagged.where(~F.col("is_ref"))).select(
+        F.col("n").alias("n2"), F.col("c").alias("c2")
+    )
+    dot = F.aggregate(
+        F.zip_with("c", "c2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.col("c"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.col("c2"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with("c", "c2", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return a.crossJoin(b).select(
+        F.col("n").cast("long").alias("n_ref"),
+        F.col("n2").cast("long").alias("n_cur"),
+        F.round(dot / (na * nb), 6).alias("centroid_cosine"),
+        F.round(l2, 6).alias("centroid_l2"),
+    )
