@@ -3438,3 +3438,220 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("conv_rate"),
     )
+
+
+@register(
+    "cohort_ltv",
+    oracle="""
+    WITH firstseen AS (
+        SELECT user_id,
+               MIN(CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE))
+                   AS cohort_week
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id
+    ),
+    spend AS (
+        SELECT e.user_id, f.cohort_week,
+               CAST((CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS DATE)
+                     - f.cohort_week) / 7 AS BIGINT) AS week_offset,
+               e.value
+        FROM events e JOIN firstseen f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+    ),
+    weekly AS (
+        SELECT cohort_week, week_offset, SUM(value) AS revenue
+        FROM spend GROUP BY cohort_week, week_offset
+    ),
+    sizes AS (
+        SELECT cohort_week, COUNT(*) AS cohort_users FROM firstseen
+        GROUP BY cohort_week
+    )
+    SELECT CAST(w.cohort_week AS VARCHAR) AS cohort_week,
+           w.week_offset,
+           CAST(s.cohort_users AS BIGINT) AS cohort_users,
+           ROUND(SUM(w.revenue) OVER (PARTITION BY w.cohort_week
+                                      ORDER BY w.week_offset
+                                      ROWS UNBOUNDED PRECEDING)
+                 / s.cohort_users, 4) AS cum_ltv_per_user
+    FROM weekly w JOIN sizes s ON w.cohort_week = s.cohort_week
+    """,
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-seen week,
+    cumulative purchase revenue per cohort member by week offset — the
+    revenue companion to retention_cohorts' user counts, and the curve
+    payback-period decisions read ("week-0 acquisition cost is repaid by
+    week N"). Dividing by the FULL cohort size (not just active users)
+    keeps curves comparable across cohorts.
+
+    Scale shape: first-seen is one user-key aggregate; spend re-joins on
+    the user key only; the cumulative window runs per cohort over
+    |offsets| rows. Weeks are date_trunc buckets, identical on both
+    engines; offsets are exact integer day arithmetic.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    week = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    firstseen = ev.groupBy("user_id").agg(
+        F.min(week(F.col("ts"))).alias("cohort_week")
+    )
+    spend = (
+        ev.where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .join(firstseen, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(week(F.col("ts")), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+            "value",
+        )
+    )
+    weekly = spend.groupBy("cohort_week", "week_offset").agg(
+        F.sum("value").alias("revenue")
+    )
+    sizes = firstseen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        weekly.join(sizes, "cohort_week")
+        .select(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            "week_offset",
+            F.col("cohort_users").cast("long").alias("cohort_users"),
+            F.round(
+                F.sum("revenue").over(wcum) / F.col("cohort_users"), 4
+            ).alias("cum_ltv_per_user"),
+        )
+    )
+
+
+@register(
+    "cdc_aggregate",
+    oracle="""
+    WITH base AS (
+        -- exact integer mills: 2dp prices scale losslessly, and the +10%
+        -- update (x11/10 on a mills value divisible by 10) stays integer,
+        -- so no engine ever rounds a half boundary
+        SELECT o_orderkey, o_orderpriority,
+               CAST(ROUND(o_totalprice * 1000) AS BIGINT) AS base_m,
+               CAST(ROUND(o_totalprice * 1000) AS BIGINT) * 11 // 10 AS upd_m
+        FROM orders
+    ),
+    changelog AS (
+        SELECT o_orderpriority, 'I' AS op, base_m AS price_m,
+               CAST(NULL AS BIGINT) AS old_m
+        FROM base
+        UNION ALL
+        SELECT o_orderpriority, 'U', upd_m, base_m
+        FROM base WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderpriority, 'D', upd_m, CAST(NULL AS BIGINT)
+        FROM base WHERE o_orderkey % 10 = 0
+    ),
+    incremental AS (
+        SELECT o_orderpriority,
+               SUM(CASE op WHEN 'I' THEN 1 WHEN 'D' THEN -1 ELSE 0 END)
+                   AS n_orders,
+               SUM(CASE op WHEN 'I' THEN price_m
+                           WHEN 'U' THEN price_m - old_m
+                           WHEN 'D' THEN -price_m END) AS total_m
+        FROM changelog GROUP BY o_orderpriority
+    ),
+    final_state AS (
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               SUM(CASE WHEN o_orderkey % 5 = 0 THEN upd_m ELSE base_m END)
+                   AS total_m
+        FROM base WHERE o_orderkey % 10 <> 0
+        GROUP BY o_orderpriority
+    )
+    SELECT i.o_orderpriority,
+           CAST(i.n_orders AS BIGINT) AS n_orders,
+           ROUND(CAST(i.total_m AS DOUBLE) / 1000, 3) AS total_price,
+           (CAST(i.n_orders AS BIGINT) = CAST(f.n_orders AS BIGINT)
+            AND i.total_m = f.total_m) AS matches_recompute
+    FROM incremental i JOIN final_state f
+      ON i.o_orderpriority = f.o_orderpriority
+    """,
+)
+def cdc_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTION-aware changelog aggregation — the materialized-view
+    kernel under every streaming SQL engine (Flink retract streams, Delta
+    CDF consumers): inserts add, updates contribute their DELTA
+    (new − old), deletes subtract, and the aggregate maintained purely
+    from the change stream must equal a full recompute over the final
+    state — which is the oracle's own cross-check, emitted per group as
+    `matches_recompute`. incremental_agg proves batch merge of partials;
+    this proves the harder property that per-ROW retractions compose,
+    i.e. the view never needs the base table again.
+
+    The changelog is derived deterministically (every order inserted,
+    every 5th updated +10%, every 10th deleted); one combine-enabled pass
+    over it maintains the view regardless of how many changes a key saw.
+    """
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        # exact integer mills (see oracle comment): the one representation
+        # where +10% and per-row retractions never meet a round boundary
+        F.round(F.col("o_totalprice") * 1000).cast("long").alias("base_m"),
+        F.expr("CAST(ROUND(o_totalprice * 1000) AS BIGINT) * 11 div 10").alias(
+            "upd_m"
+        ),
+    )
+    inserts = base.select(
+        "o_orderpriority",
+        F.lit("I").alias("op"),
+        F.col("base_m").alias("price_m"),
+        F.lit(None).cast("long").alias("old_m"),
+    )
+    updates = base.where(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderpriority",
+        F.lit("U").alias("op"),
+        F.col("upd_m").alias("price_m"),
+        F.col("base_m").alias("old_m"),
+    )
+    deletes = base.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderpriority",
+        F.lit("D").alias("op"),
+        F.col("upd_m").alias("price_m"),
+        F.lit(None).cast("long").alias("old_m"),
+    )
+    changelog = inserts.unionAll(updates).unionAll(deletes)
+    incremental = changelog.groupBy("o_orderpriority").agg(
+        F.sum(
+            F.when(F.col("op") == "I", 1).when(F.col("op") == "D", -1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_orders"),
+        F.sum(
+            F.when(F.col("op") == "I", F.col("price_m"))
+            .when(F.col("op") == "U", F.col("price_m") - F.col("old_m"))
+            .otherwise(-F.col("price_m"))
+        ).alias("total_m"),
+    )
+    final_state = (
+        base.where(F.col("o_orderkey") % 10 != 0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_f"),
+            F.sum(
+                F.when(F.col("o_orderkey") % 5 == 0, F.col("upd_m")).otherwise(
+                    F.col("base_m")
+                )
+            ).alias("t_f"),
+        )
+    )
+    return incremental.join(final_state, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_orders",
+        F.round(F.col("total_m").cast("double") / 1000, 3).alias("total_price"),
+        (
+            (F.col("n_orders") == F.col("n_f")) & (F.col("total_m") == F.col("t_f"))
+        ).alias("matches_recompute"),
+    )
