@@ -600,3 +600,36 @@ def join_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_totalprice", "c_name", "c_acctbal", "c_mktsegment")
     )
+
+
+@register(
+    "join_hint_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_hint_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit MERGE (sort-merge) join hint overriding the planner's
+    broadcast choice — the escape hatch for the cases where the
+    optimizer's size estimate is wrong in the DANGEROUS direction: a
+    "small" dim that is small on disk but explodes decompressed, or a
+    driver already at memory pressure where one more broadcast is the
+    OOM. The hint pins the shuffle-based strategy; results are identical
+    by definition (the oracle is the plain join), and
+    tests/test_plans.py asserts the physical plan actually honored it —
+    an unhonored hint is silent at runtime, which is exactly why the
+    plan gate exists.
+    """
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(
+        customer.hint("merge"), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.count_distinct("c_mktsegment").cast("long").alias("n_segments"),
+    )

@@ -388,3 +388,11 @@ def test_media_sniff_stays_codegen(spark, sf_smoke) -> None:
     plan = _plan(registry.QUERIES["media_type_sniff"](spark, sf_smoke))
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_join_hint_merge_is_honored(spark, sf_smoke) -> None:
+    # customer is broadcastable at test SFs — the MERGE hint must still
+    # force the shuffle-based sort-merge join (an ignored hint is silent)
+    plan = _plan(registry.QUERIES["join_hint_merge"](spark, sf_smoke))
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
