@@ -3655,3 +3655,160 @@ def cdc_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_orders") == F.col("n_f")) & (F.col("total_m") == F.col("t_f"))
         ).alias("matches_recompute"),
     )
+
+
+@register(
+    "stl_lite",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, ROUND(SUM(value), 2) AS revenue
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    trended AS (
+        SELECT d, revenue,
+               AVG(revenue) OVER (ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+               COUNT(*) OVER (ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wsize
+        FROM daily
+    ),
+    detrended AS (
+        SELECT d, revenue, trend, revenue - trend AS detr,
+               CAST(dayofweek(d) AS BIGINT) AS dow
+        FROM trended WHERE wsize = 7
+    ),
+    seasonal AS (
+        SELECT dow, AVG(detr) AS s FROM detrended GROUP BY dow
+    )
+    SELECT CAST(t.d AS VARCHAR) AS day, t.revenue,
+           ROUND(t.trend, 4) AS trend,
+           ROUND(s.s, 4) + 0.0 AS seasonal,
+           ROUND(t.detr - s.s, 4) + 0.0 AS residual
+    FROM detrended t JOIN seasonal s ON t.dow = s.dow
+    """,
+)
+def stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend + seasonal + residual decomposition (moving-average STL
+    skeleton): trend = centered 7-day mean, seasonal = day-of-week mean
+    of the DETRENDED series, residual = the rest — the decomposition an
+    anomaly detector should score residuals of (seasonal_daily removes
+    weekday shape but mistakes trend for anomaly; this removes both).
+    Edge days without a full 7-day window are excluded rather than
+    averaged over a ragged frame (a 4-day "trend" biases the seasonal
+    fit).
+
+    Scale: the event log collapses to |days| first; the centered window,
+    the 7-row seasonal profile, and the re-join all run on that tiny
+    series — seasonal broadcasts back, nothing wider than |days| moves.
+    Both engines share DuckDB's dayofweek convention via identical
+    arithmetic (Spark's dayofweek is also 1=Sunday..7=Saturday).
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = daily.select(
+        "d",
+        "revenue",
+        F.avg("revenue").over(w7).alias("trend"),
+        F.count(F.lit(1)).over(w7).alias("wsize"),
+    )
+    detrended = trended.where(F.col("wsize") == 7).select(
+        "d",
+        "revenue",
+        "trend",
+        (F.col("revenue") - F.col("trend")).alias("detr"),
+        (F.dayofweek("d").cast("long")).alias("dow"),
+    )
+    seasonal = detrended.groupBy("dow").agg(F.avg("detr").alias("s"))
+    return detrended.join(F.broadcast(seasonal), "dow").select(
+        F.col("d").cast("string").alias("day"),
+        "revenue",
+        F.round("trend", 4).alias("trend"),
+        (F.round(F.col("s"), 4) + 0.0).alias("seasonal"),
+        (F.round(F.col("detr") - F.col("s"), 4) + 0.0).alias("residual"),
+    )
+
+
+@register(
+    "ks_drift",
+    oracle="""
+    WITH span AS (
+        SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0u,
+               MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS t1u
+        FROM events
+    ),
+    v AS (
+        -- integer-µs midpoint comparison (psi_drift pinned this form:
+        -- the engines disagree on halving a day-bearing interval)
+        SELECT value,
+               CASE WHEN 2 * epoch_us(CAST(e.ts AS TIMESTAMP)) <= s.t0u + s.t1u
+                    THEN 0 ELSE 1 END AS half
+        FROM events e, span s WHERE value IS NOT NULL
+    ),
+    per_val AS (
+        SELECT value,
+               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(half) AS BIGINT) AS b
+        FROM v GROUP BY value
+    ),
+    cdfs AS (
+        SELECT SUM(a) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) * 1.0
+                   / NULLIF(SUM(a) OVER (), 0) AS cdf_a,
+               SUM(b) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) * 1.0
+                   / NULLIF(SUM(b) OVER (), 0) AS cdf_b
+        FROM per_val
+    )
+    SELECT ROUND(MAX(ABS(cdf_a - cdf_b)), 6) AS ks,
+           CAST(COUNT(*) AS BIGINT) AS n_value_points
+    FROM cdfs
+    """,
+)
+def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift as a KS statistic: the event-value distribution
+    of the first half of the horizon against the second — the CONTINUOUS
+    drift monitor next to psi_drift's fixed bins (PSI quantizes and can
+    miss within-bin shifts; KS sees the full CDF) and embedding_drift's
+    vector-space centroid. Same atomic-ties CDF machinery as
+    ks_statistic; the time midpoint compares in epoch arithmetic both
+    engines evaluate identically (psi_drift pinned that comparison).
+
+    Scale: values collapse to |distinct values| rows first; the CDF
+    windows and the max run on that table.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bounds = load(spark, sf_dir, "events").agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    )
+    tagged = ev.join(F.broadcast(bounds)).select(
+        "value",
+        (2 * F.unix_micros("ts") > F.col("lo") + F.col("hi")).cast("int").alias(
+            "half"
+        ),
+    )
+    per_val = tagged.groupBy("value").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum("half").cast("long").alias("b"),
+    )
+    wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cdfs = per_val.select(
+        (F.sum("a").over(wcum) * 1.0 / F.nullif(F.sum("a").over(wall), F.lit(0))).alias(
+            "cdf_a"
+        ),
+        (F.sum("b").over(wcum) * 1.0 / F.nullif(F.sum("b").over(wall), F.lit(0))).alias(
+            "cdf_b"
+        ),
+    )
+    return cdfs.agg(
+        F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 6).alias("ks"),
+        F.count(F.lit(1)).cast("long").alias("n_value_points"),
+    )
