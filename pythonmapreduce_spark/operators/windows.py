@@ -235,3 +235,42 @@ def window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("smallest"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_biggest"),
     )
+
+
+# vs_total is price*n - sum (exact 2dp) rather than price - avg: avg =
+# sum/n terminates for the power-of-2 order counts customers commonly
+# have, parking the 4dp round exactly on a half boundary where the
+# engines disagree (the registry docstring's round-half rule).
+_NAMED_WINDOW_SQL = """
+SELECT o_custkey,
+       o_orderkey,
+       CAST(ROW_NUMBER() OVER w_price AS BIGINT) AS price_rank,
+       ROUND(SUM(o_totalprice) OVER w_cust, 2) AS cust_total,
+       CAST(COUNT(*) OVER w_cust AS BIGINT) AS cust_orders,
+       ROUND(o_totalprice * (COUNT(*) OVER w_cust)
+             - SUM(o_totalprice) OVER w_cust, 2) + 0.0 AS vs_total
+FROM orders
+WINDOW w_cust AS (PARTITION BY o_custkey),
+       w_price AS (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+@register("window_named_clause", oracle=_NAMED_WINDOW_SQL)
+def window_named_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``WINDOW`` clause: window specs NAMED once and shared by
+    several functions — four analytics over two windows with the
+    partition spec written a single time (vs_total keeps the derived
+    comparison in exact 2dp integer-cents space; see the constant's
+    comment). Beyond readability, sharing
+    the spec is what lets the planner compute all same-window functions
+    in ONE Window operator over one partition sort (repeating slightly
+    different inline specs is how queries accidentally buy extra
+    sorts). Identical SQL text runs on DuckDB — the clause is
+    SQL-standard — so the oracle also pins identical NULL/frame
+    defaults.
+    """
+    from pythonmapreduce_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_NAMED_WINDOW_SQL)
