@@ -3368,7 +3368,7 @@ def attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_funnel",
     oracle="""
     WITH gaps AS (
-        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
                CASE WHEN CAST(ts AS TIMESTAMP)
                          - LAG(CAST(ts AS TIMESTAMP))
                                OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -3378,7 +3378,7 @@ def attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     islands AS (
         SELECT user_id, event_type, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sess_no
         FROM gaps
     ),
@@ -3701,8 +3701,11 @@ def stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the event log collapses to |days| first; the centered window,
     the 7-row seasonal profile, and the re-join all run on that tiny
     series — seasonal broadcasts back, nothing wider than |days| moves.
-    Both engines share DuckDB's dayofweek convention via identical
-    arithmetic (Spark's dayofweek is also 1=Sunday..7=Saturday).
+    dow is strictly an INTRA-engine grouping key: the engines label
+    weekdays differently (Spark 1=Sunday..7, DuckDB 0=Sunday..6), but
+    the seven classes partition identically, which is all the
+    seasonal-profile join needs — dow is never emitted or compared
+    cross-engine.
     """
     from pyspark.sql import Window
 

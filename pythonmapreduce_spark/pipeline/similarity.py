@@ -1842,7 +1842,7 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     SELECT CAST(a.n AS BIGINT) AS n_ref, CAST(b.n AS BIGINT) AS n_cur,
-           ROUND(list_cosine_similarity(a.c, b.c), 6) AS centroid_cosine,
+           ROUND(list_cosine_similarity(a.c, b.c), 6) + 0.0 AS centroid_cosine,
            ROUND(sqrt(list_dot_product(
                      list_transform(list_zip(a.c, b.c),
                                     p -> p[1] - p[2]),
@@ -1907,6 +1907,6 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.crossJoin(b).select(
         F.col("n").cast("long").alias("n_ref"),
         F.col("n2").cast("long").alias("n_cur"),
-        F.round(dot / (na * nb), 6).alias("centroid_cosine"),
+        (F.round(dot / (na * nb), 6) + 0.0).alias("centroid_cosine"),
         F.round(l2, 6).alias("centroid_l2"),
     )
