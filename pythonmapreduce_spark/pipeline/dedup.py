@@ -1390,7 +1390,14 @@ def dedup_intradoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, source, lang, n_chars,
                ROW_NUMBER() OVER (
                    PARTITION BY lang, n_chars
-                   ORDER BY CAST(SUBSTR(source, 4) AS BIGINT), doc_id
+                   -- TRY_CAST + pinned NULLS FIRST: a malformed source
+                   -- name (non-numeric suffix) must degrade to the same
+                   -- deterministic order on both engines — Spark's cast
+                   -- yields NULL (ASC default NULLS FIRST), DuckDB's
+                   -- strict CAST would error and its ASC default is
+                   -- NULLS LAST (ADVICE r3)
+                   ORDER BY TRY_CAST(SUBSTR(source, 4) AS BIGINT)
+                                NULLS FIRST, doc_id
                ) AS rn,
                COUNT(*) OVER (PARTITION BY lang, n_chars) AS grp
         FROM documents
@@ -1426,7 +1433,12 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     w = Window.partitionBy("lang", "n_chars").orderBy(
-        F.expr("substr(source, 4)").cast("long"), "doc_id"
+        # asc_nulls_first made explicit (it is Spark's ASC default) to
+        # mirror the oracle's pinned NULLS FIRST: a source name whose
+        # suffix fails the long parse degrades deterministically on both
+        # engines instead of erroring (DuckDB) or diverging (order)
+        F.expr("substr(source, 4)").cast("long").asc_nulls_first(),
+        "doc_id",
     )
     wg = Window.partitionBy("lang", "n_chars")
     ranked = docs.select(

@@ -306,7 +306,13 @@ _MAGIC = {
     0: bytes.fromhex("89504E470D0A1A0A"),          # PNG signature
     1: bytes.fromhex("FFD8FFE0"),                   # JPEG/JFIF SOI
     2: b"RIFF" + bytes(4) + b"WAVE",                # RIFF container, WAVE form
-    3: b"",                                         # raw text, no container
+    # Raw-text branch carries a 1-byte NUL sentinel so a text that happens
+    # to BEGIN with a container signature ("RIFF....WAVE", an FFD8FF-
+    # decodable prefix) can never be sniffed as media — the classification
+    # is collision-proof for arbitrary corpus content, not just the
+    # vocabulary-random fixture (ADVICE r3). Mirrored as +1 in the
+    # oracle's byte-length arithmetic.
+    3: b"\x00",                                     # raw blob, sentinel byte
 }
 
 
@@ -320,7 +326,7 @@ _MAGIC = {
            CAST(COUNT(*) AS BIGINT) AS n_files,
            CAST(SUM(OCTET_LENGTH(ENCODE(text))
                     + CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
-                                      WHEN 2 THEN 12 ELSE 0 END) AS BIGINT)
+                                      WHEN 2 THEN 12 ELSE 1 END) AS BIGINT)
                AS total_bytes
     FROM documents
     WHERE text IS NOT NULL
@@ -348,7 +354,7 @@ def media_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 4 == 0, F.lit(_MAGIC[0]))
         .when(F.col("doc_id") % 4 == 1, F.lit(_MAGIC[1]))
         .when(F.col("doc_id") % 4 == 2, F.lit(_MAGIC[2]))
-        .otherwise(F.lit(b"")),
+        .otherwise(F.lit(_MAGIC[3])),
         F.encode(F.col("text"), "UTF-8"),
     )
     hx = F.hex(F.expr("substring(payload, 1, 12)"))

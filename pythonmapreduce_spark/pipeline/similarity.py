@@ -1093,9 +1093,128 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_contract(spark, sf_dir, "ann_lsh", 0.5)
 
 
+# SemDeDup's cluster count is a DEPLOYMENT CONSTANT, never a function of the
+# corpus (the paper pins 50k clusters for LAION-440M and scans cluster-count
+# as a hyperparameter, not as n/const). The registered fixture pins K=64;
+# production passes its own K (and usually kmeans_iter centroids) to
+# semdedup_k below.
+_SEMDEDUP_K = 64
+
+
+def _semdedup_unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings as unit vectors (normalized once at the scan; cosine ≡ dot
+    thereafter, saving two norms per comparison)."""
+    raw = _vectors(spark, sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v0")
+    )
+    return raw.withColumn("nrm", _norm(F.col("v0"))).select(
+        "vec_id",
+        F.transform(F.col("v0"), lambda x: x / F.col("nrm")).alias("v"),
+    )
+
+
+def semdedup_assign(spark: SparkSession, e: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Centroid assignment as a chunked Arrow-batch GEMM — the stage the
+    round-3 audit flagged when it was an n×K expression cross join over a
+    broadcast that grew with the corpus.
+
+    The centroid table (cid, cv) is collected to the driver — bounded by
+    K·d doubles, a deployment constant independent of corpus size (the
+    same bounded-collect discipline as ann_pq's 256-row codebooks) — and
+    shipped to executors as a torrent-broadcast numpy matrix, NOT as a
+    SQL BroadcastExchange join side: the plan contains no join at all for
+    this stage, so no broadcast-threshold cliff and no n×K expression
+    tree. Each Arrow batch of corpus vectors scores against all K
+    centroids with one (batch × d)·(d × K) matrix multiply and takes a
+    vectorized argmax, i.e. O(n·K·d) total work streamed through
+    executors with K constant → linear in n.
+
+    Determinism contract (shared with the DuckDB oracle and the old
+    expression formulation, pinned by tests/test_pca.py's equivalence
+    gate): the argmax key is ROUND(dot, 4) — half away from zero, exactly
+    Spark's F.round / DuckDB's ROUND — encoded as a BIGINT in 1e-4 units
+    scaled past the centroid-id range minus cid, so (dot DESC, cid ASC)
+    cannot be flipped by last-bit float drift between engines or BLAS
+    summation orders.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = centroids.collect()  # K rows — deployment constant, never corpus
+    if not rows:
+        return spark.createDataFrame([], "vec_id long, cluster long")
+    cid_arr = np.array([r["cid"] for r in rows], dtype=np.int64)
+    cmat = np.array([list(r["cv"]) for r in rows], dtype=np.float64)  # K × d
+    bc = spark.sparkContext.broadcast((cid_arr, cmat.T.copy()))  # d × K
+
+    def assign_batches(batches):
+        cids, ct = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["v"].to_numpy())  # b × d
+            dots = v @ ct  # b × K GEMM
+            # half-away-from-zero to match F.round / DuckDB ROUND
+            key = np.sign(dots) * np.floor(np.abs(dots) * 10000.0 + 0.5)
+            key = key.astype(np.int64) * 1000000 - cids[np.newaxis, :]
+            best = np.argmax(key, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cluster": cids[best]}
+            )
+
+    return e.mapInPandas(assign_batches, "vec_id long, cluster long")
+
+
+def semdedup_k(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _SEMDEDUP_K,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Parameterized SemDeDup: fixed cluster count ``k``, optional caller
+    centroid table (production feeds ``kmeans_iter``'s trained centroids;
+    the default is the K lowest-id unit vectors — ann_ivf's deterministic
+    naive-init convention, which keeps the DuckDB oracle expressible).
+
+    Scale shape: assignment is the chunked-GEMM stage above (no join, no
+    broadcast exchange, O(n·K·d) with K constant); the in-cluster pair
+    join shuffles on the cluster key, unit vectors ship once each way;
+    with K sized so clusters average c vectors, pair work is n·c/2 dots.
+    Nothing global, nothing that grows superlinearly in n."""
+    e = _semdedup_unit_vectors(spark, sf_dir)
+    if centroids is None:
+        centroids = e.where(F.col("vec_id") <= k).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        )
+    assign = semdedup_assign(spark, e, centroids)
+    ea = assign.join(e, "vec_id").select(
+        F.col("vec_id").alias("id_a"), "cluster", F.col("v").alias("va")
+    )
+    eb = assign.join(e, "vec_id").select(
+        F.col("vec_id").alias("id_b"), F.col("cluster").alias("cluster_b"), F.col("v").alias("vb")
+    )
+    removed = (
+        ea.join(
+            eb,
+            (F.col("cluster") == F.col("cluster_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .where(_dot(F.col("va"), F.col("vb")) >= 0.4)
+        .select("id_b")
+        .distinct()
+    )
+    return assign.join(
+        removed, assign.vec_id == removed.id_b, "left"
+    ).select(
+        "vec_id",
+        "cluster",
+        F.col("id_b").isNull().alias("keep"),
+    )
+
+
 @register(
     "semdedup",
-    oracle="""
+    oracle=f"""
     WITH n0 AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0,
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -1105,11 +1224,8 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     u AS (
         SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM n0
     ),
-    k AS (
-        SELECT GREATEST(8, COUNT(*) // 64) AS kk FROM u
-    ),
     c AS (
-        SELECT vec_id AS cid, v AS cv FROM u, k WHERE vec_id <= k.kk
+        SELECT vec_id AS cid, v AS cv FROM u WHERE vec_id <= {_SEMDEDUP_K}
     ),
     scored AS (
         SELECT u.vec_id, c.cid,
@@ -1140,75 +1256,16 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the embedding-space analog of MinHash near-dedup, catching rephrased/
     re-encoded duplicates no lexical hash sees.
 
-    Deterministic one-pass formulation so both engines agree exactly:
-    centroids are the K lowest-id vectors (ann_ivf's naive-init
-    convention; a real deployment feeds kmeans_iter's centroids in as a
-    table without changing this plan) with K = max(8, n/64) — K GROWS
-    WITH THE CORPUS so expected cluster size stays ~64 and the pair
-    stage stays linear in n, which is SemDeDup's entire design point
-    (the paper uses 50k clusters for LAION-440M). Assignment is argmax
-    dot on UNIT vectors (normalized once at the scan; cosine ≡ dot
-    thereafter, saving two norms per comparison) ranked on ROUND(dot,4)
-    with centroid-id tiebreak so cross-engine float drift cannot flip
-    the argmax — knn_cosine's convention — computed as a map-side-
-    combinable max_by over the (dot, -cid) struct, not a sort window. Within a cluster the smallest
-    vec_id of a similar pair (dot ≥ 0.4, dup_embedding's threshold)
-    survives — the same survivor rule dedup_exact's window uses.
-
-    Scale shape: the count and the K-row centroid table broadcast onto
-    the unshuffled corpus scan; the in-cluster pair join shuffles on the
-    cluster key, unit vectors ship once each way; expected pair work is
-    n·64/2 dots regardless of corpus size. Nothing global, no n²."""
-    raw = _vectors(spark, sf_dir).select(
-        "vec_id", _as_double(F.col("embedding")).alias("v0")
-    )
-    e = raw.withColumn("nrm", _norm(F.col("v0"))).select(
-        "vec_id",
-        F.transform(F.col("v0"), lambda x: x / F.col("nrm")).alias("v"),
-    )
-    k = e.agg(
-        F.greatest(F.lit(8), F.floor(F.count(F.lit(1)) / 64).cast("long")).alias("kk")
-    )
-    c = (
-        e.crossJoin(F.broadcast(k))
-        .where(F.col("vec_id") <= F.col("kk"))
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-    )
-    # argmax key: rounded dot in 1e-4 units (exact integer) scaled past the
-    # centroid-id range, minus cid — one BIGINT encodes (dot DESC, cid ASC),
-    # and max_by over it partial-aggregates map-side (no sort window).
-    # DuckDB's ARG_MAX only takes scalar keys, hence the encoding.
-    dkey = (
-        F.round(_dot(F.col("v"), F.col("cv")) * 10000).cast("long") * 1000000
-        - F.col("cid")
-    )
-    scored = e.crossJoin(F.broadcast(c)).select("vec_id", "cid", dkey.alias("dkey"))
-    assign = scored.groupBy("vec_id").agg(
-        F.max_by("cid", F.col("dkey")).alias("cluster")
-    )
-    ea = assign.join(e, "vec_id").select(
-        F.col("vec_id").alias("id_a"), "cluster", F.col("v").alias("va")
-    )
-    eb = assign.join(e, "vec_id").select(
-        F.col("vec_id").alias("id_b"), F.col("cluster").alias("cluster_b"), F.col("v").alias("vb")
-    )
-    removed = (
-        ea.join(
-            eb,
-            (F.col("cluster") == F.col("cluster_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .where(_dot(F.col("va"), F.col("vb")) >= 0.4)
-        .select("id_b")
-        .distinct()
-    )
-    return assign.join(
-        removed, assign.vec_id == removed.id_b, "left"
-    ).select(
-        "vec_id",
-        "cluster",
-        F.col("id_b").isNull().alias("keep"),
-    )
+    The registered fixture runs ``semdedup_k`` with K pinned at 64 and
+    the deterministic lowest-id centroid rule so the DuckDB oracle can
+    replicate assignment exactly; K is a deployment hyperparameter (the
+    paper uses a constant 50k for LAION-440M), NEVER derived from n —
+    round 3's K = max(8, n/64) made the assignment stage O(n²/64) with an
+    O(n) broadcast and is exactly what this formulation retires. Within a
+    cluster the smallest vec_id of a similar pair (dot ≥ 0.4,
+    dup_embedding's threshold) survives — the same survivor rule
+    dedup_exact's window uses."""
+    return semdedup_k(spark, sf_dir, k=_SEMDEDUP_K)
 
 
 @register(

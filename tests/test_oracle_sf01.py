@@ -33,7 +33,7 @@ SF_SENSITIVE = [
     "window_session",       # session islands across denser event stream
     "sample_weighted",      # hash-threshold sampling rate
     "mode_per_group",       # tie structure changes with counts
-    "semdedup",             # K = max(8, n/64) — cluster count derives from N
+    "semdedup",             # fixed-K GEMM argmax: 10× corpus, same centroids
     "boilerplate_detect",   # per-source repeat threshold on 10× segments
     "dedup_near_incremental_recall",  # cross-snapshot pair bound (doc cap)
     "ewma_smooth",          # 30-day tail on a longer daily series

@@ -315,12 +315,34 @@ def test_hard_negatives_broadcasts_queries(spark, sf_smoke) -> None:
     assert "CartesianProduct" not in plan
 
 
-def test_semdedup_centroids_broadcast(spark, sf_smoke) -> None:
-    # K centroids broadcast onto the unshuffled corpus for assignment;
+def test_semdedup_assignment_no_broadcast_exchange(spark, sf_smoke) -> None:
+    # round-3 flag: assignment must NOT be an n×K expression cross join
+    # over a SQL-broadcast centroid table (broadcast size and dot count
+    # both grew with the corpus when K ∝ n). The fixed shape is a
+    # MapInPandas GEMM with the K×d matrix torrent-broadcast outside the
+    # plan — so the assignment stage's plan has no join node of any kind,
+    # which holds for ANY K (no broadcast-threshold cliff at deployment
+    # K like the paper's 50k).
+    from pythonmapreduce_spark.pipeline.similarity import (
+        _semdedup_unit_vectors,
+        semdedup_assign,
+    )
+
+    e = _semdedup_unit_vectors(spark, sf_smoke)
+    c = e.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    assign = semdedup_assign(spark, e, c)
+    plan = _plan(assign)
+    assert "MapInPandas" in plan
+    assert "BroadcastExchange" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+
+
+def test_semdedup_pair_join_not_cartesian(spark, sf_smoke) -> None:
     # the in-cluster pair join is an equi-join on the cluster key, never
     # a cartesian pair explosion
     plan = _plan(registry.QUERIES["semdedup"](spark, sf_smoke))
-    assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
 
 
