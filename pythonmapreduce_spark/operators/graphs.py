@@ -775,30 +775,65 @@ def graph_cc_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("a"), F.col("dst").alias("b")
     )
     for op in ("L", "S", "L", "S"):
-        sym = e.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
-            e.select(F.col("b").alias("v"), F.col("a").alias("u"))
-        )
-        m = sym.groupBy("v").agg(F.least(F.min("u"), F.col("v")).alias("m"))
-        if op == "L":
-            e = (
-                sym.join(m, "v")
-                .where(F.col("u") > F.col("v"))
-                .select(F.col("u").alias("a"), F.col("m").alias("b"))
-                .distinct()
-            )
-        else:
-            smaller = (
-                sym.join(m, "v")
-                .where(F.col("u") < F.col("v"))
-                .select(F.col("u").alias("a"), F.col("m").alias("b"))
-            )
-            selfrow = m.select(F.col("v").alias("a"), F.col("m").alias("b"))
-            e = (
-                smaller.unionAll(selfrow)
-                .where(F.col("a") != F.col("b"))
-                .distinct()
-            )
-        e = iter_materialize(e)
+        e = star_op(e, op)
     return e.groupBy(F.col("b").alias("root")).agg(
         F.count_distinct("a").cast("long").alias("n_children")
     )
+
+
+def star_op(e: DataFrame, op: str) -> DataFrame:
+    """One large-star ("L") or small-star ("S") operation over an (a, b)
+    edge DataFrame, result materialized (lineage cut per round). Shared by
+    graph_cc_bigstar's fixed unrolling and bigstar_fixpoint below."""
+    sym = e.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
+        e.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+    m = sym.groupBy("v").agg(F.least(F.min("u"), F.col("v")).alias("m"))
+    if op == "L":
+        out = (
+            sym.join(m, "v")
+            .where(F.col("u") > F.col("v"))
+            .select(F.col("u").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+    else:
+        smaller = (
+            sym.join(m, "v")
+            .where(F.col("u") < F.col("v"))
+            .select(F.col("u").alias("a"), F.col("m").alias("b"))
+        )
+        selfrow = m.select(F.col("v").alias("a"), F.col("m").alias("b"))
+        out = (
+            smaller.unionAll(selfrow)
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+    return iter_materialize(out)
+
+
+def bigstar_fixpoint(e: DataFrame, max_rounds: int = 12) -> DataFrame:
+    """Alternating large-star / small-star run to CONVERGENCE over an
+    (a, b) edge DataFrame: returns the final star edges, child ``a`` →
+    component-minimum root ``b`` (Kiveris et al.'s fixpoint — every
+    component contracts to a star rooted at its minimum vertex in
+    O(log n) alternations). Convergence is detected by edge-set
+    stability (symmetric-difference count 0 after an L,S pair); each
+    round's edges are materialized, so the check costs one count over an
+    O(E) integer-pair set, never a lineage replay.
+
+    graph_cc_bigstar keeps its fixed 2-round unrolling (that is what its
+    CTE oracle replicates); this fixpoint form is the production path
+    and the independent labeling that dedup_clusters_verify checks label
+    propagation against."""
+    e = iter_materialize(e)
+    for _ in range(max_rounds):
+        new = star_op(star_op(e, "L"), "S")
+        changed = (
+            new.join(e, ["a", "b"], "left_anti")
+            .unionAll(e.join(new, ["a", "b"], "left_anti"))
+            .count()
+        )
+        e = new
+        if changed == 0:
+            break
+    return e
