@@ -73,6 +73,14 @@ HEADLINE = [
     # round-3 third wave: the compressed-index ANN tier (PQ train + encode
     # + ADC scan — the 100 TB retrieval path).
     "ann_pq",
+    # round-4 additions: the window-function family (shared-sort named
+    # WINDOW clause), exact grouped percentiles, nearest as-of join, and
+    # the end-to-end curation pipeline — the families BENCH_r03 still
+    # lacked.
+    "window_named_clause",
+    "percentile_agg",
+    "join_asof_nearest",
+    "pipeline_train_prep",
 ]
 
 
