@@ -49,6 +49,16 @@ def get_spark(app_name: str = "pythonmapreduce-spark", cpus: str | None = None) 
         .config("spark.sql.session.timeZone", "UTC")
         # Quiet local runs.
         .config("spark.ui.enabled", "false")
+        # local[N] runs driver+executors in ONE JVM whose heap defaults to
+        # 1g — far under this machine's RAM and small enough that a single
+        # 64 MB-threshold broadcast build can OOM at larger SFs (observed
+        # at the sf1.0 scaling measurement). Sized here for local runs;
+        # cluster deployments set driver/executor memory via spark-submit
+        # and this conf only shapes the driver. Env-overridable.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Managed-table warehouse + metastore scratch outside the repo
         # (bucketed tables for co-located joins land here in local runs).
