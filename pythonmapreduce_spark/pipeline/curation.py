@@ -1638,3 +1638,281 @@ def batch_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return waste(naive, "arrival_order").unionAll(
         waste(bucketed, "length_bucketed")
     )
+
+
+# --- objective-specific training-example preparation (round 4) ----------
+# T5 span corruption, fill-in-the-middle splits, and curriculum ordering:
+# the last formatting steps before examples reach a trainer. All three are
+# deterministic (Knuth multiplicative hash, the module's standard — no RNG)
+# so both engines derive identical examples and the driver can hash-compare.
+
+_SC_WINDOW = 20  # tokens per corruption window
+_SC_SPAN = 3     # masked span length ⇒ 3/20 = 15% noise density (T5 default)
+
+
+@register(
+    "span_corruption_prep",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+        FROM documents
+    ), base AS (
+        SELECT doc_id, tokens, len(tokens) AS n_tokens,
+               CAST(len(tokens) // {_SC_WINDOW} AS BIGINT) AS n_spans
+        FROM toks WHERE len(tokens) > 0
+    ), spans AS (
+        SELECT doc_id,
+               w,
+               w * {_SC_WINDOW}
+                 + ((((doc_id * 131 + w) % 2147483648) * 2654435761)
+                    % 4294967296) % ({_SC_WINDOW} - {_SC_SPAN} + 1) AS s
+        FROM base, LATERAL (
+            SELECT unnest(generate_series(0, CAST(n_spans AS INT) - 1)) AS w
+        ) g
+        WHERE n_spans > 0
+    ), agg AS (
+        SELECT doc_id,
+               SUM(s) AS mask_pos_checksum,
+               MIN(CASE WHEN w = 0 THEN s END) AS s0
+        FROM spans GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           b.n_spans,
+           CAST(b.n_spans * {_SC_SPAN} AS BIGINT) AS n_masked,
+           CAST(b.n_tokens - b.n_spans * {_SC_SPAN} + b.n_spans AS BIGINT)
+               AS input_len,
+           CAST(b.n_spans * {_SC_SPAN} + b.n_spans AS BIGINT) AS target_len,
+           CAST(COALESCE(a.mask_pos_checksum, 0) AS BIGINT) AS mask_pos_checksum,
+           COALESCE(array_to_string(
+               b.tokens[a.s0 + 1 : a.s0 + {_SC_SPAN}], ' '), '') AS first_span_text
+    FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+    """,
+)
+def span_corruption_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption statistics per document: partition the
+    token stream into {window}-token windows and mask one {span}-token
+    span per full window at a hash-chosen offset — exactly 15% noise
+    density, non-overlapping spans BY CONSTRUCTION (each span lives
+    inside its own window), no sequential scan dependency. Emits the
+    encoder/decoder lengths a seq2seq batch builder needs (input keeps
+    one sentinel per span; target is spans + sentinels) plus a position
+    checksum and the first masked span so the compare pins the actual
+    hash-driven selection, not just the arithmetic.
+
+    Scale shape: tokenize → sequence/explode of window indices inside
+    the scan stage → one groupBy(doc_id) partial-agg. The only exchange
+    carries (doc_id, span-offset ints); span text never shuffles (the
+    first-span sample is sliced AFTER the agg joins back on the
+    already-loaded base row). Same Knuth-hash determinism as
+    dataset_split — no RNG, both engines derive identical spans."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda t: t != "").alias("tokens"),
+    ).where(F.size("tokens") > 0).select(
+        "doc_id",
+        "tokens",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.floor(F.size("tokens") / _SC_WINDOW).alias("n_spans"),
+    )
+    spans = base.where(F.col("n_spans") > 0).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_spans") - 1)).alias("w"),
+    ).select(
+        "doc_id",
+        "w",
+        (
+            F.col("w") * _SC_WINDOW
+            + (
+                (((F.col("doc_id") * 131 + F.col("w")) % F.lit(2147483648))
+                 * F.lit(2654435761))
+                % F.lit(4294967296)
+            ) % F.lit(_SC_WINDOW - _SC_SPAN + 1)
+        ).alias("s"),
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.sum("s").alias("mask_pos_checksum"),
+        F.min(F.when(F.col("w") == 0, F.col("s"))).alias("s0"),
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        (F.col("n_spans") * _SC_SPAN).cast("long").alias("n_masked"),
+        (F.col("n_tokens") - F.col("n_spans") * _SC_SPAN + F.col("n_spans"))
+        .cast("long")
+        .alias("input_len"),
+        (F.col("n_spans") * _SC_SPAN + F.col("n_spans"))
+        .cast("long")
+        .alias("target_len"),
+        F.coalesce("mask_pos_checksum", F.lit(0)).cast("long").alias(
+            "mask_pos_checksum"
+        ),
+        F.coalesce(
+            F.array_join(
+                F.slice("tokens", F.col("s0") + 1, F.lit(_SC_SPAN)), " "
+            ),
+            F.lit(""),
+        ).alias("first_span_text"),
+    )
+
+
+@register(
+    "fim_split_prep",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                   AS n
+        FROM documents
+    ), cuts AS (
+        SELECT doc_id, n,
+               1 + (((doc_id % 2147483648) * 2654435761) % 4294967296) % (n - 2)
+                   AS c1
+        FROM toks WHERE n >= 3
+    ), cuts2 AS (
+        SELECT doc_id, n, c1,
+               c1 + 1 + ((((doc_id + 7) % 2147483648) * 2654435761)
+                         % 4294967296) % (n - c1 - 1) AS c2
+        FROM cuts
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(c1 AS BIGINT) AS len_prefix,
+           CAST(c2 - c1 AS BIGINT) AS len_middle,
+           CAST(n - c2 AS BIGINT) AS len_suffix,
+           CASE WHEN ((((doc_id + 13) % 2147483648) * 2654435761)
+                      % 4294967296) % 2 = 0
+                THEN 'PSM' ELSE 'SPM' END AS mode
+    FROM cuts2
+    UNION ALL
+    SELECT doc_id, CAST(n AS BIGINT), CAST(n AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'none'
+    FROM toks WHERE n < 3
+    """,
+)
+def fim_split_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (FIM) split preparation: two hash-derived cut
+    points divide each document into non-empty prefix/middle/suffix, and
+    a third hash picks PSM vs SPM sentinel order — the code-model
+    pretraining transform (Bavarian et al. 2022), applied at a
+    deterministic 100% rate so the driver compare covers every branch
+    (deployments sample the rate with one more hash threshold, exactly
+    dataset_split's mechanism). Documents under 3 tokens pass through
+    unsplit with mode 'none' — the degenerate class a batch builder must
+    route around.
+
+    Scale shape: pure per-row integer expressions in the scan stage —
+    no explode, no shuffle, no Python. The whole transform runs at scan
+    bandwidth regardless of corpus size; only the final collect-free
+    projection leaves the stage."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count_col().alias("n")
+    )
+    knuth = lambda e: ((e % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)  # noqa: E731
+    splittable = toks.where(F.col("n") >= 3).select(
+        "doc_id", "n", (1 + knuth(F.col("doc_id")) % (F.col("n") - 2)).alias("c1")
+    ).select(
+        "doc_id",
+        "n",
+        "c1",
+        (
+            F.col("c1") + 1
+            + knuth(F.col("doc_id") + 7) % (F.col("n") - F.col("c1") - 1)
+        ).alias("c2"),
+    ).select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("c1").cast("long").alias("len_prefix"),
+        (F.col("c2") - F.col("c1")).cast("long").alias("len_middle"),
+        (F.col("n") - F.col("c2")).cast("long").alias("len_suffix"),
+        F.when(knuth(F.col("doc_id") + 13) % 2 == 0, "PSM")
+        .otherwise("SPM")
+        .alias("mode"),
+    )
+    tiny = toks.where(F.col("n") < 3).select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("n").cast("long").alias("len_prefix"),
+        F.lit(0).cast("long").alias("len_middle"),
+        F.lit(0).cast("long").alias("len_suffix"),
+        F.lit("none").alias("mode"),
+    )
+    return splittable.unionAll(tiny)
+
+
+@register(
+    "curriculum_order",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tokens
+        FROM documents
+    ), feats AS (
+        SELECT doc_id,
+               len(tokens) AS n_tok,
+               list_avg(list_transform(tokens, t -> CAST(LENGTH(t) AS DOUBLE)))
+                   AS avg_word_len,
+               len(list_distinct(tokens)) * 1.0 / len(tokens) AS ttr
+        FROM toks WHERE len(tokens) > 0
+    ), scored AS (
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+               ROUND(avg_word_len + ttr, 4) AS difficulty
+        FROM feats
+    )
+    SELECT doc_id, n_tok, difficulty,
+           CAST(NTILE(4) OVER (ORDER BY difficulty, doc_id) AS BIGINT) AS phase
+    FROM scored
+    """,
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase assignment: score each document's
+    lexical difficulty (mean word length + type-token ratio — longer
+    words and less repetition read harder) and split the corpus into 4
+    curriculum phases by NTILE over (difficulty, doc_id) — easy phases
+    train first. The ranking key is ROUNDED difficulty with a doc_id
+    tiebreak so phase boundaries cannot flip on float drift
+    (partition-invariance rule; same convention as gains_deciles).
+
+    Scale shape: per-doc features are scan-local HOF arithmetic (no
+    vocabulary pass, no join); the only global operation is the NTILE
+    sort — a range-partitioned exchange on a (double, long) pair per
+    doc, the same cost class as any global ranking. At 100 TB the
+    difficulty histogram is near-static, so a deployment replaces NTILE
+    with fixed difficulty thresholds (broadcast scalars) and drops the
+    global sort entirely; the NTILE form is the exact-quartile
+    reference."""
+    from pyspark.sql import Window
+
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda t: t != "").alias("tokens"),
+    ).where(F.size("tokens") > 0)
+    feats = toks.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tok"),
+        F.aggregate(
+            F.transform("tokens", lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("len_sum"),
+        (F.size(F.array_distinct("tokens")) * 1.0 / F.size("tokens")).alias("ttr"),
+    )
+    scored = feats.select(
+        "doc_id",
+        "n_tok",
+        F.round(F.col("len_sum") / F.col("n_tok") + F.col("ttr"), 4).alias(
+            "difficulty"
+        ),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tok",
+        "difficulty",
+        F.ntile(4)
+        .over(Window.orderBy("difficulty", "doc_id"))
+        .cast("long")
+        .alias("phase"),
+    )
