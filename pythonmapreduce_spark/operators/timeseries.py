@@ -3815,3 +3815,80 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 6).alias("ks"),
         F.count(F.lit(1)).cast("long").alias("n_value_points"),
     )
+
+
+@register(
+    "eval_pass_at_k",
+    oracle="""
+    WITH per_task AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+        FROM events GROUP BY user_id
+    ),
+    passk AS (
+        SELECT user_id, n, c,
+               CASE WHEN c = 0 THEN 0.0
+                    WHEN n - c < 1 THEN 1.0
+                    ELSE 1.0 - (n - c) * 1.0 / n END AS p1,
+               CASE WHEN c = 0 THEN 0.0
+                    WHEN n - c < 5 THEN 1.0
+                    ELSE 1.0 - EXP((
+                        SELECT SUM(LN((n - c - i) * 1.0 / (n - i)))
+                        FROM unnest(generate_series(0, 4)) AS t(i)
+                    )) END AS p5
+        FROM per_task
+    )
+    SELECT user_id AS task_id, n AS n_samples, c AS n_correct,
+           ROUND(p1, 4) + 0.0 AS pass_at_1,
+           ROUND(p5, 4) + 0.0 AS pass_at_5
+    FROM passk
+    """,
+)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k with the UNBIASED combinatorial estimator (Chen et al.,
+    Codex 2021): per task, 1 - C(n-c, k)/C(n, k) over n samples with c
+    correct — the standard metric for sampled code/reasoning evals,
+    computed WITHOUT enumerating subsets via the telescoping product
+    Π_{i<k} (n-c-i)/(n-i). Tasks are users, a sample is an event, and
+    'purchase' stands in for a passing sample (auc_roc's labeling
+    convention); k ∈ {1, 5}.
+
+    Scale shape: one partial-aggregated groupBy(task) — the only
+    exchange carries (task, 2 counters) — then the estimator is a pure
+    per-row expression: the k-term product unrolls via a sequence HOF
+    with NO subquery, join, or UDF. A billion-sample eval sweep costs
+    one count-shuffle. Rounded at 4dp with +0.0 on both engines
+    (registry signed-zero rule)."""
+    per_task = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("task_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .cast("long")
+            .alias("n_correct"),
+        )
+    )
+
+    def pass_at(k: int) -> F.Column:
+        n, c = F.col("n_samples"), F.col("n_correct")
+        prod = F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.lit(1.0),
+            lambda acc, i: acc * (n - c - i) / (n - i),
+        )
+        return (
+            F.when(c == 0, F.lit(0.0))
+            .when(n - c < k, F.lit(1.0))
+            .otherwise(1.0 - prod)
+        )
+
+    return per_task.select(
+        "task_id",
+        "n_samples",
+        "n_correct",
+        (F.round(pass_at(1), 4) + 0.0).alias("pass_at_1"),
+        (F.round(pass_at(5), 4) + 0.0).alias("pass_at_5"),
+    )

@@ -577,3 +577,191 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("word").alias("negative"),
         )
     )
+
+
+_RRF_K = 60        # reciprocal-rank-fusion damping constant (standard)
+_RRF_DEPTH = 100   # per-ranker shortlist depth fused
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS dl FROM docs),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(LEN(toks)) AS avgdl
+        FROM docs
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, UNNEST(toks) AS term FROM docs)
+        WHERE term IN ('join', 'table', 'spark')
+        GROUP BY doc_id, term
+    ),
+    idf AS (
+        SELECT term,
+               LN(1 + ((SELECT n_docs FROM stats) - COUNT(*) + 0.5)
+                      / (COUNT(*) + 0.5)) AS idf
+        FROM tf GROUP BY term
+    ),
+    lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        FROM (
+            SELECT tf.doc_id,
+                   ROUND(SUM(idf.idf * tf.tf * ({_K1} + 1)
+                             / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl
+                                                 / (SELECT avgdl FROM stats)))),
+                         4) AS bm25
+            FROM tf JOIN idf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+            GROUP BY tf.doc_id
+        ) QUALIFY r <= {_RRF_DEPTH}
+    ),
+    e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    qv AS (SELECT v AS q FROM e WHERE vec_id = 1),
+    sem AS (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY cosr DESC, vec_id) AS r
+        FROM (
+            SELECT e.vec_id,
+                   ROUND(list_dot_product(e.v, qv.q)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(qv.q, qv.q))), 4) AS cosr
+            FROM e CROSS JOIN qv WHERE e.vec_id <> 1
+        ) QUALIFY r <= {_RRF_DEPTH}
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               ROUND(COALESCE(1.0 / ({_RRF_K} + l.r), 0)
+                     + COALESCE(1.0 / ({_RRF_K} + s.r), 0), 6) AS rrf,
+               l.r AS lex_rank, s.r AS sem_rank
+        FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, rrf,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(sem_rank AS BIGINT) AS sem_rank
+    FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval by reciprocal-rank fusion (RRF, Cormack et al.):
+    fuse a lexical BM25 shortlist (bm25_rank's scorer, fixed query
+    "join table spark") with a semantic cosine shortlist (query vector =
+    embedding id 1, the knn convention) as Σ 1/(60 + rank) — the
+    score-free fusion that needs no calibration between incomparable
+    scores, which is why it is the default in production hybrid search.
+    The fixture's doc_id↔vec_id identity join stands in for the shared
+    document key a real corpus carries.
+
+    Plan shape at 100 TB: each ranker keeps its own scale discipline
+    (BM25: query-term filter before the (doc,term) shuffle; cosine: the
+    one query vector broadcasts onto the unshuffled corpus scan); both
+    truncate to top-{depth} BEFORE the fusion join, so the full join +
+    final sort touch ≤ 2·{depth} rows regardless of corpus size. Ranks
+    are ROW_NUMBER over (rounded score DESC, id) on both engines —
+    drift-proof ranking keys, the suite's standard."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("filter(split(text, '\\\\s+'), t -> t != '')").alias("toks"),
+    )
+    dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg(F.size("toks")).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    bm25 = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("idf") * F.col("tf") * (_K1 + 1)
+                    / (
+                        F.col("tf")
+                        + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                4,
+            ).alias("bm25")
+        )
+    )
+    lex = bm25.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("r"),
+    ).where(F.col("r") <= _RRF_DEPTH)
+
+    from pythonmapreduce_spark.pipeline.similarity import _as_double, _dot, _norm
+
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    )
+    qv = e.where(F.col("vec_id") == 1).select(F.col("v").alias("q"))
+    sem = (
+        e.where(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _dot(F.col("v"), F.col("q"))
+                / (_norm(F.col("v")) * _norm(F.col("q"))),
+                4,
+            ).alias("cosr"),
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cosr").desc(), "doc_id"))
+            .alias("r"),
+        )
+        .where(F.col("r") <= _RRF_DEPTH)
+    )
+    fused = (
+        lex.withColumnRenamed("r", "lex_rank")
+        .join(
+            sem.withColumnRenamed("r", "sem_rank"),
+            "doc_id",
+            "full",
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("sem_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("sem_rank").cast("long").alias("sem_rank"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
