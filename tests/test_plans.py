@@ -418,3 +418,33 @@ def test_join_hint_merge_is_honored(spark, sf_smoke) -> None:
     plan = _plan(registry.QUERIES["join_hint_merge"](spark, sf_smoke))
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_fim_split_prep_zero_exchanges(spark, sf_smoke) -> None:
+    # FIM splits are pure per-row integer expressions — the plan must
+    # contain no Exchange at all (the union of splittable/tiny branches
+    # stays inside the scan stages)
+    plan = _plan(registry.QUERIES["fim_split_prep"](spark, sf_smoke))
+    assert "Exchange" not in plan
+
+
+def test_eval_pass_at_k_single_agg_no_join(spark, sf_smoke) -> None:
+    # one counter-shuffle, then the telescoping product is a sequence-HOF
+    # expression: no join, no second aggregate exchange
+    plan = _plan(registry.QUERIES["eval_pass_at_k"](spark, sf_smoke))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_search_rrf_no_cartesian(spark, sf_smoke) -> None:
+    # both rankers truncate to top-N before the fusion full join; the
+    # only nested-loop is the 1-row query-vector broadcast
+    plan = _plan(registry.QUERIES["hybrid_search_rrf"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+
+
+def test_curriculum_order_no_join(spark, sf_smoke) -> None:
+    # difficulty features are scan-local HOF arithmetic: no vocabulary
+    # pass, no join — the only exchange is the NTILE ranking sort
+    plan = _plan(registry.QUERIES["curriculum_order"](spark, sf_smoke))
+    assert "Join" not in plan
