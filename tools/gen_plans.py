@@ -115,11 +115,14 @@ NOTES = {
         "caps the ranking at k rows per partition."
     ),
     "semdedup": (
-        "K = max(8, n/64) centroids broadcast onto the unit-normalized scan; "
-        "the argmax is a map-side max_by on an integer-encoded (dot, cid) "
-        "key (no sort window); the in-cluster pair join shuffles on the "
-        "cluster key with expected cluster size pinned at ~64 — pair work "
-        "stays linear in n because K grows with the corpus."
+        "fixed-K (deployment constant, fixture 64) assignment as a "
+        "MapInPandas chunked GEMM — the K×d centroid matrix is a bounded "
+        "driver collect torrent-broadcast outside the plan, so there is NO "
+        "join node and no broadcast-threshold cliff at any K; the argmax "
+        "key is the integer-encoded ROUND(dot,4)/cid pair shared with the "
+        "oracle; the in-cluster pair join shuffles on the cluster key. A "
+        "deployment sizes K to the corpus (semdedup_k), keeping both "
+        "stages linear."
     ),
     "tokenizer_apply": (
         "zero exchanges: the trained merges are driver-side literals applied "
