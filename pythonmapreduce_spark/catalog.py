@@ -208,14 +208,20 @@ def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DataFrame memo for load(): a DataFrame is an immutable logical plan, so
 # re-serving the same object skips ~20 ms of py4j reader construction per
 # call — across an external verifier's 50-query run (1-4 loads per query)
-# that is seconds of pure fixed cost. Keyed by the parquet file's
-# (mtime_ns, size) as well as (session, sf_dir, name) so a regenerated
-# file (the documented per-round regime, and tests that rewrite temp
-# dirs in place) invalidates instead of silently reusing the old plan.
-_LOAD_MEMO: dict[tuple, DataFrame] = {}
-# Temp views registered per (session, view name) → the (sf_dir, stat) they
-# point at; register_views skips the py4j round-trip when unchanged.
-_VIEW_MEMO: dict[tuple[int, str], tuple] = {}
+# that is seconds of pure fixed cost. Keyed per SESSION OBJECT via a
+# WeakKeyDictionary (never by id(spark): a GC'd session's address can be
+# reused by a new session, which would silently serve plans bound to a
+# dead py4j gateway) and by the parquet file's (mtime_ns, size) as well
+# as (sf_dir, name) so a regenerated file (the documented per-round
+# regime, and tests that rewrite temp dirs in place) invalidates instead
+# of silently reusing the old plan. The weak keying also means a stopped
+# session's cached DataFrames/view states die with it.
+import weakref
+
+_LOAD_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+# Temp views registered per session: view name → the (sf_dir, stat) it
+# points at; register_views skips the py4j round-trip when unchanged.
+_VIEW_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
 def _table_stat(path: str) -> tuple:
@@ -240,8 +246,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # at scan planning, which happens at each execution of the
         # memoized plan
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    key = (id(spark), sf_dir, name, _table_stat(path))
-    cached = _LOAD_MEMO.get(key)
+    memo = _LOAD_MEMO.setdefault(spark, {})
+    key = (sf_dir, name, _table_stat(path))
+    cached = memo.get(key)
     if cached is not None:
         return cached
     if name == "events":
@@ -249,9 +256,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = events_ts_fix(df, sf_dir)
     else:
         df = spark.read.schema(SCHEMAS[name]).parquet(path)
-    if len(_LOAD_MEMO) > 512:  # bound growth across many temp sf_dirs
-        _LOAD_MEMO.clear()
-    _LOAD_MEMO[key] = df
+    if len(memo) > 512:  # bound growth across many temp sf_dirs
+        memo.clear()
+    memo[key] = df
     return df
 
 
@@ -266,10 +273,10 @@ def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = 
     not bind these ten table names to other content (nothing does; ad-hoc
     views use underscore-prefixed names).
     """
+    memo = _VIEW_MEMO.setdefault(spark, {})
     for name in tables or TABLES:
         state = (sf_dir, _table_stat(table_path(sf_dir, name)))
-        key = (id(spark), name)
-        if _VIEW_MEMO.get(key) == state:
+        if memo.get(name) == state:
             continue
         load(spark, sf_dir, name).createOrReplaceTempView(name)
-        _VIEW_MEMO[key] = state
+        memo[name] = state

@@ -3828,16 +3828,23 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     ),
     passk AS (
+        -- the 5-term product is UNROLLED (not EXP(SUM(LN(...)))): a
+        -- correlated LN subquery is evaluated for every row regardless of
+        -- the CASE guard and raises on n-c < 5, and exp/ln round a
+        -- different double than the iterated product Spark computes —
+        -- the unrolled left-to-right product is arithmetic-identical to
+        -- the Spark HOF fold (review r4 findings #1/#3)
         SELECT user_id, n, c,
                CASE WHEN c = 0 THEN 0.0
                     WHEN n - c < 1 THEN 1.0
                     ELSE 1.0 - (n - c) * 1.0 / n END AS p1,
                CASE WHEN c = 0 THEN 0.0
                     WHEN n - c < 5 THEN 1.0
-                    ELSE 1.0 - EXP((
-                        SELECT SUM(LN((n - c - i) * 1.0 / (n - i)))
-                        FROM unnest(generate_series(0, 4)) AS t(i)
-                    )) END AS p5
+                    ELSE 1.0 - (((((n - c) * 1.0 / n)
+                               * ((n - c - 1) * 1.0 / (n - 1)))
+                               * ((n - c - 2) * 1.0 / (n - 2)))
+                               * ((n - c - 3) * 1.0 / (n - 3)))
+                               * ((n - c - 4) * 1.0 / (n - 4)) END AS p5
         FROM per_task
     )
     SELECT user_id AS task_id, n AS n_samples, c AS n_correct,

@@ -1100,6 +1100,14 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semdedup_k below.
 _SEMDEDUP_K = 64
 
+# Per-session history of centroid broadcasts (see semdedup_assign) —
+# weak-keyed so a stopped session releases its broadcasts.
+import weakref  # noqa: E402
+
+_ASSIGN_BC_HISTORY: "weakref.WeakKeyDictionary[SparkSession, list]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def _semdedup_unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings as unit vectors (normalized once at the scan; cosine ≡ dot
@@ -1146,6 +1154,15 @@ def semdedup_assign(spark: SparkSession, e: DataFrame, centroids: DataFrame) -> 
     cid_arr = np.array([r["cid"] for r in rows], dtype=np.int64)
     cmat = np.array([list(r["cv"]) for r in rows], dtype=np.float64)  # K × d
     bc = spark.sparkContext.broadcast((cid_arr, cmat.T.copy()))  # d × K
+    # Bound broadcast accumulation across repeated calls in one session
+    # (bench warmups, scaling sweeps, long-lived servers): unpersist the
+    # oldest beyond a small window. unpersist (not destroy) keeps the
+    # driver-side value, so a still-held older assign DataFrame simply
+    # re-broadcasts on its next execution instead of failing.
+    hist = _ASSIGN_BC_HISTORY.setdefault(spark, [])
+    hist.append(bc)
+    while len(hist) > 8:
+        hist.pop(0).unpersist(blocking=False)
 
     def assign_batches(batches):
         cids, ct = bc.value

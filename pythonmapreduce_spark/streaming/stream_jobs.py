@@ -582,13 +582,17 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint's store files (one task per state partition), same as any
     file source; no running cluster is needed.
     """
-    # pid-keyed (not uuid-keyed) so repeated runs in one process REUSE a
-    # single scratch location instead of leaking a fresh state dir per
-    # invocation (ADVICE r3); the stale prior tree is removed at entry —
-    # it cannot be removed at exit because the returned DataFrame reads
-    # the state files lazily.
+    # (pid, app)-keyed so repeated runs REUSE one scratch location instead
+    # of leaking a fresh state dir per invocation (ADVICE r3); the stale
+    # prior tree is removed at entry. Safe against an earlier invocation's
+    # still-held DataFrame because the state read below is localCheckpoint-
+    # materialized before return — the returned DataFrame no longer reads
+    # these files lazily (review r4 finding #2). The appId component keeps
+    # two sessions in one process from clobbering each other.
     ckpt = os.path.join(
-        tempfile.gettempdir(), "pmr_spark_state", f"pid{os.getpid()}"
+        tempfile.gettempdir(),
+        "pmr_spark_state",
+        f"pid{os.getpid()}_{spark.sparkContext.applicationId}",
     )
     shutil.rmtree(ckpt, ignore_errors=True)
     src = events_stream_source(spark, sf_dir)
@@ -612,7 +616,11 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corrupt/unreadable checkpoint should RAISE, not read as empty
         return spark.createDataFrame([], "user_id long, event_type string")
     state = spark.read.format("statestore").load(ckpt)
-    return state.select(
+    out = state.select(
         F.col("key.user_id").alias("user_id"),
         F.col("key.event_type").alias("event_type"),
     )
+    # Materialize eagerly: decouples the returned DataFrame from the
+    # scratch checkpoint files so the next invocation's rmtree cannot
+    # corrupt it. State is O(distinct keys) — executor-storage sized.
+    return out.localCheckpoint(eager=True)

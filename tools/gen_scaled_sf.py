@@ -52,17 +52,25 @@ def _gen_documents(con: duckdb.DuckDBPyConnection, out_dir: str, r: int) -> None
                 f"FROM read_parquet('{SRC}/documents.parquet')"
             )
         else:
+            # \s+ split + empty-token filter matches the engine-wide
+            # tokenizer contract — a bare string_split(text, ' ') would
+            # mint spurious '_rN' tokens from consecutive-whitespace runs
+            # and skew the replica's token/shingle distribution
             parts.append(
                 f"""
                 SELECT doc_id + {i} * (1 + (SELECT MAX(doc_id) FROM
                            read_parquet('{SRC}/documents.parquet'))) AS doc_id,
                        array_to_string(
-                           list_transform(string_split(text, ' '),
-                                          t -> t || '_r{i}'), ' ') AS text,
+                           list_transform(
+                               list_filter(string_split_regex(text, '\\s+'),
+                                           t -> t <> ''),
+                               t -> t || '_r{i}'), ' ') AS text,
                        lang, source,
                        CAST(LENGTH(array_to_string(
-                           list_transform(string_split(text, ' '),
-                                          t -> t || '_r{i}'), ' ')) AS BIGINT)
+                           list_transform(
+                               list_filter(string_split_regex(text, '\\s+'),
+                                           t -> t <> ''),
+                               t -> t || '_r{i}'), ' ')) AS BIGINT)
                            AS n_chars
                 FROM read_parquet('{SRC}/documents.parquet')
                 """
