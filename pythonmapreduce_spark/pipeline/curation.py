@@ -86,8 +86,11 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sequence_pack",
     oracle=f"""
     WITH toks AS (
+        -- integer division (//): CAST(x/1000 AS BIGINT) ROUNDS in DuckDB
+        -- while Spark's cast truncates — invisible while doc_id < 500,
+        -- a shard-boundary flip on any larger corpus (robust-sweep find)
         SELECT doc_id,
-               CAST(doc_id / {_PACK_SHARD} AS BIGINT) AS shard,
+               CAST(doc_id // {_PACK_SHARD} AS BIGINT) AS shard,
                len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tok
         FROM documents
     ),
@@ -220,14 +223,20 @@ def sketch_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     its counts are EXACT; beyond capacity it degrades to ±N/maxItemsTracked
     error bounds instead of failing — the property that makes it safe to
     leave in a 100 TB job where cardinality is unknown upfront. The >400
-    filter (not the rank-k cut) makes the output tie-independent.
+    filter (not the rank-k cut) makes the output tie-independent — which
+    requires k to COVER the >400 band on any corpus: at most
+    total_tokens/400 tokens can exceed the threshold (pigeonhole), so
+    k=1024 holds to a ~400k-token corpus, 8× the verification fixture;
+    a k sized below the band silently truncates the result on a larger
+    corpus (robust-sweep find: a 3× fixture yields 90 qualifying tokens
+    vs the old k=40).
     """
     docs = load(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("word")
     )
     return (
-        words.agg(F.expr("approx_top_k(word, 40, 100000)").alias("tk"))
+        words.agg(F.expr("approx_top_k(word, 1024, 100000)").alias("tk"))
         .select(F.explode("tk").alias("s"))
         .select(F.col("s.item").alias("word"), F.col("s.count").alias("n"))
         .where(F.col("n") > 400)
