@@ -574,7 +574,12 @@ WITH e AS (
            CAST(UNNEST(embedding) AS DOUBLE) AS v
     FROM embeddings WHERE embedding IS NOT NULL
 )
-SELECT a.i AS i, b.i AS j, ROUND(SUM(a.v * b.v), 3) AS g
+SELECT a.i AS i, b.i AS j,
+       -- + 0.0 after ROUND (registry signed-zero rule): a near-zero sum
+       -- rounds to -0.0 on one engine and 0.0 on the other depending on
+       -- which side of zero its summation-order noise lands (hit at
+       -- sf0.001, entry (12,47))
+       ROUND(SUM(a.v * b.v), 3) + 0.0 AS g
 FROM e a JOIN e b ON a.vec_id = b.vec_id
 GROUP BY a.i, b.i
 """
@@ -620,7 +625,9 @@ def gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _vectors(spark, sf_dir).select("embedding")
     partials = emb.mapInPandas(batch_gram, schema=out_schema)
-    return partials.groupBy("i", "j").agg(F.round(F.sum("partial"), 3).alias("g"))
+    return partials.groupBy("i", "j").agg(
+        (F.round(F.sum("partial"), 3) + 0.0).alias("g")
+    )
 
 
 @register("pca_project")  # eigendecomposition is not SQL-expressible → rows-only
