@@ -3838,25 +3838,32 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- the 5-term product is UNROLLED (not EXP(SUM(LN(...)))): a
         -- correlated LN subquery is evaluated for every row regardless of
         -- the CASE guard and raises on n-c < 5, and exp/ln round a
-        -- different double than the iterated product Spark computes —
-        -- the unrolled left-to-right product is arithmetic-identical to
-        -- the Spark HOF fold (review r4 findings #1/#3)
+        -- different double than the iterated product Spark computes.
+        -- Grouping mirrors F.aggregate's fold EXACTLY — each step is
+        -- (acc * numerator) / denominator, NOT acc * (num/den); the two
+        -- differ in the last bit for ~16% of (n, c) pairs (review r4.2).
         SELECT user_id, n, c,
                CASE WHEN c = 0 THEN 0.0
                     WHEN n - c < 1 THEN 1.0
-                    ELSE 1.0 - (n - c) * 1.0 / n END AS p1,
+                    ELSE 1.0 - (1.0 * (n - c)) / n END AS p1,
                CASE WHEN c = 0 THEN 0.0
                     WHEN n - c < 5 THEN 1.0
-                    ELSE 1.0 - (((((n - c) * 1.0 / n)
-                               * ((n - c - 1) * 1.0 / (n - 1)))
-                               * ((n - c - 2) * 1.0 / (n - 2)))
-                               * ((n - c - 3) * 1.0 / (n - 3)))
-                               * ((n - c - 4) * 1.0 / (n - 4)) END AS p5
+                    ELSE 1.0 - (((((((((1.0 * (n - c)) / n)
+                               * (n - c - 1)) / (n - 1))
+                               * (n - c - 2)) / (n - 2))
+                               * (n - c - 3)) / (n - 3))
+                               * (n - c - 4)) / (n - 4) END AS p5
         FROM per_task
     )
+    -- shortest-repr rounding (see registry contract / resample_interpolate):
+    -- pass@1 hits exact 4dp half-way points on attainable counts (n=160,
+    -- c=77 → 0.48125), where Spark's BigDecimal round and DuckDB's binary
+    -- ROUND disagree (review r4.2)
     SELECT user_id AS task_id, n AS n_samples, c AS n_correct,
-           ROUND(p1, 4) + 0.0 AS pass_at_1,
-           ROUND(p5, 4) + 0.0 AS pass_at_5
+           CAST(ROUND(CAST(CAST(p1 AS VARCHAR) AS DECIMAL(38,18)), 4)
+                AS DOUBLE) + 0.0 AS pass_at_1,
+           CAST(ROUND(CAST(CAST(p5 AS VARCHAR) AS DECIMAL(38,18)), 4)
+                AS DOUBLE) + 0.0 AS pass_at_5
     FROM passk
     """,
 )

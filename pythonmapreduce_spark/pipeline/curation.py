@@ -226,17 +226,19 @@ def sketch_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter (not the rank-k cut) makes the output tie-independent — which
     requires k to COVER the >400 band on any corpus: at most
     total_tokens/400 tokens can exceed the threshold (pigeonhole), so
-    k=1024 holds to a ~400k-token corpus, 8× the verification fixture;
-    a k sized below the band silently truncates the result on a larger
-    corpus (robust-sweep find: a 3× fixture yields 90 qualifying tokens
-    vs the old k=40).
+    k=8192 holds to a ~3.3M-token corpus — 60× the sf0.01 verification
+    fixture and 12× sf0.1 (the sketch stays KBs either way); a k sized
+    below the band silently truncates the result on a larger corpus
+    (robust-sweep find: a 3× fixture yields 90 qualifying tokens vs the
+    old k=40). Corpora past that bound raise the threshold or k together
+    — the invariant to preserve is k ≥ total_tokens/threshold.
     """
     docs = load(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("word")
     )
     return (
-        words.agg(F.expr("approx_top_k(word, 1024, 100000)").alias("tk"))
+        words.agg(F.expr("approx_top_k(word, 8192, 100000)").alias("tk"))
         .select(F.explode("tk").alias("s"))
         .select(F.col("s.item").alias("word"), F.col("s.count").alias("n"))
         .where(F.col("n") > 400)

@@ -861,8 +861,12 @@ def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- hub-star by DESIGN, so its non-hub pairs are intentionally
         -- absent (skew-sweep confirmed: a 126-identical-doc corpus fires
         -- the old unrestricted pin while the implementation is correct).
-        -- The cap/2 margin keeps band-collision riders from pushing a
-        -- compliant group's bucket past the cap.
+        -- The cap/2 margin absorbs band-collision riders that could push
+        -- a compliant group's bucket past the cap. It is a HEURISTIC, not
+        -- a guarantee: an adversarial corpus with 32+ near-identical
+        -- variants colliding in every band could still overflow — random
+        -- or crawled corpora do not do this; if a fixture ever does, the
+        -- red row correctly points at bucket composition, not the hash.
         SELECT md5(text) AS dig, COUNT(*) AS n
         FROM documents GROUP BY md5(text)
         HAVING COUNT(*) > 1 AND COUNT(*) <= {_BUCKET_CAP // 2}

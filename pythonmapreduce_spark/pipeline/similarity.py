@@ -1178,8 +1178,13 @@ def semdedup_assign(spark: SparkSession, e: DataFrame, centroids: DataFrame) -> 
                 continue
             v = np.stack(pdf["v"].to_numpy())  # b × d
             dots = v @ ct  # b × K GEMM
-            # half-away-from-zero to match F.round / DuckDB ROUND
-            key = np.sign(dots) * np.floor(np.abs(dots) * 10000.0 + 0.5)
+            # half-away-from-zero via an exact fraction comparison: the
+            # floor(x + 0.5) idiom rounds UP for fractions one ulp BELOW
+            # .5 (the IEEE add carries), silently diverging from
+            # ROUND's half-away in that window (review r4.2)
+            m = np.abs(dots) * 10000.0
+            base = np.floor(m)
+            key = np.sign(dots) * (base + (m - base >= 0.5))
             key = key.astype(np.int64) * 1000000 - cids[np.newaxis, :]
             best = np.argmax(key, axis=1)
             yield pd.DataFrame(

@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -587,14 +588,24 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prior tree is removed at entry. Safe against an earlier invocation's
     # still-held DataFrame because the state read below is localCheckpoint-
     # materialized before return — the returned DataFrame no longer reads
-    # these files lazily (review r4 finding #2). The appId component keeps
-    # two sessions in one process from clobbering each other.
+    # these files lazily (review r4 finding #2). Concurrent invocations in
+    # one process (incl. newSession() clones, which share the appId)
+    # serialize on a module lock so one call's rmtree can never delete a
+    # sibling's in-flight checkpoint (review r4.2).
     ckpt = os.path.join(
         tempfile.gettempdir(),
         "pmr_spark_state",
         f"pid{os.getpid()}_{spark.sparkContext.applicationId}",
     )
-    shutil.rmtree(ckpt, ignore_errors=True)
+    with _STATE_INSPECT_LOCK:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        return _stream_state_inspect_run(spark, sf_dir, ckpt)
+
+
+_STATE_INSPECT_LOCK = threading.Lock()
+
+
+def _stream_state_inspect_run(spark: SparkSession, sf_dir: str, ckpt: str) -> DataFrame:
     src = events_stream_source(spark, sf_dir)
     deduped = (
         src.withWatermark("ts", "40 days")

@@ -98,10 +98,14 @@ def main() -> None:
         f" l_returnflag, l_linestatus, l_shipdate"
         f" FROM read_parquet('{SRC}/lineitem.parquet')",
     )
+    # events.user_id is an FK into customer.c_custkey (the streaming
+    # enrichment join, GDPR erasure), so replica events must shift by the
+    # CUSTOMER offset — shifting by max(user_id)+1 would cross-wire
+    # replica events onto base customers (review r4.2)
     replicate(
         "events",
         f"SELECT event_id + {{i}} * {{event}} AS event_id, ts,"
-        f" user_id + {{i}} * {{user}} AS user_id, event_type, value, props"
+        f" user_id + {{i}} * {{cust}} AS user_id, event_type, value, props"
         f" FROM read_parquet('{SRC}/events.parquet')",
     )
 
