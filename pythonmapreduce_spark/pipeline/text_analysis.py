@@ -572,6 +572,77 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decontamination_ngram",
+    oracle="""
+    WITH bench AS (
+        SELECT doc_id AS b_id, substring(text, 1, 60) AS snip
+        FROM documents WHERE doc_id % 7 = 0 AND LENGTH(text) >= 60
+    )
+    SELECT DISTINCT d.doc_id, d.lang
+    FROM documents d JOIN bench b
+      ON d.doc_id <> b.b_id AND position(b.snip IN d.text) > 0
+    WHERE d.doc_id % 7 <> 0
+    """,
+)
+def decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination, LARGE-BENCH scale path: identical semantics to
+    ``decontamination`` (flag training docs containing any benchmark
+    snippet; the oracle is literally the same SQL), different join
+    algorithm for when the snippet set is too big for per-snippet
+    substring probes.
+
+    The broadcast-``contains`` theta join costs O(corpus_bytes × |bench|)
+    character comparisons — right when |bench| is a few thousand, hopeless
+    for a mega-benchmark registry (every eval suite + their train splits,
+    ~10⁶ snippets). Here the corpus side instead explodes each doc into
+    its 60-char windows (sequence + substring — narrow, scan-side, no
+    shuffle of the corpus) and BroadcastHashJoins them against the snippet
+    set on STRING EQUALITY: O(corpus_bytes × 60) window materialization +
+    one hash probe per window, linear in both sides, and the hash table
+    costs one probe regardless of |bench|. Only matching (doc_id, lang)
+    rows flow into the final distinct. The window width is the snippet
+    length (fixed 60 here, as in ``decontamination``'s fixture rule);
+    variable-length snippet sets bucket by length, one pass per bucket —
+    still |buckets| linear passes, never |bench| probes.
+
+    Plan pin (tests/test_plans.py): BroadcastHashJoin, NOT
+    BroadcastNestedLoopJoin — the whole point of the variant.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bench = (
+        docs.where((F.col("doc_id") % 7 == 0) & (F.length("text") >= 60))
+        .select(F.col("doc_id").alias("b_id"), F.substring("text", 1, 60).alias("snip"))
+    )
+    # Guarded sequence: Spark's sequence(1, stop) DESCENDS when stop < 1
+    # (sequence(1, 0) == [1, 0]), so short docs must map to an empty
+    # window list, not a bogus descending one.
+    windows = (
+        docs.where(F.col("doc_id") % 7 != 0)
+        .where(F.length("text") >= 60)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.length("text") - 59)).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("substring(text, pos, 60)").alias("win"),
+        )
+    )
+    return (
+        windows.join(
+            F.broadcast(bench),
+            (F.col("win") == F.col("snip")) & (F.col("doc_id") != F.col("b_id")),
+            "left_semi",
+        )
+        .select("doc_id", "lang")
+        .distinct()
+    )
+
+
 _HH_THRESHOLD = 400  # tokens appearing more than this many times, corpus-wide
 
 
@@ -673,7 +744,17 @@ def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-side, the dedup window shuffles on the text hash, the
     decontamination snippet set broadcasts (the corpus side never
     re-shuffles for it), and the split is the Knuth multiplicative hash —
-    no RNG, stable across engines and runs. Composability is the point:
+    no RNG, stable across engines and runs.
+
+    Scale note on the decontamination stage (same contract as the
+    standalone ``decontamination`` query): a real benchmark suite is a
+    DEPLOYMENT CONSTANT — a few thousand snippets regardless of corpus
+    size — so the broadcast side stays KB-scale and the corpus streams
+    through one substring-scan stage. The fixture's ``doc_id % 7`` bench
+    rule ties the snippet count to n ONLY so the DuckDB oracle can derive
+    the same set; it is not the production shape (see
+    ``decontamination_ngram`` for the hash-join path that also handles
+    huge bench sets). Composability is the point:
     each stage is an already-certified operator (pipeline_clean_corpus,
     dedup_exact, decontamination, dataset_split) and the composition
     still hash-matches a single-statement SQL oracle.

@@ -339,6 +339,17 @@ def test_semdedup_assignment_no_broadcast_exchange(spark, sf_smoke) -> None:
     assert "Join" not in plan
 
 
+def test_decontamination_ngram_hash_join(spark, sf_smoke) -> None:
+    # the large-bench variant's whole point: window-vs-snippet matching is
+    # a hash EQUI-join (one probe per window regardless of |bench|), never
+    # the per-snippet substring theta join (BroadcastNestedLoopJoin) the
+    # small-bench `decontamination` query deliberately uses
+    plan = _plan(registry.QUERIES["decontamination_ngram"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_semdedup_pair_join_not_cartesian(spark, sf_smoke) -> None:
     # the in-cluster pair join is an equi-join on the cluster key, never
     # a cartesian pair explosion
