@@ -1,0 +1,80 @@
+"""Events timestamp-unit robustness: the driver's data generator has
+shipped events.ts as parquet TIMESTAMP(NANOS) in one round and
+TIMESTAMP(MICROS) in another (TESTDATA regime, round 1 vs round 2+), so
+every time-predicate in the engine depends on catalog's footer sniff
+(`_events_ts_is_nanos`) and the nanosAsLong + floor-div normalization
+behind `load` / `events_stream_source`. This suite manufactures a REAL
+nanos-unit events.parquet from the committed micros fixture and asserts
+unit-invariance end to end — batch, window, and streaming paths — so a
+unit flip in a future data generation is a no-op instead of the
+documented failure mode (a nanos assumption on µs data lands every row
+in 1970 and vice versa).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pythonmapreduce_spark import catalog
+from pythonmapreduce_spark.plans import registry
+
+registry.load_all()
+
+# Time-sensitive representatives, one per family: tumbling event windows
+# (window() over ts), date/extract arithmetic, watermarked streaming agg,
+# lag/sessionization deltas, and a plain ts range filter inside a join.
+_UNIT_SENSITIVE = [
+    "window_tumbling",
+    "window_session",
+    "sliding_distinct_users",
+    "stream_event_window",
+]
+
+
+@pytest.fixture(scope="module")
+def nanos_dir(tmp_path_factory, sf_smoke) -> str:
+    """sf_smoke clone whose events.parquet is TIMESTAMP(NANOS)."""
+    d = tmp_path_factory.mktemp("nanos_sf")
+    for t in catalog.TABLES:
+        src = catalog.table_path(sf_smoke, t)
+        if t == "events":
+            tbl = pq.read_table(src)
+            ts_ns = tbl.column("ts").cast(pa.timestamp("ns"))
+            tbl = tbl.set_column(tbl.schema.get_field_index("ts"), "ts", ts_ns)
+            # version>=2.6 is what permits a true NANOS logical type —
+            # older writer versions silently coerce back to µs, which
+            # would make this suite test nothing.
+            pq.write_table(tbl, os.path.join(d, "events.parquet"), version="2.6")
+        else:
+            shutil.copyfile(src, os.path.join(d, f"{t}.parquet"))
+    return str(d)
+
+
+def test_fixture_really_is_nanos(nanos_dir, sf_smoke) -> None:
+    assert catalog._events_ts_is_nanos(catalog.table_path(nanos_dir, "events"))
+    assert not catalog._events_ts_is_nanos(catalog.table_path(sf_smoke, "events"))
+
+
+def test_load_normalizes_nanos_to_micros(spark, nanos_dir, sf_smoke) -> None:
+    # the logical schema every query sees must be identical, and the µs
+    # truncation must match what DuckDB's TIMESTAMP_NS → TIMESTAMP cast
+    # (and the micros generator) produce: floor division, not rounding
+    a = catalog.load(spark, sf_smoke, "events")
+    b = catalog.load(spark, nanos_dir, "events")
+    assert a.schema == b.schema
+    rows_a = sorted(a.select("event_id", "ts").collect())
+    rows_b = sorted(b.select("event_id", "ts").collect())
+    assert rows_a == rows_b
+
+
+@pytest.mark.parametrize("name", _UNIT_SENSITIVE)
+def test_unit_invariance(spark, nanos_dir, sf_smoke, name) -> None:
+    fn = registry.QUERIES[name]
+    want = sorted(map(tuple, fn(spark, sf_smoke).collect()))
+    got = sorted(map(tuple, fn(spark, nanos_dir).collect()))
+    assert got == want
