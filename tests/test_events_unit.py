@@ -67,14 +67,18 @@ def test_load_normalizes_nanos_to_micros(spark, nanos_dir, sf_smoke) -> None:
     a = catalog.load(spark, sf_smoke, "events")
     b = catalog.load(spark, nanos_dir, "events")
     assert a.schema == b.schema
-    rows_a = sorted(a.select("event_id", "ts").collect())
-    rows_b = sorted(b.select("event_id", "ts").collect())
+    rows_a = sorted((r[0], str(r[1])) for r in a.select("event_id", "ts").collect())
+    rows_b = sorted((r[0], str(r[1])) for r in b.select("event_id", "ts").collect())
     assert rows_a == rows_b
 
 
 @pytest.mark.parametrize("name", _UNIT_SENSITIVE)
 def test_unit_invariance(spark, nanos_dir, sf_smoke, name) -> None:
+    # multiset compare over stringified rows: None-vs-value cells must not
+    # crash the sort if a future fixture generation introduces NULLs
+    from collections import Counter
+
     fn = registry.QUERIES[name]
-    want = sorted(map(tuple, fn(spark, sf_smoke).collect()))
-    got = sorted(map(tuple, fn(spark, nanos_dir).collect()))
+    want = Counter(str(tuple(r)) for r in fn(spark, sf_smoke).collect())
+    got = Counter(str(tuple(r)) for r in fn(spark, nanos_dir).collect())
     assert got == want
