@@ -532,9 +532,11 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "decontamination",
-    oracle="""
+# ONE oracle for both decontamination variants: the two queries differ
+# only in join ALGORITHM (per-snippet substring probe vs 60-char-window
+# hash equi-join), never in semantics — sharing the constant makes that
+# contract structural instead of a copy that could drift.
+_DECONTAMINATION_ORACLE = """
     WITH bench AS (
         SELECT doc_id AS b_id, substring(text, 1, 60) AS snip
         FROM documents WHERE doc_id % 7 = 0 AND LENGTH(text) >= 60
@@ -543,8 +545,10 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d JOIN bench b
       ON d.doc_id <> b.b_id AND position(b.snip IN d.text) > 0
     WHERE d.doc_id % 7 <> 0
-    """,
-)
+    """
+
+
+@register("decontamination", oracle=_DECONTAMINATION_ORACLE)
 def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents containing a
     benchmark document's opening snippet (stand-in benchmark: every 7th
@@ -572,19 +576,7 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "decontamination_ngram",
-    oracle="""
-    WITH bench AS (
-        SELECT doc_id AS b_id, substring(text, 1, 60) AS snip
-        FROM documents WHERE doc_id % 7 = 0 AND LENGTH(text) >= 60
-    )
-    SELECT DISTINCT d.doc_id, d.lang
-    FROM documents d JOIN bench b
-      ON d.doc_id <> b.b_id AND position(b.snip IN d.text) > 0
-    WHERE d.doc_id % 7 <> 0
-    """,
-)
+@register("decontamination_ngram", oracle=_DECONTAMINATION_ORACLE)
 def decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination, LARGE-BENCH scale path: identical semantics to
     ``decontamination`` (flag training docs containing any benchmark

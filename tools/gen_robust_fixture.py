@@ -45,7 +45,10 @@ def main() -> None:
         "part": mx("part", "p_partkey") + 1,
         "order": mx("orders", "o_orderkey") + 1,
         "event": mx("events", "event_id") + 1,
-        "user": mx("events", "user_id") + 1,
+        # no "user" offset on purpose: events.user_id is an FK into
+        # customer.c_custkey, so replica events shift by {cust} — a
+        # max(user_id)-derived offset would cross-wire replica events
+        # onto base customers (review r4.2)
     }
 
     def copy(table: str) -> None:
