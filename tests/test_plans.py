@@ -339,6 +339,29 @@ def test_semdedup_assignment_no_broadcast_exchange(spark, sf_smoke) -> None:
     assert "Join" not in plan
 
 
+def test_percentile_agg_single_exchange_pruned_scan(spark, sf_smoke) -> None:
+    # exact percentiles via partial+final ObjectHashAggregate: ONE
+    # group-key exchange carries percentile buffers, and the scan reads
+    # only the two referenced columns
+    plan = _plan(registry.QUERIES["percentile_agg"](spark, sf_smoke))
+    assert len(_partition_keys(plan)) == 1
+    assert "Join" not in plan
+    assert "l_extendedprice" in plan and "l_orderkey" not in plan
+
+
+def test_pipeline_train_prep_shape(spark, sf_smoke) -> None:
+    # the composed chain must keep each stage's certified shape: dedup as
+    # a WindowGroupLimit (per-key state O(1), not a full-partition sort
+    # retain), decontamination as a BROADCAST anti join (corpus side
+    # never re-shuffles for it; the bench side is a deployment constant),
+    # and exactly two hash exchanges end to end (text-hash dedup + final
+    # split/lang agg)
+    plan = _plan(registry.QUERIES["pipeline_train_prep"](spark, sf_smoke))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin LeftAnti" in plan
+    assert len(_partition_keys(plan)) == 2
+
+
 def test_decontamination_ngram_hash_join(spark, sf_smoke) -> None:
     # the large-bench variant's whole point: window-vs-snippet matching is
     # a hash EQUI-join (one probe per window regardless of |bench|), never
