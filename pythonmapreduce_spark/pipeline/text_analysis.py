@@ -588,8 +588,7 @@ def decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     character comparisons — right when |bench| is a few thousand, hopeless
     for a mega-benchmark registry (every eval suite + their train splits,
     ~10⁶ snippets). Here the corpus side instead explodes each doc into
-    its 60-char windows (sequence + substring — narrow, scan-side, no
-    shuffle of the corpus) and BroadcastHashJoins them against the snippet
+    its 60-char windows and BroadcastHashJoins them against the snippet
     set on STRING EQUALITY: O(corpus_bytes × 60) window materialization +
     one hash probe per window, linear in both sides, and the hash table
     costs one probe regardless of |bench|. Only matching (doc_id, lang)
@@ -597,6 +596,15 @@ def decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     length (fixed 60 here, as in ``decontamination``'s fixture rule);
     variable-length snippet sets bucket by length, one pass per bucket —
     still |buckets| linear passes, never |bench| probes.
+
+    Window extraction is ONE ``regexp_extract_all`` pass with a
+    lookahead capture — ``(?s)(?=(.{60}))`` matches every character
+    position and captures the 60 chars from it — NOT a per-position
+    ``substring(text, pos, 60)`` over an exploded ``sequence``: UTF-8
+    strings have variable-width chars, so each substring(pos) call seeks
+    from the string start, making that formulation O(len²) PER DOCUMENT
+    (the extended-decade SCALING sweep measured it at b=1.31 and 55 s at
+    sf1.0; the single-pass regex walks the doc once, 4.7 s — 12×).
 
     Plan pin (tests/test_plans.py): BroadcastHashJoin, NOT
     BroadcastNestedLoopJoin — the whole point of the variant.
@@ -606,22 +614,15 @@ def decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where((F.col("doc_id") % 7 == 0) & (F.length("text") >= 60))
         .select(F.col("doc_id").alias("b_id"), F.substring("text", 1, 60).alias("snip"))
     )
-    # Guarded sequence: Spark's sequence(1, stop) DESCENDS when stop < 1
-    # (sequence(1, 0) == [1, 0]), so short docs must map to an empty
-    # window list, not a bogus descending one.
     windows = (
         docs.where(F.col("doc_id") % 7 != 0)
         .where(F.length("text") >= 60)
         .select(
             "doc_id",
             "lang",
-            F.explode(F.sequence(F.lit(1), F.length("text") - 59)).alias("pos"),
-            "text",
-        )
-        .select(
-            "doc_id",
-            "lang",
-            F.expr("substring(text, pos, 60)").alias("win"),
+            F.explode(
+                F.expr(r"regexp_extract_all(text, '(?s)(?=(.{60}))', 1)")
+            ).alias("win"),
         )
     )
     return (
