@@ -95,23 +95,39 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 @register(
     "multimodal_features",
     oracle="""
+    -- BYTE-exact oracle: DuckDB exposes no direct byte iteration over a
+    -- BLOB, so bytes are recovered from hex(encode(text)) two hex digits
+    -- at a time. ascii(c) per CHARACTER (the old form) silently computed
+    -- code points, which only equals the byte stream on pure-ASCII
+    -- corpora — the charset robustness sweep (tools/gen_unicode_fixture)
+    -- caught exactly that divergence on multi-byte text.
+    WITH f AS (
+        SELECT doc_id, n_chars, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb
+        FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+    )
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(n_chars % 640 + 32 AS BIGINT)         AS width,
-           CAST(doc_id % 480 + 32 AS BIGINT)          AS height,
-           CAST(3 AS BIGINT)                          AS channels,
-           ROUND(list_avg(list_transform(string_split(text, ''), c -> ascii(c))), 4)
-               AS mean_byte
-    FROM documents
+           CAST(nb AS BIGINT)                 AS n_bytes,
+           CAST(n_chars % 640 + 32 AS BIGINT) AS width,
+           CAST(doc_id % 480 + 32 AS BIGINT)  AS height,
+           CAST(3 AS BIGINT)                  AS channels,
+           COALESCE(ROUND(list_avg(list_transform(range(1, nb + 1),
+               i -> 16 * (strpos('0123456789ABCDEF',
+                                 substring(hx, CAST(2*i-1 AS BIGINT), 1)) - 1)
+                  + strpos('0123456789ABCDEF',
+                           substring(hx, CAST(2*i AS BIGINT), 1)) - 1)), 4),
+               0.0) AS mean_byte
+    FROM f
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction via mapInPandas.
 
-    The oracle cross-checks byte length and metadata in SQL, and — because
-    the synthetic payloads are ASCII — the per-byte mean via a char-level
-    list aggregation. With real image bytes only the rows-only check would
-    apply; the plumbing (schema, batching, narrow execution) is identical.
+    The oracle cross-checks byte length, metadata, and the per-byte mean
+    in SQL — over the payload's actual UTF-8 BYTES (hex-pair recovery),
+    so the compare holds on any corpus, not just ASCII. With real image
+    bytes only the rows-only check would apply; the plumbing (schema,
+    batching, narrow execution) is identical.
     """
     docs = with_payload(load(spark, sf_dir, "documents"))
     return docs.mapInPandas(_extract_features, schema=FEATURE_SCHEMA)
@@ -144,30 +160,42 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @register(
     "frame_sample",
     oracle="""
+    -- BYTE-exact oracle (see multimodal_features): frames are w BYTES of
+    -- the UTF-8 payload, recovered via hex pairs; the old char-indexed
+    -- substr + ascii() form diverged on multi-byte text (charset sweep).
     WITH f AS (
-        SELECT doc_id, text,
-               n_chars % 640 + 32 AS w,
-               CAST(CEIL(CAST(LENGTH(text) AS DOUBLE) / (n_chars % 640 + 32)) AS BIGINT)
-                   AS nf
-        FROM documents
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb,
+               n_chars % 640 + 32 AS w
+        FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    b AS (
+        SELECT doc_id, w, nb,
+               CAST(CEIL(CAST(nb AS DOUBLE) / w) AS BIGINT) AS nf,
+               list_transform(range(1, nb + 1),
+                   i -> 16 * (strpos('0123456789ABCDEF',
+                                     substring(hx, CAST(2*i-1 AS BIGINT), 1)) - 1)
+                      + strpos('0123456789ABCDEF',
+                               substring(hx, CAST(2*i AS BIGINT), 1)) - 1) AS bl
+        FROM f
     )
     SELECT doc_id, nf AS n_frames,
            CAST(LEN(range(0, nf, 4)) AS BIGINT) AS n_sampled,
            CAST(COALESCE(list_sum(list_transform(range(0, nf, 4),
-                i -> list_sum(list_transform(
-                         string_split(substr(text, CAST(i * w + 1 AS BIGINT),
-                                             CAST(w AS BIGINT)), ''),
-                         c -> ascii(c))))), 0) AS BIGINT) AS checksum
-    FROM f
+                i -> COALESCE(list_sum(
+                         bl[CAST(i * w + 1 AS BIGINT)
+                            :CAST(LEAST((i + 1) * w, nb) AS BIGINT)]), 0))), 0)
+               AS BIGINT) AS checksum
+    FROM b
     """,
 )
 def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic frame sampling over binary payloads (video-style).
 
     The oracle recomputes frame count, sample count, and the sampled-frame
-    byte checksum character-wise in SQL (payloads are ASCII here), proving
-    the mapInPandas chunking math exactly. Narrow plan: payload bytes never
-    shuffle; only (doc_id, 3 longs) leave the scan stage.
+    checksum over the payload's actual BYTES in SQL, proving the
+    mapInPandas chunking math exactly on any corpus. Narrow plan: payload
+    bytes never shuffle; only (doc_id, 3 longs) leave the scan stage.
     """
     docs = with_payload(load(spark, sf_dir, "documents"))
     return docs.mapInPandas(_sample_frames, schema=FRAME_SCHEMA)
@@ -210,15 +238,22 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @register(
     "image_resize",
     oracle=f"""
+    -- corner_byte is the payload's first BYTE (hex pair 1), not the
+    -- first character's code point — ascii() diverged on multi-byte
+    -- text (charset sweep, see multimodal_features)
     SELECT doc_id,
            CAST(n_chars % 640 + 32 AS BIGINT) AS src_w,
            CAST(doc_id % 480 + 32 AS BIGINT)  AS src_h,
            CAST({_DST_W} AS BIGINT) AS dst_w,
            CAST({_DST_H} AS BIGINT) AS dst_h,
            CAST({_DST_W * _DST_H} AS BIGINT) AS resized_len,
-           CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS corner_byte
+           CAST(16 * (strpos('0123456789ABCDEF',
+                             substring(hex(encode(text)), 1, 1)) - 1)
+                + strpos('0123456789ABCDEF',
+                         substring(hex(encode(text)), 2, 1)) - 1
+                AS BIGINT) AS corner_byte
     FROM documents
-    WHERE LENGTH(text) > 0
+    WHERE text IS NOT NULL AND n_chars IS NOT NULL AND LENGTH(text) > 0
     """,
 )
 def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,17 +273,27 @@ def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
 
 
-# DuckDB's substring is VARCHAR-only; the corpus is pure ASCII (asserted:
-# octet_length(encode(text)) == length(text) for every row), so 64-char
-# text chunks hash identically to the engine's 64-BYTE binary chunks.
+# BYTE-exact chunking: DuckDB 1.0's sha256 is VARCHAR-only, so BOTH
+# engines hash the uppercase-hex encoding of each 64-byte chunk (Spark
+# F.hex == DuckDB hex, byte-for-byte) — a 64-byte chunk is 128 hex chars
+# sliced from hex(encode(text)). The old form chunked by 64 CHARACTERS,
+# which only equals 64 bytes on pure-ASCII corpora (charset sweep catch;
+# a chunk boundary may split a multi-byte char — fine, chunks are bytes).
 _CHUNK_ORACLE = """
-WITH chunks AS (
+WITH d AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS nb
+    FROM documents
+    WHERE text IS NOT NULL AND n_chars IS NOT NULL
+      AND octet_length(encode(text)) >= 64
+),
+chunks AS (
     SELECT doc_id,
-           UNNEST(generate_series(0, CAST(length(text) / 64 AS BIGINT) - 1)) AS ci,
-           text
-    FROM documents WHERE length(text) >= 64
+           UNNEST(generate_series(0, CAST(nb / 64 AS BIGINT) - 1)) AS ci,
+           hx
+    FROM d
 )
-SELECT sha256(substring(text, CAST(ci * 64 + 1 AS INT), 64)) AS chunk_hash,
+SELECT sha256(substring(hx, CAST(ci * 128 + 1 AS BIGINT), 128)) AS chunk_hash,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS n_copies
 FROM chunks
@@ -287,8 +332,12 @@ def media_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
+            # hash the chunk's hex form: content-equivalent to hashing the
+            # bytes (hex is injective) and expressible in both engines —
+            # DuckDB 1.0's sha256 accepts VARCHAR only
             F.sha2(
-                F.expr("substring(payload, CAST(ci * 64 + 1 AS INT), 64)"), 256
+                F.hex(F.expr("substring(payload, CAST(ci * 64 + 1 AS INT), 64)")),
+                256,
             ).alias("chunk_hash"),
         )
     )
