@@ -36,6 +36,7 @@ import glob
 import json
 import os
 import re
+import weakref
 
 from collections.abc import Callable
 
@@ -48,7 +49,10 @@ ORACLES: dict[str, str] = {}
 
 # Sessions already tuned (keyed by id(SparkSession)); runtime confs are
 # session-wide so one pass per session suffices.
-_TUNED: set[int] = set()
+# Weak-referenced, not id-keyed: a GC'd session's address can be reused by
+# a new session, which would silently skip tuning it (the same hazard
+# catalog.py's memos avoid with WeakKeyDictionary).
+_TUNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def _tune_session(spark: SparkSession) -> None:
@@ -67,9 +71,14 @@ def _tune_session(spark: SparkSession) -> None:
     - Arrow: every pandas interchange in the engine assumes vectorized
       transfer.
     """
-    if id(spark) in _TUNED:
+    if spark in _TUNED:
         return
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # ANSI pinned to Spark 4's default: every oracle compare was validated
+    # under ANSI-on, and a caller session with ANSI off changes cast/
+    # arithmetic semantics (overflow → NULL instead of error, lenient
+    # string→number casts) out from under the registered queries.
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -77,7 +86,7 @@ def _tune_session(spark: SparkSession) -> None:
     cores = spark.sparkContext.defaultParallelism
     if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 4 * cores:
         spark.conf.set("spark.sql.shuffle.partitions", str(cores))
-    _TUNED.add(id(spark))
+    _TUNED.add(spark)
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
