@@ -41,7 +41,10 @@ _PACK_SHARD = 1000  # docs per packing shard (scale unit, see sequence_pack)
         FROM documents
     )
     SELECT doc_id,
-           CAST(start / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           -- start is always a stride multiple so / happens to be exact,
+           -- but // keeps it rounding-proof if the stride ever changes
+           -- (CAST(x/y AS BIGINT) rounds in DuckDB; Spark casts truncate)
+           CAST(start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
            array_to_string(tokens[start + 1 : start + {_CHUNK_SIZE}], ' ') AS chunk_text,
            LEAST({_CHUNK_SIZE}, len(tokens) - start) AS n_tok
     FROM toks, LATERAL (

@@ -288,8 +288,13 @@ WITH d AS (
       AND octet_length(encode(text)) >= 64
 ),
 chunks AS (
+    -- integer division (//), NOT CAST(nb/64 AS BIGINT): DuckDB's / is
+    -- float division and double→BIGINT CAST ROUNDS half-away, so a blob
+    -- with nb % 64 >= 32 would mint a phantom short tail chunk the
+    -- engine (Spark cast = truncate) never produces — latent until two
+    -- docs share identical tail bytes, then a ROWS_MISMATCH
     SELECT doc_id,
-           UNNEST(generate_series(0, CAST(nb / 64 AS BIGINT) - 1)) AS ci,
+           UNNEST(generate_series(0, nb // 64 - 1)) AS ci,
            hx
     FROM d
 )
