@@ -81,6 +81,10 @@ HEADLINE = [
     "percentile_agg",
     "join_asof_nearest",
     "pipeline_train_prep",
+    # round-4 second wave: the large-bench decontamination scale path
+    # (window-hash equi-join; the regex-lookahead window extraction this
+    # round's extended-decade sweep forced).
+    "decontamination_ngram",
 ]
 
 
