@@ -1610,49 +1610,42 @@ def embedding_truncate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M = 8  # subspaces
 _PQ_DSUB = 8  # dims per subspace (8 x 8 = 64)
 _PQ_K = 256  # codes per subspace (8 bits) — the classic IVFADC configuration
+# Training-sample cap: codebooks are trained on the first _PQ_TRAIN_CAP
+# vectors by vec_id (one bounded TakeOrdered collect), NOT the full
+# corpus — the IVFADC paper's "learning set". At the test SFs the cap
+# exceeds the corpus, so sample-training == full-corpus training; at
+# deployment scale it bounds driver memory (cap x 64 doubles ≈ 2 MB) and
+# saves two full corpus scans per retrain (the old distributed-Lloyd
+# shape paid a whole-corpus mapInPandas pass per round to fit a 16 KB
+# codebook).
+_PQ_TRAIN_CAP = 4096
 
 
-def _pq_partials(cb):
-    """mapInPandas trainer pass: per (subspace, code) coordinate sums +
-    counts for one Lloyd round over unit-normalized vectors. Emits at most
-    M*K*(DSUB+1) tiny rows per Arrow batch; assignment is first-argmin
-    (deterministic given the centroid matrix)."""
+def _pq_train(sample):
+    """Driver-side PQ training: deterministic first-K init then 2 Lloyd
+    rounds over the (n, M*DSUB) unit-vector sample. Assignment is the
+    same per-subspace GEMM first-argmin the encode pass uses; a code
+    with no assigned points keeps its previous centroid (the distributed
+    predecessor's n>0 partial-update rule). Input rows must be sorted by
+    vec_id so the result is independent of collect/partition order."""
     import numpy as np
-    import pandas as pd
 
-    c = np.asarray(cb, dtype=np.float64)  # (M, K, DSUB)
-    c2 = (c**2).sum(axis=2)  # (M, K)
-
-    def fn(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["u"]])
-            xs = x.reshape(len(x), _PQ_M, _PQ_DSUB)
-            # argmin over ||x-c||^2 = argmin over (-2 x.c + ||c||^2): per-
-            # subspace GEMM instead of the (n, M, K, DSUB) broadcast temp
-            # (which materializes ~1.3 GB per 10k-row Arrow batch).
-            a = np.empty((len(x), _PQ_M), dtype=np.int64)
-            for m in range(_PQ_M):
-                a[:, m] = (c2[m][None, :] - 2.0 * (xs[:, m, :] @ c[m].T)).argmin(
-                    axis=1
-                )  # first min deterministic
-            rows = {"sub": [], "code": [], "pos": [], "s": [], "n": []}
-            for m in range(_PQ_M):
-                for k in range(_PQ_K):
-                    mask = a[:, m] == k
-                    nk = int(mask.sum())
-                    if not nk:
-                        continue
-                    sums = xs[mask, m, :].sum(axis=0)
-                    rows["sub"] += [m] * _PQ_DSUB
-                    rows["code"] += [k] * _PQ_DSUB
-                    rows["pos"] += list(range(_PQ_DSUB))
-                    rows["s"] += list(sums)
-                    rows["n"] += [nk] * _PQ_DSUB
-            yield pd.DataFrame(rows)
-
-    return fn
+    xs = sample.reshape(len(sample), _PQ_M, _PQ_DSUB)
+    cb = sample[:_PQ_K].reshape(-1, _PQ_M, _PQ_DSUB).transpose(1, 0, 2)
+    if cb.shape[1] < _PQ_K:  # degenerate tiny corpus: pad by repetition
+        reps = -(-_PQ_K // cb.shape[1])
+        cb = np.tile(cb, (1, reps, 1))[:, :_PQ_K, :]
+    cb = cb.copy()
+    for _ in range(2):
+        c2 = (cb**2).sum(axis=2)  # (M, K)
+        new = cb.copy()
+        for m in range(_PQ_M):
+            # argmin over ||x-c||^2 = argmin over (-2 x.c + ||c||^2)
+            a = (c2[m][None, :] - 2.0 * (xs[:, m, :] @ cb[m].T)).argmin(axis=1)
+            for k in np.unique(a):
+                new[m, k] = xs[a == k, m, :].mean(axis=0)
+        cb = new
+    return cb
 
 
 def _pq_encode(cb):
@@ -1694,11 +1687,12 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     2 - 2*cos, so smallest-estimated-L2 ranking is cosine ranking.
 
     Scale/plan shape, stage by stage:
-    - TRAIN: per-subspace k-means, all 8 subspaces in ONE mapInPandas job
-      per Lloyd round (2 rounds, deterministic first-16 init); each round
-      ships M*K*(DSUB+1) = 18,432 numbers to the driver — codebook training
-      state is O(M*K*DSUB), independent of corpus size (kmeans_iter's
-      bounded-collect contract).
+    - TRAIN: per-subspace k-means on a bounded learning set — the first
+      _PQ_TRAIN_CAP=4096 vectors by vec_id, ONE TakeOrdered collect
+      (≈2 MB), 2 driver-side Lloyd rounds. This is the IVFADC paper's
+      sample-trained regime: a 16 KB codebook never justifies full-corpus
+      training scans, so train cost is O(cap), independent of corpus
+      size. (At the test SFs cap ≥ corpus, so the sample is exact.)
     - ENCODE: one linear Arrow pass corpus -> (vec_id, 8 codes); at
       production scale this is the persisted index (8 bytes/vector vs
       256), re-encoded only when codebooks retrain.
@@ -1747,46 +1741,27 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str):
         "vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("u")
     )
 
-    # --- train: deterministic init (subvectors of the first K vectors),
-    # then 2 Lloyd rounds, each one bounded-collect job.
-    # exactly K seed rows (ids may start at 0, so <= K can return K+1)
-    init = sorted(
-        unit.where(F.col("vec_id") <= _PQ_K).collect(), key=lambda r: r["vec_id"]
-    )[:_PQ_K]
-    if not init:
+    # --- train: ONE bounded collect (TakeOrderedAndProject: per-partition
+    # top-N merged on the driver — no shuffle, works on sparse vec_ids),
+    # then driver-side Lloyd. The same collect serves the K=256 init rows,
+    # the learning set, and the Q=20 query vectors (queries are the
+    # lowest vec_ids, necessarily inside the ordered prefix).
+    sample = sorted(
+        unit.orderBy("vec_id").limit(_PQ_TRAIN_CAP).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    if not sample:
         return None
-    cb = (
-        np.array([r["u"] for r in init], dtype=np.float64)
-        .reshape(len(init), _PQ_M, _PQ_DSUB)
-        .transpose(1, 0, 2)
-    )  # (M, K, DSUB)
-    if cb.shape[1] < _PQ_K:  # degenerate tiny corpus: pad by repetition
-        reps = -(-_PQ_K // cb.shape[1])
-        cb = np.tile(cb, (1, reps, 1))[:, :_PQ_K, :]
-    schema = "sub long, code long, pos long, s double, n long"
-    for _ in range(2):
-        partials = (
-            unit.mapInPandas(_pq_partials(cb), schema=schema)
-            .groupBy("sub", "code", "pos")
-            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
-            .collect()
-        )
-        new = cb.copy()
-        for r in partials:
-            new[r["sub"], r["code"], r["pos"]] = r["s"] / r["n"]
-        cb = new
+    cb = _pq_train(np.array([r["u"] for r in sample], dtype=np.float64))
 
-    # --- encode: one Arrow pass -> 8 small ints per vector.
+    # --- encode: one linear Arrow pass -> 8 small ints per vector.
     encoded = unit.mapInPandas(
         _pq_encode(cb), schema="vec_id long, codes array<int>"
     )
 
     # --- query: exact query-to-code distance tables, flattened to 128
     # doubles per query, broadcast onto the encoded corpus.
-    qrows = sorted(
-        unit.where(F.col("vec_id") <= _KNN_QUERIES).collect(),
-        key=lambda r: r["vec_id"],
-    )
+    qrows = [r for r in sample if r["vec_id"] <= _KNN_QUERIES]
     qmat = np.array([r["u"] for r in qrows], dtype=np.float64).reshape(
         len(qrows), _PQ_M, _PQ_DSUB
     )
