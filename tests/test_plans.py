@@ -482,3 +482,35 @@ def test_curriculum_order_no_join(spark, sf_smoke) -> None:
     # pass, no join — the only exchange is the NTILE ranking sort
     plan = _plan(registry.QUERIES["curriculum_order"](spark, sf_smoke))
     assert "Join" not in plan
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark, sf_smoke) -> None:
+    # The 100 TB semi-join-reduction story: when a selective dim filter
+    # feeds a shuffle join, Catalyst's InjectRuntimeFilter builds a Bloom
+    # filter from the dim keys (bloom_filter_agg) and applies it probe-side
+    # (might_contain) BEFORE the fact table shuffles — only candidate rows
+    # cross the network. Transparent to results; pinned here so a conf or
+    # Spark-version regression that silently drops the filter is caught.
+    # Thresholds are scoped: the defaults (10 GB application-side scan)
+    # never fire at test SFs.
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, sf_smoke, "lineitem")
+        o = load(spark, sf_smoke, "orders").where(F.col("o_totalprice") > 100000)
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
