@@ -514,3 +514,41 @@ def test_runtime_bloom_filter_semi_join_reduction(spark, sf_smoke) -> None:
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_parquet_aggregate_pushdown_footer_only(spark, sf_smoke) -> None:
+    # Footer-served aggregates: with the v2 parquet reader, COUNT/MIN/MAX
+    # over an unfiltered scan are answered from row-group statistics —
+    # PushedAggregation in the scan node — instead of reading data pages.
+    # At 100 TB that's the difference between a metadata pass and a full
+    # scan for profiling-style queries (profile_columns' cheap pass).
+    # Scoped: the engine's default v1 reader path is restored afterwards.
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    path = f"{sf_smoke}/lineitem.parquet"
+    baseline = (
+        spark.read.parquet(path)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_quantity").alias("lo"),
+            F.max("l_quantity").alias("hi"),
+        )
+        .collect()[0]
+    )
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = spark.read.parquet(path).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_quantity").alias("lo"),
+            F.max("l_quantity").alias("hi"),
+        )
+        plan = _plan(df)
+        assert "PushedAggregation: [COUNT(*), MIN(l_quantity), MAX(l_quantity)]" in plan
+        assert df.collect()[0] == baseline  # footer stats agree with the scan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
