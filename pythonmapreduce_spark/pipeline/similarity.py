@@ -1617,7 +1617,10 @@ _PQ_K = 256  # codes per subspace (8 bits) — the classic IVFADC configuration
 # deployment scale it bounds driver memory (cap x 64 doubles ≈ 2 MB) and
 # saves two full corpus scans per retrain (the old distributed-Lloyd
 # shape paid a whole-corpus mapInPandas pass per round to fit a 16 KB
-# codebook).
+# codebook). The id-prefix sample is exact at test SFs (cap ≥ corpus);
+# on a production corpus where vec_id order correlates with source (so a
+# prefix would be biased), order the TakeOrdered by xxhash64(vec_id)
+# instead — same bounded plan, unbiased learning set.
 _PQ_TRAIN_CAP = 4096
 
 
