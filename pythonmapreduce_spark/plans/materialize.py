@@ -21,6 +21,16 @@ algorithm decision:
 One session conf flips every iterative base at once:
 ``spark.pythonmapreduce.iterMaterialize = localCheckpoint | persist |
 checkpoint``.
+
+Why localCheckpoint (not persist) is the default, measured (round 4,
+sf0.1 local[32], full iterative tier under both modes): persist is
+faster on shallow loops (pagerank_iter 1.1 s vs 2.0) because cached
+columnar batches re-scan cheaper than checkpoint RDDs — but it KEEPS
+lineage, and on deep chained loops the growing plan is catastrophic
+(graph_cc_bigstar 21.2 s vs 2.8; bfs/hits/dedup_clusters all ~2×
+slower). localCheckpoint's flat per-round cost is the only mode whose
+time is independent of loop depth, which is what an engine-level
+default must guarantee.
 """
 
 from __future__ import annotations
