@@ -319,11 +319,9 @@ def media_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk explode is a pure Column pipeline (sequence + substring on the
     binary — no Python touches the bytes), and ONLY the 32-byte sha2
     digests shuffle, never the payloads: shuffle volume is
-    bytes/chunk_size * 32 regardless of blob size. A production variant
-    uses content-defined (rolling-hash) boundaries so insertions don't
-    shift every subsequent chunk; fixed-size here keeps the oracle
-    expressible, and the rolling-hash kernel already exists in
-    doc_fingerprint (text_analysis.py).
+    bytes/chunk_size * 32 regardless of blob size. ``media_chunk_cdc``
+    is the content-defined (rolling-hash boundary) variant — insertion-
+    robust chunking with the same digest-only exchange profile.
     """
     docs = with_payload(load(spark, sf_dir, "documents"))
     chunks = (
@@ -345,6 +343,134 @@ def media_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 256,
             ).alias("chunk_hash"),
         )
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+# Rolling-hash weights for the 8-byte CDC boundary window: H(i) =
+# Σ_{j=0..7} byte[i-7+j] · 31^(7-j). Max value 255·Σ31^k ≈ 7.2e12 —
+# BIGINT/int64-safe with no modular reduction, so both engines compute
+# the identical integer.
+_CDC_WINDOW = 8
+_CDC_MASK = 64  # boundary when H % 64 == 0 → ~64-byte expected chunks
+
+_CDC_ORACLE = """
+WITH d AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS nb
+    FROM documents
+    WHERE text IS NOT NULL AND n_chars IS NOT NULL
+      AND octet_length(encode(text)) >= 1
+),
+b AS (
+    SELECT doc_id, hx, nb,
+           list_transform(range(1, nb + 1),
+               i -> 16 * (strpos('0123456789ABCDEF',
+                                 substring(hx, CAST(2*i-1 AS BIGINT), 1)) - 1)
+                  + strpos('0123456789ABCDEF',
+                           substring(hx, CAST(2*i AS BIGINT), 1)) - 1) AS bl
+    FROM d
+),
+cutlists AS (
+    -- a cut AFTER 1-based byte i, for i in [8, nb-1] (range(8, nb) is
+    -- 8..nb-1: the final chunk always ends at nb, so a window landing
+    -- exactly on nb adds nothing), where the 8-byte window ending at i
+    -- rolls to 0 mod 64. Explicit Horner-free polynomial so the lambda
+    -- stays a flat expression.
+    SELECT doc_id, hx,
+           list_concat(list_concat([CAST(0 AS BIGINT)],
+               list_filter(range(8, nb),
+                   i -> (bl[i-7]*27512614111 + bl[i-6]*887503681
+                       + bl[i-5]*28629151 + bl[i-4]*923521
+                       + bl[i-3]*29791 + bl[i-2]*961
+                       + bl[i-1]*31 + bl[i]) % 64 = 0)),
+               [CAST(nb AS BIGINT)]) AS cuts
+    FROM b
+),
+chunks AS (
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, LEN(cuts)), k ->
+               sha256(substring(hx, CAST(2*cuts[k] + 1 AS BIGINT),
+                                CAST(2*(cuts[k+1] - cuts[k]) AS BIGINT)))))
+               AS chunk_hash
+    FROM cutlists
+)
+SELECT chunk_hash,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM chunks
+GROUP BY 1
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+def _cdc_chunk_hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    w31 = np.array([31**k for k in range(_CDC_WINDOW - 1, -1, -1)], dtype=np.int64)
+    for pdf in batches:
+        ids: list = []
+        hashes: list = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(payload, dtype=np.uint8)
+            nb = len(b)
+            if nb == 0:
+                continue
+            cuts = [0]
+            if nb > _CDC_WINDOW:
+                # h[t] is the window covering 1-based bytes t+1..t+8, i.e.
+                # ending at i = t+8; drop the last window (i = nb) — the
+                # final chunk ends there unconditionally
+                h = sliding_window_view(b, _CDC_WINDOW).astype(np.int64) @ w31
+                cuts += (np.nonzero(h[:-1] % _CDC_MASK == 0)[0] + _CDC_WINDOW).tolist()
+            cuts.append(nb)
+            for a, c in zip(cuts, cuts[1:]):
+                ids.append(doc_id)
+                # hash the uppercase-hex form of the chunk bytes — the
+                # engine-portable content address every chunk query here
+                # uses (DuckDB sha256 is VARCHAR-only; hex is injective)
+                hashes.append(
+                    hashlib.sha256(
+                        b[a:c].tobytes().hex().upper().encode()
+                    ).hexdigest()
+                )
+        yield pd.DataFrame({"doc_id": ids, "chunk_hash": hashes})
+
+
+@register("media_chunk_cdc", oracle=_CDC_ORACLE)
+def media_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup: chunk boundaries fall where an
+    8-byte rolling polynomial hash ≡ 0 (mod 64), so an insertion or
+    deletion only re-chunks its local neighborhood — every boundary
+    downstream of the edit re-synchronizes, unlike ``media_chunk_dedup``'s
+    fixed grid where one inserted byte shifts (and misses) every
+    subsequent chunk. The production CDC regime (LBFS/rsync lineage) for
+    re-encoded / partially-edited media assets.
+
+    Scale shape: boundary detection reads only a local 8-byte window —
+    per-document, no cross-row state — so the whole chunker is one
+    Arrow-batched mapInPandas over the scan stage; payload bytes never
+    leave it, and only (doc_id, 32-byte digest) pairs shuffle to the
+    share-count aggregate (identical exchange profile to the fixed-grid
+    variant). The boundary rule is positionally independent, which is
+    what keeps the DuckDB oracle a flat list expression; production CDC
+    adds min/max chunk clamps (sequential state) — a deployment knob,
+    not a different plan. Expected chunk = mask size (64 B) at fixture
+    scale; at real media scale the window/mask widen (48-bit Rabin,
+    8-KB masks) with the same plan.
+    """
+    docs = with_payload(load(spark, sf_dir, "documents"))
+    chunks = docs.select("doc_id", "payload").mapInPandas(
+        _cdc_chunk_hashes, schema="doc_id long, chunk_hash string"
     )
     return (
         chunks.groupBy("chunk_hash")
