@@ -552,3 +552,17 @@ def test_parquet_aggregate_pushdown_footer_only(spark, sf_smoke) -> None:
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_media_chunk_cdc_digests_only_exchange(spark, sf_smoke) -> None:
+    # the CDC chunker is ONE Arrow stage over the scan (no row-at-a-time
+    # Python), and every exchange is keyed on the 32-byte digest — the
+    # payload bytes never leave the scan stage
+    plan = _plan(registry.QUERIES["media_chunk_cdc"](spark, sf_smoke))
+    # one tree node ("MapInPandas (n)"; the name also appears once more
+    # as the node's detail-section header)
+    assert plan.count("MapInPandas (") == 1
+    assert "BatchEvalPython" not in plan
+    keys = _partition_keys(plan)
+    assert keys and all(k.startswith("chunk_hash") for k in keys), keys
+    assert not any("payload" in k for k in keys)
