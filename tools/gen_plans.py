@@ -157,6 +157,12 @@ NOTES = {
         "per-partition sort (window), partial+final aggregate for the "
         "checksums — deliberately NO global range sort."
     ),
+    "media_chunk_cdc": (
+        "content-defined chunking in ONE Arrow stage over the scan "
+        "(rolling-hash boundaries are a local 8-byte window — no cross-row "
+        "state); payload bytes never leave it, and both exchanges key on "
+        "the 32-byte digest with partial aggregation ahead of each."
+    ),
     "graph_cc_bigstar": (
         "four star-contraction rounds, each one neighborhood min-aggregate "
         "+ a re-keyed distinct edge emission over the materialized previous "
