@@ -38,6 +38,15 @@ _DOCS = [
     (3, "y" * 63 + "間" + "z" * 80, "ja", "src_1"),
     (4, "y" * 63 + "間" + "z" * 80, "ja", "src_2"),
     (5, "unique " * 30, "en", "src_3"),
+    # CDC window edges: below the 8-byte rolling window (no interior
+    # boundary possible) and exactly at it (one window, landing on nb —
+    # which must NOT cut: the final chunk ends there unconditionally).
+    # Duplicated so the single whole-payload chunk crosses the n_docs>=2
+    # share filter and actually appears in the compared output.
+    (6, "abc", "en", "src_1"),
+    (7, "abc", "en", "src_2"),
+    (8, "12345678", "en", "src_1"),
+    (9, "12345678", "en", "src_2"),
 ]
 
 
@@ -64,7 +73,13 @@ def edge_dir(tmp_path_factory, sf_smoke) -> str:
 
 @pytest.mark.parametrize(
     "name",
-    ["media_chunk_dedup", "multimodal_features", "frame_sample", "image_resize"],
+    [
+        "media_chunk_dedup",
+        "media_chunk_cdc",
+        "multimodal_features",
+        "frame_sample",
+        "image_resize",
+    ],
 )
 def test_multimodal_oracle_on_edge_corpus(spark, edge_dir, name) -> None:
     con = duckdb.connect()
