@@ -286,16 +286,33 @@ def sink_roundtrip_refwire(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture corpus contains no delimiter bytes, which is exactly the
     assumption the reference itself lives on.
     """
-    import uuid as _uuid
+    import hashlib as _hashlib
+    import shutil as _shutil
 
     from pythonmapreduce_spark.catalog import load
 
     register_refwire(spark)
+    # (pid, app, input-digest)-keyed so repeated runs REUSE one scratch
+    # location instead of leaking a fresh uuid dir per invocation (the
+    # stream_state_inspect remediation pattern, ADVICE r3); the stale
+    # prior tree is removed at entry. Safe against an earlier
+    # invocation's still-held DataFrame because the read below is
+    # localCheckpoint-materialized before return — nothing returned here
+    # reads these files lazily.
     out_dir = os.path.join(
-        tempfile.gettempdir(), "pmr_spark_io", f"refwire_rt_{_uuid.uuid4().hex[:8]}"
+        tempfile.gettempdir(),
+        "pmr_spark_io",
+        f"refwire_rt_pid{os.getpid()}_{spark.sparkContext.applicationId}_"
+        f"{_hashlib.sha1(sf_dir.encode()).hexdigest()[:8]}",
     )
+    _shutil.rmtree(out_dir, ignore_errors=True)
     docs = load(spark, sf_dir, "documents").select(
         F.col("source").alias("file_name"), F.col("text").alias("chunk")
     )
     docs.write.format("refwire").mode("overwrite").option("path", out_dir).save()
-    return spark.read.format("refwire").option("path", out_dir).load()
+    return (
+        spark.read.format("refwire")
+        .option("path", out_dir)
+        .load()
+        .localCheckpoint(eager=True)
+    )
