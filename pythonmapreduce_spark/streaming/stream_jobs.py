@@ -335,9 +335,22 @@ def sink_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-least-once foreachBatch contract) merges to the same state —
     idempotent, hence effectively exactly-once.
     """
+    import hashlib
     import shutil
 
-    base = os.path.join(tempfile.gettempdir(), f"fbu_{uuid.uuid4().hex[:12]}")
+    # (pid, app, input-digest)-keyed scratch, stale tree removed at entry
+    # (the stream_state_inspect remediation pattern — the old uuid key
+    # leaked a fresh versioned-target tree per invocation); the WHOLE
+    # base is removed before returning, which is safe because the
+    # returned aggregate is localCheckpoint-materialized — nothing reads
+    # these files lazily.
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "pmr_spark_io",
+        f"fbu_pid{os.getpid()}_{spark.sparkContext.applicationId}_"
+        f"{hashlib.sha1(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
     src_dir = os.path.join(base, "src")
     from pythonmapreduce_spark.catalog import load
 
@@ -381,8 +394,9 @@ def sink_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(state["path"])
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .localCheckpoint(eager=True)
     )
-    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(base, ignore_errors=True)
     return out
 
 
