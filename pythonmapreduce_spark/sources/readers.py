@@ -325,7 +325,8 @@ def source_libsvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector column is flattened via vector_to_array — driver
     canonicalizers reject UDT cells.
     """
-    import uuid as _uuid
+    import hashlib as _hashlib
+    import shutil as _shutil
 
     from pyspark.ml.functions import vector_to_array
 
@@ -349,9 +350,18 @@ def source_libsvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" 3:"), F.element_at("v", 3).cast("string"),
         F.lit(" 4:"), F.element_at("v", 4).cast("string"),
     )
+    # (pid, app, input-digest)-keyed scratch, stale tree removed at entry
+    # (the stream_state_inspect remediation pattern — the old uuid key
+    # leaked one libsvm dir per invocation); the read-back is
+    # localCheckpoint-materialized so the dir can be removed before
+    # returning — nothing reads it lazily.
     out_dir = os.path.join(
-        tempfile.gettempdir(), "pmr_spark_io", f"libsvm_{_uuid.uuid4().hex[:8]}"
+        tempfile.gettempdir(),
+        "pmr_spark_io",
+        f"libsvm_pid{os.getpid()}_{spark.sparkContext.applicationId}_"
+        f"{_hashlib.sha1(sf_dir.encode()).hexdigest()[:8]}",
     )
+    _shutil.rmtree(out_dir, ignore_errors=True)
     emb.select(line.alias("value")).write.mode("overwrite").text(out_dir)
     back = (
         spark.read.format("libsvm")
@@ -359,13 +369,15 @@ def source_libsvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(out_dir)
     )
     arr = vector_to_array(F.col("features"))
-    return back.select(
+    out = back.select(
         "label",
         F.array_join(
             F.transform(arr, lambda x: F.round(x * 1000).cast("long").cast("string")),
             ",",
         ).alias("fvec_milli"),
-    )
+    ).localCheckpoint(eager=True)
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    return out
 
 
 @register(

@@ -58,6 +58,11 @@ def _run_to_memory(stream_df: DataFrame, mode: str) -> tuple[SparkSession, str]:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
+    # the bounded run is complete and the results live in the in-memory
+    # sink table — the checkpoint has nothing left to serve, so removing
+    # it here (not at interpreter exit) stops the one-leaked-dir-per-
+    # streaming-query growth the old fire-and-forget path had
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark, name
 
 
