@@ -23,6 +23,13 @@ query's arithmetic can land on such boundaries (linear interpolation on
 cast reproduces the shortest repr (resample_interpolate, skew-sweep
 find).
 
+Oracle cost rule: DuckDB inlines a CTE once PER REFERENCE, so an
+unrolled-rounds oracle where each level is read twice re-computes the
+base 2^depth times — write chained/multi-referenced CTEs
+`AS MATERIALIZED` (graph_cc_bigstar's 4-round oracle: 21 s inlined vs
+0.05 s materialized at sf0.01, identical rows). Driver-window seconds
+are attestation throughput; keep oracles cheap.
+
 The reference's analog of this registry is its job-authoring surface:
 marshal-serialized map/reduce code objects pointed at by master.ini
 (/root/reference/mapreduce_wc.py:13-16, master.py:123-137). Here a "job" is
