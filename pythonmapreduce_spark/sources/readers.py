@@ -125,6 +125,39 @@ def source_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_jsonl(spark, path, "region")
 
 
+def write_xml(df: DataFrame, path: str, row_tag: str) -> None:
+    df.write.mode("overwrite").option("rowTag", row_tag).format("xml").save(path)
+
+
+def read_xml(spark: SparkSession, path: str, table: str, row_tag: str) -> DataFrame:
+    # Explicit schema, like every other connector here: XML inference would
+    # both cost an extra full scan and widen integers to long.
+    return (
+        spark.read.schema(SCHEMAS[table])
+        .option("rowTag", row_tag)
+        .format("xml")
+        .load(path)
+    )
+
+
+@register("source_roundtrip_xml", oracle="SELECT * FROM part")
+def source_roundtrip_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → XML sink → XML source must be lossless (Spark 4's built-in
+    native XML connector, the spark-xml package folded into core).
+
+    part is the widest-typed small table (long/int/string/double), so the
+    round trip pins numeric text fidelity too: the writer emits Java
+    ``Double.toString`` forms, which parse back bit-exact. Entity escaping
+    (&, <, >) is the connector's job — nothing here assumes clean strings,
+    unlike the refwire format whose no-escaping quirk is reference parity.
+    Each executor task writes one part-file and the reader splits on row
+    tags per file, so both directions stay executor-parallel at any scale.
+    """
+    path = _scratch("part_xml")
+    write_xml(load(spark, sf_dir, "part"), path, "part")
+    return read_xml(spark, path, "part", "part")
+
+
 @register("sink_partitioned_parquet", oracle="SELECT doc_id, lang, n_chars FROM documents")
 def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → parquet sink partitionBy(lang) → read back, lossless.
