@@ -208,20 +208,29 @@ def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DataFrame memo for load(): a DataFrame is an immutable logical plan, so
 # re-serving the same object skips ~20 ms of py4j reader construction per
 # call — across an external verifier's 50-query run (1-4 loads per query)
-# that is seconds of pure fixed cost. Keyed per SESSION OBJECT via a
-# WeakKeyDictionary (never by id(spark): a GC'd session's address can be
-# reused by a new session, which would silently serve plans bound to a
-# dead py4j gateway) and by the parquet file's (mtime_ns, size) as well
-# as (sf_dir, name) so a regenerated file (the documented per-round
-# regime, and tests that rewrite temp dirs in place) invalidates instead
-# of silently reusing the old plan. The weak keying also means a stopped
-# session's cached DataFrames/view states die with it.
-import weakref
+# that is seconds of pure fixed cost. The memo dict lives ON the session
+# object (never a module global keyed by id(spark): a GC'd session's
+# address can be reused by a new session, which would silently serve
+# plans bound to a dead py4j gateway; and never a module-global
+# WeakKeyDictionary: its VALUES — DataFrames — strongly reference the
+# key session, so entries would be rooted forever, review r4 second
+# pass). session → dict → DataFrame → session is an unrooted cycle the
+# gc reclaims once nothing else references the session (PySpark's
+# RDD.toDF patch pins only the most recently created one — verified by
+# the weakref probe in this change), so a per-round session-recreating
+# verifier does not accumulate dead plans. Entries
+# are keyed by the parquet file's (mtime_ns, size) as well as
+# (sf_dir, name) so a regenerated file (the documented per-round regime,
+# and tests that rewrite temp dirs in place) invalidates instead of
+# silently reusing the old plan.
 
-_LOAD_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
-# Temp views registered per session: view name → the (sf_dir, stat) it
-# points at; register_views skips the py4j round-trip when unchanged.
-_VIEW_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+
+def _session_memo(spark: SparkSession, attr: str) -> dict:
+    memo = getattr(spark, attr, None)
+    if memo is None:
+        memo = {}
+        setattr(spark, attr, memo)
+    return memo
 
 
 def _table_stat(path: str) -> tuple:
@@ -246,7 +255,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # at scan planning, which happens at each execution of the
         # memoized plan
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    memo = _LOAD_MEMO.setdefault(spark, {})
+    memo = _session_memo(spark, "_pmr_load_memo")
     key = (sf_dir, name, _table_stat(path))
     cached = memo.get(key)
     if cached is not None:
@@ -273,7 +282,9 @@ def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = 
     not bind these ten table names to other content (nothing does; ad-hoc
     views use underscore-prefixed names).
     """
-    memo = _VIEW_MEMO.setdefault(spark, {})
+    # Temp views registered per session: view name → the (sf_dir, stat) it
+    # points at; skips the py4j round-trip when unchanged.
+    memo = _session_memo(spark, "_pmr_view_memo")
     for name in tables or TABLES:
         state = (sf_dir, _table_stat(table_path(sf_dir, name)))
         if memo.get(name) == state:

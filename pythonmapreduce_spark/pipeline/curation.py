@@ -1872,8 +1872,14 @@ def fim_split_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(list_distinct(tokens)) * 1.0 / len(tokens) AS ttr
         FROM toks WHERE len(tokens) > 0
     ), scored AS (
+        -- difficulty is (char_sum + distinct)/n_tok: a rational whose
+        -- shortest decimal repr can be exactly .xxxx5 with the binary
+        -- double below it (167/160 = 1.04375 -> Spark F.round 1.0438,
+        -- DuckDB binary ROUND 1.0437), so round the shortest repr per
+        -- the registry rounding rule (registry.py:16-25)
         SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-               ROUND(avg_word_len + ttr, 4) AS difficulty
+               CAST(ROUND(CAST(CAST(avg_word_len + ttr AS VARCHAR)
+                               AS DECIMAL(38,18)), 4) AS DOUBLE) AS difficulty
         FROM feats
     )
     SELECT doc_id, n_tok, difficulty,

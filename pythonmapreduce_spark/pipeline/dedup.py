@@ -1560,11 +1560,13 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     w = Window.partitionBy("lang", "n_chars").orderBy(
-        # asc_nulls_first made explicit (it is Spark's ASC default) to
-        # mirror the oracle's pinned NULLS FIRST: a source name whose
-        # suffix fails the long parse degrades deterministically on both
-        # engines instead of erroring (DuckDB) or diverging (order)
-        F.expr("substr(source, 4)").cast("long").asc_nulls_first(),
+        # try_cast + asc_nulls_first (Spark's ASC default, made explicit)
+        # mirrors the oracle's TRY_CAST ... NULLS FIRST: a source name
+        # whose suffix fails the long parse degrades to NULL and sorts
+        # first on both engines. A plain cast would THROW under the
+        # session's pinned ANSI mode instead of yielding NULL (review r4
+        # second pass), so the documented degradation needs try_cast here.
+        F.expr("try_cast(substr(source, 4) AS long)").asc_nulls_first(),
         "doc_id",
     )
     wg = Window.partitionBy("lang", "n_chars")

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -88,6 +89,17 @@ def read_jdbc(
 
 def _scratch(name: str) -> str:
     return os.path.join(tempfile.gettempdir(), "pmr_spark_io", name)
+
+
+# Serializes every (pid, app, input)-keyed scratch write→read lifecycle
+# (libsvm/refwire round trips, foreachBatch upsert): two concurrent
+# invocations in one process — spark.newSession() clones share the
+# applicationId, hence the scratch key — would otherwise let B's
+# entry-rmtree delete A's in-flight files between A's write and its
+# materializing read (the same hazard stream_state_inspect's lock
+# closes). RLock, pure in-process: the keys are pid-scoped so no
+# cross-process coordination is needed.
+SCRATCH_LOCK = threading.RLock()
 
 
 @register("source_roundtrip_csv", oracle="SELECT * FROM nation")
@@ -387,29 +399,32 @@ def source_libsvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the stream_state_inspect remediation pattern — the old uuid key
     # leaked one libsvm dir per invocation); the read-back is
     # localCheckpoint-materialized so the dir can be removed before
-    # returning — nothing reads it lazily.
+    # returning — nothing reads it lazily. The whole write→read
+    # lifecycle holds SCRATCH_LOCK so a concurrent invocation's
+    # entry-rmtree cannot delete these files mid-flight.
     out_dir = os.path.join(
         tempfile.gettempdir(),
         "pmr_spark_io",
         f"libsvm_pid{os.getpid()}_{spark.sparkContext.applicationId}_"
         f"{_hashlib.sha1(sf_dir.encode()).hexdigest()[:8]}",
     )
-    _shutil.rmtree(out_dir, ignore_errors=True)
-    emb.select(line.alias("value")).write.mode("overwrite").text(out_dir)
-    back = (
-        spark.read.format("libsvm")
-        .option("numFeatures", "4")
-        .load(out_dir)
-    )
-    arr = vector_to_array(F.col("features"))
-    out = back.select(
-        "label",
-        F.array_join(
-            F.transform(arr, lambda x: F.round(x * 1000).cast("long").cast("string")),
-            ",",
-        ).alias("fvec_milli"),
-    ).localCheckpoint(eager=True)
-    _shutil.rmtree(out_dir, ignore_errors=True)
+    with SCRATCH_LOCK:
+        _shutil.rmtree(out_dir, ignore_errors=True)
+        emb.select(line.alias("value")).write.mode("overwrite").text(out_dir)
+        back = (
+            spark.read.format("libsvm")
+            .option("numFeatures", "4")
+            .load(out_dir)
+        )
+        arr = vector_to_array(F.col("features"))
+        out = back.select(
+            "label",
+            F.array_join(
+                F.transform(arr, lambda x: F.round(x * 1000).cast("long").cast("string")),
+                ",",
+            ).alias("fvec_milli"),
+        ).localCheckpoint(eager=True)
+        _shutil.rmtree(out_dir, ignore_errors=True)
     return out
 
 

@@ -305,14 +305,20 @@ def sink_roundtrip_refwire(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"refwire_rt_pid{os.getpid()}_{spark.sparkContext.applicationId}_"
         f"{_hashlib.sha1(sf_dir.encode()).hexdigest()[:8]}",
     )
-    _shutil.rmtree(out_dir, ignore_errors=True)
-    docs = load(spark, sf_dir, "documents").select(
-        F.col("source").alias("file_name"), F.col("text").alias("chunk")
-    )
-    docs.write.format("refwire").mode("overwrite").option("path", out_dir).save()
-    return (
-        spark.read.format("refwire")
-        .option("path", out_dir)
-        .load()
-        .localCheckpoint(eager=True)
-    )
+    from pythonmapreduce_spark.sources.readers import SCRATCH_LOCK
+
+    # the whole write→read lifecycle holds SCRATCH_LOCK so a concurrent
+    # invocation's entry-rmtree (same (pid, app, input) key from a
+    # newSession clone) cannot delete the wire files mid-flight
+    with SCRATCH_LOCK:
+        _shutil.rmtree(out_dir, ignore_errors=True)
+        docs = load(spark, sf_dir, "documents").select(
+            F.col("source").alias("file_name"), F.col("text").alias("chunk")
+        )
+        docs.write.format("refwire").mode("overwrite").option("path", out_dir).save()
+        return (
+            spark.read.format("refwire")
+            .option("path", out_dir)
+            .load()
+            .localCheckpoint(eager=True)
+        )

@@ -348,60 +348,65 @@ def sink_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leaked a fresh versioned-target tree per invocation); the WHOLE
     # base is removed before returning, which is safe because the
     # returned aggregate is localCheckpoint-materialized — nothing reads
-    # these files lazily.
+    # these files lazily. The full write→stream→read lifecycle holds
+    # SCRATCH_LOCK so a concurrent invocation's entry-rmtree (same key
+    # from a newSession clone) cannot delete it mid-flight.
+    from pythonmapreduce_spark.sources.readers import SCRATCH_LOCK
+
     base = os.path.join(
         tempfile.gettempdir(),
         "pmr_spark_io",
         f"fbu_pid{os.getpid()}_{spark.sparkContext.applicationId}_"
         f"{hashlib.sha1(sf_dir.encode()).hexdigest()[:8]}",
     )
-    shutil.rmtree(base, ignore_errors=True)
-    src_dir = os.path.join(base, "src")
-    from pythonmapreduce_spark.catalog import load
+    with SCRATCH_LOCK:
+        shutil.rmtree(base, ignore_errors=True)
+        src_dir = os.path.join(base, "src")
+        from pythonmapreduce_spark.catalog import load
 
-    ev = load(spark, sf_dir, "events")
-    ev.write.mode("overwrite").parquet(os.path.join(src_dir, "full"))
-    dups = ev.where(F.col("event_id") % 5 == 0)
-    dups.write.mode("overwrite").parquet(os.path.join(src_dir, "dups"))
+        ev = load(spark, sf_dir, "events")
+        ev.write.mode("overwrite").parquet(os.path.join(src_dir, "full"))
+        dups = ev.where(F.col("event_id") % 5 == 0)
+        dups.write.mode("overwrite").parquet(os.path.join(src_dir, "dups"))
 
-    state = {"path": None}
+        state = {"path": None}
 
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if state["path"] is None:
-            merged = batch_df.dropDuplicates(["event_id"])
-        else:
-            cur = spark.read.parquet(state["path"])
-            merged = cur.unionByName(batch_df).dropDuplicates(["event_id"])
-        new_path = os.path.join(base, f"target_v{batch_id}")
-        merged.write.mode("overwrite").parquet(new_path)
-        state["path"] = new_path
+        def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if state["path"] is None:
+                merged = batch_df.dropDuplicates(["event_id"])
+            else:
+                cur = spark.read.parquet(state["path"])
+                merged = cur.unionByName(batch_df).dropDuplicates(["event_id"])
+            new_path = os.path.join(base, f"target_v{batch_id}")
+            merged.write.mode("overwrite").parquet(new_path)
+            state["path"] = new_path
 
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
-        .parquet(src_dir)
-    )
-    ckpt = os.path.join(base, "ckpt")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            stream.writeStream.foreachBatch(merge_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination()
-    out = (
-        spark.read.parquet(state["path"])
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-        .localCheckpoint(eager=True)
-    )
-    shutil.rmtree(base, ignore_errors=True)
+        ckpt = os.path.join(base, "ckpt")
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                stream.writeStream.foreachBatch(merge_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(state["path"])
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+            .localCheckpoint(eager=True)
+        )
+        shutil.rmtree(base, ignore_errors=True)
     return out
 
 
