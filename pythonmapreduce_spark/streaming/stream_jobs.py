@@ -315,6 +315,90 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_left_join",
+    oracle="""
+    -- Batch-equivalence for the watermarked LEFT OUTER stream-stream
+    -- join: matched pairs emit on match (all of them), while an
+    -- UNMATCHED click emits its NULL row only once the GLOBAL watermark
+    -- passes the click's join horizon (c.ts + 1h). The global watermark
+    -- is min over the two input streams' (max event time - 2h) — each
+    -- side's watermark is computed on its post-filter stream, so the
+    -- click and purchase maxima differ. Strict '<' at the horizon is
+    -- Spark's observed eviction boundary (1966 NULL rows reproduced
+    -- exactly at sf0.01); with microsecond event times an exact tie of
+    -- c.ts + 1h against the watermark is measure-zero.
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+         p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT LEAST((SELECT MAX(CAST(ts AS TIMESTAMP)) FROM c),
+                             (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM p))
+                       - INTERVAL 2 HOUR AS w),
+         matched AS (
+           SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+                  CAST(epoch_us(CAST(p.ts AS TIMESTAMP))
+                       - epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS lag_us
+           FROM c JOIN p ON c.user_id = p.user_id
+                        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+         ),
+         unmatched AS (
+           SELECT c.user_id, c.event_id AS click_id,
+                  CAST(NULL AS BIGINT) AS purchase_id,
+                  CAST(NULL AS BIGINT) AS lag_us
+           FROM c
+           WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+                                AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+             AND CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR < (SELECT w FROM wm)
+         )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked LEFT OUTER stream-stream join: every click is credited
+    with its following-hour purchases, and clicks that never convert are
+    emitted with a NULL purchase side — but only once the watermark
+    proves no match can still arrive. This is the semantics inner joins
+    can't express (the unconverted-click row IS the signal for abandon-
+    ment analysis), and the part of Structured Streaming's join surface
+    where state eviction is user-visible: an unmatched left row is held
+    in the state store until the global watermark (min across both
+    inputs of max event time − 2 h) passes its join horizon (click ts +
+    1 h range upper bound), then emitted exactly once with NULLs.
+
+    Scale shape: identical to the inner form — both sides shuffle once
+    on user_id into co-located StreamingSymmetricHashJoin state; the
+    watermark bounds per-key state to the 3 h horizon regardless of
+    stream length. The bounded availableNow replay runs a final no-data
+    microbatch after the watermark advances, which is what flushes the
+    expired unmatched rows (same engine behavior stream_chained_agg's
+    append-mode eviction relies on); the DuckDB oracle reproduces the
+    eviction rule exactly, NULL-row set included.
+    """
+    def side(alias: str, etype: str) -> DataFrame:
+        return (
+            events_stream_source(spark, sf_dir)
+            .where(F.col("event_type") == etype)
+            .withWatermark("ts", "2 hours")
+            .alias(alias)
+        )
+
+    clicks, purchases = side("c", "click"), side("p", "purchase")
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c.user_id = p.user_id AND p.ts >= c.ts "
+            "AND p.ts <= c.ts + interval 1 hour"
+        ),
+        "left",
+    ).select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        (F.unix_micros(F.col("p.ts")) - F.unix_micros(F.col("c.ts"))).alias("lag_us"),
+    )
+    _, name = _run_to_memory(joined, "append")
+    return spark.table(name)
+
+
+@register(
     "sink_foreach_batch_upsert",
     oracle="""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
