@@ -630,6 +630,97 @@ def graph_cc_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_oracle(rounds: int) -> str:
+    """Unrolled synchronous label propagation over the symmetric edge set."""
+    parts = [
+        _EDGES_CTE
+        + """
+    , sym AS MATERIALIZED (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS vid, src AS lbl FROM sym)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+    v{r} AS MATERIALIZED (
+        SELECT s.src AS vid, l.lbl, COUNT(*) AS cnt
+        FROM sym s JOIN l{p} l ON l.vid = s.dst
+        GROUP BY s.src, l.lbl
+    ),
+    l{r} AS MATERIALIZED (
+        SELECT vid, lbl FROM (
+            SELECT vid, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY vid
+                                      ORDER BY cnt DESC, lbl ASC) AS rn
+            FROM v{r}
+        ) WHERE rn = 1
+    )"""
+        )
+    return (
+        "".join(parts)
+        + f"""
+    SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_vertices
+    FROM l{rounds} GROUP BY lbl
+    """
+    )
+
+
+@register("label_propagation_communities", oracle=_lpa_oracle(2))
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA, Raghavan
+    et al. 2007) run for EXACTLY 2 rounds: each vertex adopts the MOST
+    FREQUENT label among its neighbors, smallest label on ties — the
+    modularity-free community detector, and a genuinely different
+    labeling from connected components (CC merges everything reachable;
+    LPA splits a component along its dense cores). Plain LPA iterates
+    asynchronously with random tie-breaks; pinning the round count,
+    synchronous updates, and the (count DESC, label ASC) tie order makes
+    every intermediate state deterministic, so the unrolled DuckDB CTE
+    reproduces it exactly (the graph_cc_rounds trick).
+
+    Per round: one vertex-key equi-join of the label table against the
+    materialized edge base, a (vertex, label) count aggregate, and a
+    per-vertex top-1 — WindowGroupLimit-class work over O(E) vote rows,
+    labels O(V), edges never re-derived (iter_materialize). Same
+    iterative scale shape as pagerank: co-partitioned on the vertex key,
+    nothing collected, rounds extend to convergence on a cluster.
+    """
+    e = iter_materialize(_edges(spark, sf_dir))
+    sym = e.select("src", "dst").unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = sym.select(F.col("src").alias("vid")).distinct().withColumn(
+        "lbl", F.col("vid")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(2):
+        votes = (
+            sym.join(
+                labels.withColumnRenamed("vid", "dst2"),
+                F.col("dst") == F.col("dst2"),
+            )
+            .groupBy("src", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("src").orderBy(
+            F.col("cnt").desc(), F.col("lbl").asc()
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("src").alias("vid"), "lbl")
+        )
+        labels = iter_materialize(labels)
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices")
+    )
+
+
 def _kcore_oracle(k: int, rounds: int) -> str:
     """Unrolled k-core peeling over the symmetric edge set."""
     parts = [

@@ -1148,6 +1148,92 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nfc_udf():
+    """Arrow-batched NFC normalizer. Built inside a function (not at
+    decorator time at module top level) so pandas stays a lazy import;
+    the local ``pd`` name is bound before the decorator inspects the
+    type hints, which ``from __future__ import annotations`` turns into
+    strings resolved against this function's namespace."""
+    import pandas as pd  # noqa: F401 — resolved by pandas_udf's hint lookup
+    from pyspark.sql.functions import pandas_udf
+
+    def nfc(texts):
+        import unicodedata
+
+        return texts.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    nfc.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(nfc, "string")
+
+
+@register(
+    "dedup_unicode_normalized",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               md5(nfc_normalize(text)) AS digest,
+               CAST(text <> nfc_normalize(text) AS BIGINT) AS was_denormalized
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(was_denormalized) AS BIGINT) AS n_denormalized,
+           CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_nfc_unique,
+           CAST((SELECT COUNT(DISTINCT md5(text)) FROM documents
+                 WHERE text IS NOT NULL) AS BIGINT) AS n_raw_unique,
+           CAST((SELECT COUNT(DISTINCT md5(text)) FROM documents
+                 WHERE text IS NOT NULL) AS BIGINT)
+               - CAST(COUNT(DISTINCT digest) AS BIGINT)
+               AS n_caught_by_nfc
+    FROM norm
+    """,
+)
+def dedup_unicode_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-normalization dedup accounting: digests computed over the
+    NFC normalization form catch byte-different encodings of the SAME
+    text — 'é' as U+00E9 vs 'e'+U+0301 — that byte-exact hashing and
+    even whitespace/case normalization (dedup_exact_normalized) miss.
+    Multi-source web corpora mix normalization forms per upstream
+    pipeline, so this tier runs between exact and MinHash dedup; the
+    report (raw vs NFC-unique counts + how many docs were in a
+    non-NFC form at all) is the decision artifact.
+
+    Spark has no built-in NFC function, so normalization runs in an
+    Arrow-batched pandas UDF (unicodedata.normalize — byte-identical to
+    DuckDB's utf8proc nfc_normalize, probed on combining-mark inputs);
+    everything downstream of the scan ships 16-byte digests through one
+    aggregation, the dedup_exact shuffle discipline. The committed
+    corpus is pure ASCII (NFC is the identity there — n_denormalized
+    pins 0); the charset robustness sweep's multi-byte fixture is where
+    the normalization path does real work.
+    """
+    nfc = _nfc_udf()
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    norm = docs.select(
+        F.md5(nfc(F.col("text"))).alias("digest"),
+        (F.col("text") != nfc(F.col("text"))).cast("long").alias("was_denormalized"),
+    )
+    raw = docs.agg(
+        F.count_distinct(F.md5("text")).cast("long").alias("n_raw_unique")
+    )
+    return (
+        norm.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("was_denormalized").cast("long").alias("n_denormalized"),
+            F.count_distinct("digest").cast("long").alias("n_nfc_unique"),
+        )
+        .crossJoin(F.broadcast(raw))
+        .select(
+            "n_docs",
+            "n_denormalized",
+            "n_nfc_unique",
+            "n_raw_unique",
+            (F.col("n_raw_unique") - F.col("n_nfc_unique")).alias("n_caught_by_nfc"),
+        )
+    )
+
+
 @register(
     "source_quality_scorecard",
     oracle=r"""

@@ -10,7 +10,12 @@ over UTF-16 (surrogate pairs for non-BMP chars), Python UDFs see code
 points, DuckDB counts code points. Derived from sf0.01 into
 /tmp/pmr_unicode, documents.text gets a deterministic per-doc transform:
 
-- doc_id % 4 == 1 → Latin accents (2-byte UTF-8: a→á, e→é, o→ö, n→ñ);
+- doc_id % 4 == 1 → Latin accents, in BOTH normalization forms:
+  doc_id % 8 == 1 precomposed NFC code points (a→á, e→é, o→ö, n→ñ);
+  doc_id % 8 == 5 DECOMPOSED NFD sequences (e→e+U+0301, o→o+U+0308,
+  n→n+U+0303) — canonically equal text in different byte forms, the
+  case Unicode-normalization-aware operators (dedup_unicode_normalized)
+  must see through and byte-exact digests must NOT;
 - doc_id % 4 == 2 → every token prefixed with 'データ' (3-byte CJK range);
 - doc_id % 4 == 3 → every token suffixed with '🙂' (4-byte, non-BMP —
   a UTF-16 SURROGATE PAIR, the case where Java-length ≠ code points);
@@ -56,7 +61,15 @@ def main() -> None:
             WITH xf AS (
                 SELECT doc_id,
                        CASE doc_id % 4
-                           WHEN 1 THEN translate(text, '{_ACCENT_FROM}', '{_ACCENT_TO}')
+                           WHEN 1 THEN CASE doc_id % 8
+                               WHEN 1 THEN translate(text, '{_ACCENT_FROM}', '{_ACCENT_TO}')
+                               -- NFD: base letter + combining mark (769
+                               -- acute, 776 diaeresis, 771 tilde)
+                               ELSE replace(replace(replace(text,
+                                        'e', 'e' || chr(769)),
+                                        'o', 'o' || chr(776)),
+                                        'n', 'n' || chr(771))
+                           END
                            WHEN 2 THEN array_to_string(
                                list_transform(
                                    list_filter(string_split_regex(text, '\\s+'),
