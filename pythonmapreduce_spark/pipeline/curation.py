@@ -1210,9 +1210,13 @@ def dedup_unicode_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     nfc = _nfc_udf()
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    norm = docs.select(
-        F.md5(nfc(F.col("text"))).alias("digest"),
-        (F.col("text") != nfc(F.col("text"))).cast("long").alias("was_denormalized"),
+    # normalize ONCE into a named column — Catalyst does not collapse two
+    # textually-identical Python UDF calls, so deriving digest and the
+    # denormalized flag from separate nfc(text) expressions runs the
+    # Arrow stage twice over the corpus (plan-pinned to 1 stage)
+    norm = docs.select("text", nfc(F.col("text")).alias("ntext")).select(
+        F.md5("ntext").alias("digest"),
+        (F.col("text") != F.col("ntext")).cast("long").alias("was_denormalized"),
     )
     raw = docs.agg(
         F.count_distinct(F.md5("text")).cast("long").alias("n_raw_unique")

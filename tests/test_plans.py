@@ -566,3 +566,51 @@ def test_media_chunk_cdc_digests_only_exchange(spark, sf_smoke) -> None:
     keys = _partition_keys(plan)
     assert keys and all(k.startswith("chunk_hash") for k in keys), keys
     assert not any("payload" in k for k in keys)
+
+
+def test_lpa_round_uses_window_group_limit(spark, sf_smoke) -> None:
+    # one label-propagation round's per-vertex top-1 must plan as
+    # WindowGroupLimit (rank-limit pushdown: only the leading row per
+    # vertex survives the sort, not the full vote set), and the vote
+    # join must stay an equi-join — no cartesian/nested-loop anywhere.
+    # Built explicitly (not via the registered query) because
+    # iter_materialize truncates lineage, hiding the per-round shape.
+    from pyspark.sql import Window
+
+    from pythonmapreduce_spark.operators.graphs import _edges
+
+    e = _edges(spark, sf_smoke)
+    sym = e.select("src", "dst").unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = sym.select(F.col("src").alias("vid")).distinct().withColumn(
+        "lbl", F.col("vid")
+    )
+    votes = (
+        sym.join(labels.withColumnRenamed("vid", "dst2"), F.col("dst") == F.col("dst2"))
+        .groupBy("src", "lbl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
+    rnd = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("src").alias("vid"), "lbl")
+    )
+    plan = _plan(rnd)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_unicode_normalized_single_arrow_stage(spark, sf_smoke) -> None:
+    # NFC normalization is ONE Arrow stage over a text-only pruned scan
+    # (digest and the denormalized flag both derive from the same
+    # normalized column — a second UDF evaluation would double the
+    # corpus pass); downstream ships 16-byte digests, and the only
+    # non-equi join is the 1-row broadcast of the raw-unique aggregate.
+    plan = _plan(registry.QUERIES["dedup_unicode_normalized"](spark, sf_smoke))
+    assert plan.count("ArrowEvalPython (") == 1
+    assert "BatchEvalPython" not in plan
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert all("struct<text:string>" in ln for ln in read_schemas), read_schemas
