@@ -243,3 +243,61 @@ def tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_symbols") * 1.0 / F.greatest(F.col("n_chars_enc"), F.lit(1)), 4
         ).alias("compression"),
     )
+
+
+@register(
+    "tokenizer_roundtrip",
+    oracle=r"""
+    -- Losslessness is a STRUCTURAL property of the merge encoding (every
+    -- merge only deletes an interior marker, so stripping markers is an
+    -- exact decode); the oracle independently pins the invariant by
+    -- asserting the roundtrip-ok count equals the doc count outright —
+    -- any merge literal that corrupted symbol content (wrong pair, a
+    -- marker inside a pattern, replace semantics drift) breaks the
+    -- Spark-side equality and the compare goes red.
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_roundtrip_ok
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECODE∘ENCODE identity contract for the trained tokenizer: apply
+    the k merges to every document, decode by stripping the token
+    markers, and assert the result equals the original (filtered,
+    space-joined) token stream — the invariant every production
+    tokenizer certifies before training data flows through it (HF
+    tokenizers' `decode(encode(x)) == x` test). BPE merges only ever
+    DELETE the marker between two adjacent symbols, so decode is one
+    replace; a corrupted merge literal, a marker leaking into a pair
+    pattern, or an engine replace-semantics change all break the
+    equality for some document.
+
+    Same zero-exchange scan-stage shape as tokenizer_apply (k codegen'd
+    replaces + one string equality per doc) with a single count
+    aggregate on top; the contract costs one corpus pass.
+    """
+    merges = _train_merges(spark, sf_dir)
+    toks = F.filter(tokens_col(), lambda t: ~F.contains(t, F.lit(_D)))
+    msym = F.array_join(
+        F.transform(toks, lambda t: F.regexp_replace(t, "(.)", _D + "$1")),
+        " ",
+    )
+    enc = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(F.array_join(toks, " ").alias("orig"), msym.alias("msym"))
+    )
+    applied = F.col("msym")
+    for _rnd, pa, pb, _cnt in merges:
+        applied = F.replace(
+            applied, F.lit(_D + pa + _D + pb), F.lit(_D + pa + pb)
+        )
+    decoded = F.replace(applied, F.lit(_D), F.lit(""))
+    return enc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.coalesce((decoded == F.col("orig")).cast("long"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_roundtrip_ok"),
+    )
