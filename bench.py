@@ -85,6 +85,14 @@ HEADLINE = [
     # (window-hash equi-join; the regex-lookahead window extraction this
     # round's extended-decade sweep forced).
     "decontamination_ngram",
+    # round-4 third wave: stateful outer stream-stream join (watermark
+    # eviction + NULL emission), iterative LPA community detection, the
+    # Arrow NFC normalization pass, and the tokenizer losslessness
+    # contract — one entry each for the newly added families.
+    "stream_stream_left_join",
+    "label_propagation_communities",
+    "dedup_unicode_normalized",
+    "tokenizer_roundtrip",
 ]
 
 
