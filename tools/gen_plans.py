@@ -174,6 +174,19 @@ NOTES = {
         "sort serves both the 5-gram min window and the lead() validity "
         "check; all later aggregates reuse doc_id-keyed exchanges."
     ),
+    "label_propagation_communities": (
+        "final community-size aggregate over the checkpointed round-2 "
+        "labels (iter_materialize truncates the per-round lineage — "
+        "tests/test_plans.py pins the per-round shape explicitly: vote "
+        "equi-join + count agg + WindowGroupLimit top-1, no cartesian)."
+    ),
+    "dedup_unicode_normalized": (
+        "ONE ArrowEvalPython stage (NFC) over a text-only pruned scan — "
+        "digest and the denormalized flag both derive from the same "
+        "normalized column; downstream ships 16-byte digests, and the "
+        "only non-equi join is the 1-row broadcast of the raw-unique "
+        "aggregate."
+    ),
 }
 
 
