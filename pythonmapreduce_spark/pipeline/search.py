@@ -765,3 +765,287 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+
+
+
+# Ranking-evaluation fixture: three two-term PHRASE queries over the
+# corpus's stable vocabulary (every term present at every committed SF,
+# probed sf0.001-0.1). Graded relevance is PHRASE-AWARE: rel 3 = the
+# exact bigram "t1 t2" occurs (adjacent tokens), rel 2 = both terms
+# present anywhere, rel 1 = one term only - the classic proximity
+# ground truth a bag-of-words ranker cannot see. That decoupling is the
+# point: the 31-word fixture vocabulary puts every TERM in ~80% of
+# documents, so any term-derived grade saturates the ideal top-10 and
+# NDCG degenerates to 1.0 (measured, for both tf-capped and
+# distinct-term-coverage grades); phrase hits are ~6% of docs and BM25
+# is blind to adjacency, so NDCG lands mid-range (0.48-0.65 at sf0.01)
+# and actually measures the ranker-vs-truth gap.
+_EVAL_QUERIES = [
+    (1, "join", "table"),
+    (2, "scan", "filter"),
+    (3, "column", "order"),
+]
+_NDCG_K = 10
+
+_EVAL_QMAP_VALUES = ", ".join(
+    f"({qid}, '{t1}', '{t2}')" for qid, t1, t2 in _EVAL_QUERIES
+)
+_EVAL_ALL_TERMS = ", ".join(f"'{t}'" for q in _EVAL_QUERIES for t in q[1:])
+
+
+@register(
+    "search_ndcg_mrr",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS dl FROM docs),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(LEN(toks)) AS avgdl
+        FROM docs
+    ),
+    qmap AS (
+        SELECT * FROM (VALUES {_EVAL_QMAP_VALUES}) AS t(query_id, t1, t2)
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, UNNEST(toks) AS term FROM docs)
+        WHERE term IN ({_EVAL_ALL_TERMS})
+        GROUP BY doc_id, term
+    ),
+    idf AS (
+        SELECT term,
+               LN(1 + ((SELECT n_docs FROM stats) - COUNT(*) + 0.5)
+                      / (COUNT(*) + 0.5)) AS idf
+        FROM tf GROUP BY term
+    ),
+    qtf AS (
+        SELECT q.query_id, t.doc_id, t.term, t.tf
+        FROM tf t JOIN qmap q ON t.term IN (q.t1, q.t2)
+    ),
+    phrase AS (
+        SELECT DISTINCT q.query_id, b.doc_id
+        FROM (
+            SELECT doc_id, array_to_string(toks[s : s + 1], ' ') AS bg
+            FROM docs, LATERAL (
+                SELECT UNNEST(generate_series(1, len(toks) - 1)) AS s
+            ) st
+        ) b
+        JOIN qmap q ON b.bg = q.t1 || ' ' || q.t2
+    ),
+    graded AS (
+        SELECT c.query_id, c.doc_id,
+               CAST(1 + CASE WHEN c.cov = 2 THEN 1 ELSE 0 END
+                      + CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                   AS BIGINT) AS rel
+        FROM (
+            SELECT query_id, doc_id, COUNT(DISTINCT term) AS cov
+            FROM qtf GROUP BY query_id, doc_id
+        ) c
+        LEFT JOIN phrase p USING (query_id, doc_id)
+    ),
+    scored AS (
+        SELECT qtf.query_id, qtf.doc_id,
+               ROUND(SUM(idf.idf * qtf.tf * ({_K1} + 1)
+                         / (qtf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl
+                                              / (SELECT avgdl FROM stats)))),
+                     4) AS s
+        FROM qtf
+        JOIN idf USING (term)
+        JOIN dl ON qtf.doc_id = dl.doc_id
+        GROUP BY qtf.query_id, qtf.doc_id
+    ),
+    ranked AS (
+        SELECT g.query_id, g.doc_id, g.rel,
+               ROW_NUMBER() OVER (PARTITION BY g.query_id
+                                  ORDER BY s.s DESC, g.doc_id) AS rank
+        FROM graded g JOIN scored s USING (query_id, doc_id)
+    ),
+    dcg AS (
+        SELECT query_id,
+               SUM((POW(2, rel) - 1) / LOG2(rank + 1)) AS dcg,
+               MIN(CASE WHEN rel = 3 THEN rank END) AS first_phrase
+        FROM ranked WHERE rank <= {_NDCG_K} GROUP BY query_id
+    ),
+    ideal AS (
+        SELECT query_id, SUM((POW(2, rel) - 1) / LOG2(irank + 1)) AS idcg
+        FROM (
+            SELECT query_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, doc_id) AS irank
+            FROM graded
+        ) WHERE irank <= {_NDCG_K} GROUP BY query_id
+    ),
+    nrel AS (
+        SELECT query_id,
+               CAST(SUM(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_phrase_docs
+        FROM graded GROUP BY query_id
+    )
+    SELECT CAST(d.query_id AS BIGINT) AS query_id,
+           ROUND(d.dcg / i.idcg, 6) + 0.0 AS ndcg_at_k,
+           ROUND(COALESCE(1.0 / d.first_phrase, 0.0), 6) + 0.0 AS mrr_at_k,
+           n.n_phrase_docs
+    FROM dcg d
+    JOIN ideal i USING (query_id)
+    JOIN nrel n USING (query_id)
+    """,
+)
+def search_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation: NDCG@10 and MRR@10 of the BM25
+    ranker per query — THE two offline metrics a retrieval/curation
+    stack reports before changing a ranker (bm25_rank and
+    hybrid_search_rrf produce rankings; this measures one). Three
+    two-term queries; phrase-aware graded relevance (rel 3 = exact
+    bigram present, 2 = both terms, 1 = one term — see _EVAL_QUERIES);
+    DCG = Σ (2^rel − 1)/log2(rank+1) over the top-10 by (4dp-rounded
+    BM25 DESC, doc_id), IDCG over the grade-sorted ideal top-10, MRR
+    from the first rank whose doc is a phrase match (0.0 when the
+    top-10 has none).
+
+    Scale shape at 100 TB: bm25_rank's discipline throughout — the
+    corpus explode is filtered to the 6 evaluation terms inside the
+    scan stage, so only matching tokens shuffle into the (doc, term)
+    aggregate; the phrase pass filters the bigram explode to the 3
+    query bigrams equally early (only phrase hits leave the scan);
+    grades and scores aggregate on the same (query_id, doc_id) key,
+    per-query ranking is a window partitioned by query_id, and every
+    metric aggregate after the top-k touches ≤ |queries|·k rows.
+    idf/avgdl/qmap sides broadcast. Ranking keys are (4dp-rounded
+    score, doc_id) and metrics round to 6dp — the suite's drift-proof
+    compare convention; DCG terms are irrational (log2 denominators),
+    so a 6dp half-boundary tie between engines is measure-zero.
+    """
+    from pyspark.sql import Window
+
+    qmap = spark.createDataFrame(
+        [(qid, t1, t2) for qid, t1, t2 in _EVAL_QUERIES],
+        "query_id long, t1 string, t2 string",
+    )
+    all_terms = [t for q in _EVAL_QUERIES for t in q[1:]]
+    phrases = [f"{t1} {t2}" for _, t1, t2 in _EVAL_QUERIES]
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("filter(split(text, '\\\\s+'), t -> t != '')").alias("toks"),
+    )
+    dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg(F.size("toks")).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    qtf = tf.join(
+        F.broadcast(qmap),
+        (F.col("term") == F.col("t1")) | (F.col("term") == F.col("t2")),
+    ).select("query_id", "doc_id", "term", "tf")
+    phrase = (
+        _doc_bigrams(spark, sf_dir)
+        .where(F.col("bigram").isin(phrases))
+        .join(
+            F.broadcast(qmap),
+            F.col("bigram") == F.concat_ws(" ", "t1", "t2"),
+        )
+        .select("query_id", "doc_id")
+        .distinct()
+        .withColumn("is_phrase", F.lit(1))
+    )
+    graded = (
+        qtf.groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("term").alias("cov"))
+        .join(phrase, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                1
+                + (F.col("cov") == 2).cast("int")
+                + F.coalesce("is_phrase", F.lit(0))
+            )
+            .cast("long")
+            .alias("rel"),
+        )
+    )
+    scored = (
+        qtf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("idf") * F.col("tf") * (_K1 + 1)
+                    / (
+                        F.col("tf")
+                        + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                4,
+            ).alias("s")
+        )
+    )
+    ranked = graded.join(scored, ["query_id", "doc_id"]).select(
+        "query_id",
+        "rel",
+        F.row_number()
+        .over(Window.partitionBy("query_id").orderBy(F.col("s").desc(), "doc_id"))
+        .alias("rank"),
+    )
+    dcg = (
+        ranked.where(F.col("rank") <= _NDCG_K)
+        .groupBy("query_id")
+        .agg(
+            F.sum((F.pow(F.lit(2.0), "rel") - 1) / F.log2(F.col("rank") + 1)).alias(
+                "dcg"
+            ),
+            F.min(F.when(F.col("rel") == 3, F.col("rank"))).alias("first_phrase"),
+        )
+    )
+    ideal = (
+        graded.select(
+            "query_id",
+            "rel",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "doc_id")
+            )
+            .alias("irank"),
+        )
+        .where(F.col("irank") <= _NDCG_K)
+        .groupBy("query_id")
+        .agg(
+            F.sum((F.pow(F.lit(2.0), "rel") - 1) / F.log2(F.col("irank") + 1)).alias(
+                "idcg"
+            )
+        )
+    )
+    nrel = graded.groupBy("query_id").agg(
+        F.sum((F.col("rel") == 3).cast("long")).cast("long").alias("n_phrase_docs")
+    )
+    return (
+        dcg.join(ideal, "query_id")
+        .join(nrel, "query_id")
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_k"),
+            F.round(F.coalesce(1.0 / F.col("first_phrase"), F.lit(0.0)), 6).alias(
+                "mrr_at_k"
+            ),
+            "n_phrase_docs",
+        )
+    )
