@@ -554,6 +554,30 @@ def test_parquet_aggregate_pushdown_footer_only(spark, sf_smoke) -> None:
             spark.conf.set(k, v)
 
 
+def test_search_ndcg_mrr_scan_stage_filters(spark, sf_smoke) -> None:
+    # ranking evaluation must inherit bm25_rank's discipline: the term and
+    # bigram explodes are filtered to the 6 eval terms / 3 query phrases
+    # INSIDE the scan stage (every Generate's parent is a Filter — nothing
+    # exploded crosses an Exchange unfiltered), model sides broadcast, and
+    # the whole metric pipeline stays JVM-side
+    import re
+
+    plan = _plan(registry.QUERIES["search_ndcg_mrr"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    for i, ln in enumerate(lines):
+        if re.search(r"\bGenerate \(\d+\)", ln):
+            assert re.search(r"\bFilter \(\d+\)", lines[i - 1]), (
+                "unfiltered explode:\n" + "\n".join(lines[i - 1 : i + 1])
+            )
+    # column pruning: only (doc_id, text) leave the documents scans
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln:
+            assert "n_chars" not in ln and "source" not in ln, ln
+
+
 def test_media_chunk_cdc_digests_only_exchange(spark, sf_smoke) -> None:
     # the CDC chunker is ONE Arrow stage over the scan (no row-at-a-time
     # Python), and every exchange is keyed on the 32-byte digest — the
