@@ -180,6 +180,15 @@ NOTES = {
         "tests/test_plans.py pins the per-round shape explicitly: vote "
         "equi-join + count agg + WindowGroupLimit top-1, no cartesian)."
     ),
+    "search_ndcg_mrr": (
+        "offline ranking evaluation with bm25_rank's scan discipline: both "
+        "corpus explodes (terms and bigrams) carry their IN-list filter "
+        "directly on the Generate, so only the 6 eval terms / 3 query "
+        "phrases ever reach an Exchange; qmap/idf/avgdl broadcast; every "
+        "aggregate past the per-query top-10 touches ≤ |queries|·k rows. "
+        "tests/test_plans.py asserts every Generate's parent is a Filter "
+        "and the documents scans read only (doc_id, text)."
+    ),
     "dedup_unicode_normalized": (
         "ONE ArrowEvalPython stage (NFC) over a text-only pruned scan — "
         "digest and the denormalized flag both derive from the same "
