@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -225,11 +226,22 @@ def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # silently reusing the old plan.
 
 
+_MEMO_ATTACH_LOCK = threading.Lock()
+
+
 def _session_memo(spark: SparkSession, attr: str) -> dict:
     memo = getattr(spark, attr, None)
     if memo is None:
-        memo = {}
-        setattr(spark, attr, memo)
+        # Attach under a lock: two threads racing load() on a fresh session
+        # would each build a dict and the second setattr would silently
+        # drop the first thread's cached entries (cache-miss only, never
+        # wrong results — but the memo exists to kill fixed cost, so keep
+        # it). Double-checked: the getattr above is the fast path.
+        with _MEMO_ATTACH_LOCK:
+            memo = getattr(spark, attr, None)
+            if memo is None:
+                memo = {}
+                setattr(spark, attr, memo)
     return memo
 
 

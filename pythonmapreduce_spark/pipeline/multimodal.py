@@ -2,12 +2,16 @@
 
 Real pipelines carry image/audio/video as ``binary`` columns with a typed
 metadata struct, and run decode / feature-extraction as Arrow-batched
-Python over ``mapInPandas``. The decode libs (PIL/ffmpeg/librosa) are NOT
-in this container, so the *decode step* is stubbed — ``decode_image``
-raises NotImplementedError, and the registered query uses a deterministic
-fake extractor — while everything Spark-side is real and tested: the
-binary column, the metadata struct schema, the mapInPandas batch shape,
-and the partition-preserving plumbing.
+Python over ``mapInPandas``. The IMAGE decode libs (PIL/ffmpeg) are NOT in
+this container, so that decode step is capability-probed — ``decode_image``
+uses a real codec when one is importable (and image_resize then runs a
+real lossless encode→decode round trip) and raises NotImplementedError
+otherwise, with the registered queries pinning the deterministic stand-in
+either way. The AUDIO path is fully real here: ``audio_decode_wav``
+encodes and decodes genuine RIFF/WAVE containers with CPython's stdlib
+codec. Everything Spark-side is real and tested in all cases: the binary
+column, the metadata struct schema, the mapInPandas batch shape, and the
+partition-preserving plumbing.
 
 Scale notes: payload bytes never shuffle — feature extraction is a
 narrow ``mapInPandas`` over the scan, and only the (id, features) rows
@@ -33,10 +37,54 @@ FEATURE_SCHEMA = (
 )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - documented stub
-    """Decode an image payload to an ndarray. STUB: the image codec libs
-    are not available in this environment; swap in PIL/ffmpeg in
-    production. The Spark-side plumbing around this call is real."""
+# Capability probe, once at module import (executors re-probe on their own
+# import): use a real image codec when the environment has one, keep the
+# deterministic stand-in otherwise. Probed in preference order; this
+# container has neither, so _IMAGE_CODEC is None here and the stub path is
+# what the oracles pin — but a production image (pip install pillow) flips
+# the real round trip on with zero code change, and the oracles still hold
+# because PNG is lossless (encode→decode is the identity on the grid).
+try:  # pragma: no cover - environment-dependent
+    from PIL import Image as _PILImage  # type: ignore
+
+    _IMAGE_CODEC: str | None = "PIL"
+except ImportError:  # pragma: no cover
+    try:
+        import imageio.v3 as _imageio  # type: ignore
+
+        _IMAGE_CODEC = "imageio"
+    except ImportError:
+        _IMAGE_CODEC = None
+
+
+def encode_image(arr: "np.ndarray") -> bytes:
+    """Encode a (h, w) uint8 grid to lossless PNG bytes via whichever
+    codec the environment provides; NotImplementedError when none does."""
+    import io
+
+    if _IMAGE_CODEC == "PIL":
+        buf = io.BytesIO()
+        _PILImage.fromarray(arr, mode="L").save(buf, format="PNG")
+        return buf.getvalue()
+    if _IMAGE_CODEC == "imageio":
+        return _imageio.imwrite("<bytes>", arr, extension=".png")
+    raise NotImplementedError("image codecs not available in this container")
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Decode an encoded image payload to a uint8 ndarray.
+
+    Real decode when the environment has a codec (PIL, then imageio);
+    NotImplementedError otherwise — the registered queries fall back to
+    their deterministic stand-in payloads in that case, so behavior (and
+    every oracle) is identical across environments. tests/test_multimodal
+    exercises the real path under skipif(_IMAGE_CODEC is None)."""
+    import io
+
+    if _IMAGE_CODEC == "PIL":
+        return np.asarray(_PILImage.open(io.BytesIO(payload)))
+    if _IMAGE_CODEC == "imageio":
+        return _imageio.imread(payload, extension=".png")
     raise NotImplementedError("image codecs not available in this container")
 
 
@@ -221,6 +269,13 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 w * h, dtype=np.uint8
             )
             grid = grid.reshape(h, w)
+            if _IMAGE_CODEC is not None:
+                # Real codec round trip when the environment has one:
+                # encode the grid to PNG and decode it back before
+                # resampling. PNG is lossless, so the oracle-pinned
+                # numbers are unchanged — but the actual decode kernel
+                # (the stubbed part everywhere else) runs for real.
+                grid = decode_image(encode_image(grid)).reshape(h, w)
             ys = (np.arange(_DST_H) * h) // _DST_H
             xs = (np.arange(_DST_W) * w) // _DST_W
             resized = grid[np.ix_(ys, xs)]
@@ -556,3 +611,120 @@ def media_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nb").cast("long").alias("total_bytes"),
         )
     )
+
+
+WAV_SCHEMA = (
+    "doc_id long, n_frames long, framerate long, sampwidth long, "
+    "n_channels long, container_bytes long, checksum long"
+)
+_WAV_RATE = 8000
+
+
+def _wav_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched REAL audio codec round trip (stdlib ``wave``).
+
+    Unlike the image tier (no codec in this container — see decode_image's
+    capability probe), the WAV container codec ships with CPython, so this
+    path exercises a genuine encode→decode: deterministic int16 PCM is
+    serialized into real RIFF/WAVE bytes by the stdlib writer, then the
+    stdlib reader parses the container BACK — header fields (channel
+    count, sample width, frame rate, frame count) come from the decoded
+    byte stream, not from the inputs — and the decoded samples are
+    verified bit-exact before their checksum is emitted. A corrupted
+    container or a lossy round trip fails loudly, not silently.
+    """
+    import io
+    import wave
+
+    for pdf in batches:
+        rows = []
+        for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+            doc_id, n = int(doc_id), int(n)
+            samples = (
+                (doc_id * 31 + np.arange(n, dtype=np.int64) * 17) % 65536 - 32768
+            ).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(_WAV_RATE)
+                w.writeframes(samples.tobytes())
+            payload = buf.getvalue()
+            with wave.open(io.BytesIO(payload), "rb") as r:
+                nch, sw, fr, nf = (
+                    r.getnchannels(),
+                    r.getsampwidth(),
+                    r.getframerate(),
+                    r.getnframes(),
+                )
+                decoded = np.frombuffer(r.readframes(nf), dtype="<i2")
+            if not np.array_equal(decoded, samples):  # pragma: no cover
+                raise ValueError(f"WAV round trip corrupted doc {doc_id}")
+            rows.append(
+                (
+                    doc_id,
+                    nf,
+                    fr,
+                    sw,
+                    nch,
+                    len(payload),
+                    int(decoded.astype(np.int64).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "n_frames",
+                "framerate",
+                "sampwidth",
+                "n_channels",
+                "container_bytes",
+                "checksum",
+            ],
+        )
+
+
+@register(
+    "audio_decode_wav",
+    oracle=f"""
+    -- Every emitted field is read back from REAL decoded WAV bytes on the
+    -- Spark side; the oracle recomputes what a correct codec round trip
+    -- must produce: header fields as written, container_bytes = the
+    -- canonical 44-byte RIFF/fmt/data header + 2 bytes per mono 16-bit
+    -- frame, checksum = the sum of the deterministic PCM samples. Any
+    -- container corruption, header misparse, or sample mangling lands as
+    -- a hash mismatch here (or an in-engine bit-exactness error first).
+    WITH d AS (
+        SELECT doc_id, n_chars % 256 + 16 AS n
+        FROM documents WHERE n_chars IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT)            AS n_frames,
+           CAST({_WAV_RATE} AS BIGINT)  AS framerate,
+           CAST(2 AS BIGINT)            AS sampwidth,
+           CAST(1 AS BIGINT)            AS n_channels,
+           CAST(44 + 2 * n AS BIGINT)   AS container_bytes,
+           CAST(list_sum(list_transform(range(0, CAST(n AS BIGINT)),
+                i -> (doc_id * 31 + i * 17) % 65536 - 32768)) AS BIGINT)
+               AS checksum
+    FROM d
+    """,
+)
+def audio_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode: per-document PCM synthesized deterministically
+    (frame count keyed off n_chars, samples off doc_id), encoded into a
+    genuine RIFF/WAVE container and decoded back with CPython's stdlib
+    ``wave`` codec inside one narrow mapInPandas — the audio analog of
+    multimodal_features, with the decode step REAL instead of stubbed
+    (the image tier stays capability-probed; this container has no image
+    codec, see decode_image).
+
+    Scale shape: only (doc_id, n) — two longs — enter the Python stage,
+    and only seven longs leave it; no payload ever shuffles, so at 100 TB
+    this runs at scan throughput with the codec on the executor, exactly
+    where a real librosa/ffmpeg extraction would sit.
+    """
+    docs = load(spark, sf_dir, "documents").where(F.col("n_chars").isNotNull())
+    src = docs.select("doc_id", (F.col("n_chars") % 256 + 16).alias("n"))
+    return src.mapInPandas(_wav_roundtrip, schema=WAV_SCHEMA)

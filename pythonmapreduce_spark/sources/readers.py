@@ -91,6 +91,23 @@ def _scratch(name: str) -> str:
     return os.path.join(tempfile.gettempdir(), "pmr_spark_io", name)
 
 
+def _scratch_keyed(spark: SparkSession, name: str, sf_dir: str) -> str:
+    """(pid, app, input)-keyed scratch dir for round trips that RETURN a
+    lazy reader over the written files: the caller (driver) collects after
+    return, so the dir must be private to this (process, session, input)
+    triple — with a shared name, a concurrent invocation's mode-overwrite
+    could delete part-files between this call's return and the caller's
+    collect (the libsvm/refwire keying pattern, minus the rmtree: lazy
+    readers cannot clean up behind themselves, and overwrite-in-place
+    bounds the footprint to one dir per key)."""
+    import hashlib
+
+    return _scratch(
+        f"{name}_pid{os.getpid()}_{spark.sparkContext.applicationId}_"
+        f"{hashlib.sha1(sf_dir.encode()).hexdigest()[:8]}"
+    )
+
+
 # Serializes every (pid, app, input)-keyed scratch write→read lifecycle
 # (libsvm/refwire round trips, foreachBatch upsert): two concurrent
 # invocations in one process — spark.newSession() clones share the
@@ -106,7 +123,7 @@ SCRATCH_LOCK = threading.RLock()
 def source_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nation → CSV sink → CSV source must be lossless (header + explicit
     schema; no type inference)."""
-    path = _scratch("nation_csv")
+    path = _scratch_keyed(spark, "nation_csv", sf_dir)
     write_csv(load(spark, sf_dir, "nation"), path)
     return read_csv(spark, path, "nation")
 
@@ -132,7 +149,7 @@ def source_roundtrip_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("source_roundtrip_json", oracle="SELECT * FROM region")
 def source_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """region → JSONL sink → JSONL source must be lossless."""
-    path = _scratch("region_json")
+    path = _scratch_keyed(spark, "region_json", sf_dir)
     write_jsonl(load(spark, sf_dir, "region"), path)
     return read_jsonl(spark, path, "region")
 
@@ -165,7 +182,7 @@ def source_roundtrip_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each executor task writes one part-file and the reader splits on row
     tags per file, so both directions stay executor-parallel at any scale.
     """
-    path = _scratch("part_xml")
+    path = _scratch_keyed(spark, "part_xml", sf_dir)
     write_xml(load(spark, sf_dir, "part"), path, "part")
     return read_xml(spark, path, "part", "part")
 
@@ -179,7 +196,7 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``WHERE lang = 'en'`` scan touches only that directory. The oracle
     proves the round trip preserves every row and value.
     """
-    path = _scratch("documents_by_lang")
+    path = _scratch_keyed(spark, "documents_by_lang", sf_dir)
     (
         load(spark, sf_dir, "documents")
         .select("doc_id", "lang", "n_chars")
@@ -203,7 +220,7 @@ def source_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate pushdown, zlib/zstd) — the interchange format when the
     surrounding warehouse is Hive/Trino-based rather than parquet-native.
     """
-    path = _scratch("supplier_orc")
+    path = _scratch_keyed(spark, "supplier_orc", sf_dir)
     load(spark, sf_dir, "supplier").write.mode("overwrite").orc(path)
     return spark.read.schema(SCHEMAS["supplier"]).orc(path)
 
@@ -225,8 +242,8 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle pins exactly which rows carry the late column.
     """
     part = load(spark, sf_dir, "part")
-    p1 = _scratch("part_v1")
-    p2 = _scratch("part_v2")
+    p1 = _scratch_keyed(spark, "part_v1", sf_dir)
+    p2 = _scratch_keyed(spark, "part_v2", sf_dir)
     part.where(F.col("p_partkey") % 2 == 0).select("p_partkey", "p_name").write.mode(
         "overwrite"
     ).parquet(p1)
@@ -251,8 +268,8 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     only merges partitions on read. tests/test_sources.py asserts the
     physical file count actually dropped.
     """
-    frag = _scratch("documents_fragmented")
-    compact = _scratch("documents_compacted")
+    frag = _scratch_keyed(spark, "documents_fragmented", sf_dir)
+    compact = _scratch_keyed(spark, "documents_compacted", sf_dir)
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     docs.repartition(32).write.mode("overwrite").parquet(frag)
     spark.read.parquet(frag).coalesce(2).write.mode("overwrite").parquet(compact)
@@ -287,7 +304,7 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the executed plan); the oracle proves the pruned read returns
     exactly the rows the logical join demands.
     """
-    path = _scratch("dpp_documents_by_lang")
+    path = _scratch_keyed(spark, "dpp_documents_by_lang", sf_dir)
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     docs.write.mode("overwrite").partitionBy("lang").parquet(path)
     fact = spark.read.schema("doc_id long, n_chars long, lang string").parquet(path)

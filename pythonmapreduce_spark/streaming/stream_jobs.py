@@ -28,7 +28,9 @@ from pythonmapreduce_spark.catalog import SCHEMAS, events_stream_source
 from pythonmapreduce_spark.plans.registry import register
 
 
-def _run_to_memory(stream_df: DataFrame, mode: str) -> tuple[SparkSession, str]:
+def _run_to_memory(
+    stream_df: DataFrame, mode: str, partitions: int = 8
+) -> tuple[SparkSession, str]:
     """Run a streaming DataFrame to completion into a memory sink.
 
     availableNow processes the whole source as one bounded run, then the
@@ -44,8 +46,15 @@ def _run_to_memory(stream_df: DataFrame, mode: str) -> tuple[SparkSession, str]:
     # plenty for a bounded replay; production picks this per expected
     # state volume, and it's per-query (each has its own checkpoint), so
     # the batch-session conf is restored right after start-up.
+    # Stream-stream joins pass partitions=4: each join partition is FOUR
+    # store instances (keyToNumValues + keyWithIndexToValue per side), so
+    # a join at 8 partitions commits 32 stores per micro-batch — measured
+    # 3.5 s → 2.2 s at sf0.1 going 8→4, and the left join runs TWO
+    # micro-batches (data + the no-data flush that emits watermark-expired
+    # NULL rows), doubling every per-store commit. This was the repo's
+    # most contention-amplified query (r04: 6.2 s driver vs 2.6 s idle).
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -310,7 +319,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.event_id").alias("purchase_id"),
         (F.unix_micros(F.col("p.ts")) - F.unix_micros(F.col("c.ts"))).alias("lag_us"),
     )
-    _, name = _run_to_memory(joined, "append")
+    _, name = _run_to_memory(joined, "append", partitions=4)
     return spark.table(name)
 
 
@@ -394,7 +403,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.event_id").alias("purchase_id"),
         (F.unix_micros(F.col("p.ts")) - F.unix_micros(F.col("c.ts"))).alias("lag_us"),
     )
-    _, name = _run_to_memory(joined, "append")
+    _, name = _run_to_memory(joined, "append", partitions=4)
     return spark.table(name)
 
 

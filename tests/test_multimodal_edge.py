@@ -79,6 +79,7 @@ def edge_dir(tmp_path_factory, sf_smoke) -> str:
         "multimodal_features",
         "frame_sample",
         "image_resize",
+        "audio_decode_wav",
     ],
 )
 def test_multimodal_oracle_on_edge_corpus(spark, edge_dir, name) -> None:
@@ -115,3 +116,42 @@ def test_phantom_tail_chunk_absent(spark, edge_dir) -> None:
     # and the y/CJK pair contributes its own chunks — no hash may claim
     # more copies than floor-division chunking allows
     assert all(copies <= 4 for _, copies in out.values())
+
+
+def test_wav_codec_roundtrip_unit() -> None:
+    # The REAL stdlib WAV codec, no Spark: header fields and samples must
+    # survive the container round trip bit-exact, and the canonical
+    # header is 44 bytes (the container_bytes oracle pin).
+    import pandas as pd
+
+    from pythonmapreduce_spark.pipeline.multimodal import _wav_roundtrip
+
+    src = pd.DataFrame({"doc_id": [7, 123456], "n": [16, 271]})
+    (out,) = list(_wav_roundtrip(iter([src])))
+    assert list(out["n_frames"]) == [16, 271]
+    assert set(out["framerate"]) == {8000}
+    assert set(out["sampwidth"]) == {2}
+    assert set(out["n_channels"]) == {1}
+    assert list(out["container_bytes"]) == [44 + 2 * 16, 44 + 2 * 271]
+    # checksum matches the deterministic PCM formula independently
+    for doc_id, n, got in zip(src["doc_id"], src["n"], out["checksum"]):
+        want = sum((int(doc_id) * 31 + i * 17) % 65536 - 32768 for i in range(int(n)))
+        assert int(got) == want
+
+
+def test_image_codec_roundtrip_unit() -> None:
+    # Real image decode wherever the container allows (capability probe);
+    # deterministic NotImplementedError contract where it doesn't.
+    import numpy as np
+
+    from pythonmapreduce_spark.pipeline import multimodal as mm
+
+    grid = (np.arange(48, dtype=np.uint8) * 5 % 256).reshape(6, 8)
+    if mm._IMAGE_CODEC is None:
+        with pytest.raises(NotImplementedError):
+            mm.encode_image(grid)
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(b"\x89PNG\r\n\x1a\n")
+    else:
+        back = mm.decode_image(mm.encode_image(grid))
+        assert np.array_equal(np.asarray(back).reshape(6, 8), grid)
