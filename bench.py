@@ -3,10 +3,24 @@
 
 Prints ONE JSON line:
   {"metric": "headline_total", "value": N, "unit": "sec",
-   "queries": {"q": sec, ...}, "sf": 0.1}
+   "queries": {"q": sec, ...}, "sf": 0.1,
+   "protocol": {"warmups": 2, "timed_runs": 3, "stat": "median",
+                "load_avg_start": ..., "load_avg_end": ...}}
 
 Each query executes fully through the noop sink (no driver-side collect,
 no result materialization cost — pure engine time).
+
+Measurement protocol (round 5): per query, 2 untimed warmups (codegen +
+C1, then C2 tiering), then THREE timed runs, reporting the per-query
+MEDIAN; the headline is the sum of medians. Rationale: single-run
+timings on a shared machine conflate engine time with scheduler noise —
+the round-4 numbers ranged 51.1 s (idle) to 63.6 s (contended) for an
+identical plan set, and the then-published band had been built by
+hand-excluding a contended run (a process smell the round-4 review
+called out). The median absorbs one bad run per query with no manual
+exclusions, and the emitted 1-minute load averages (start/end) record
+the contention context every run carries, so any future band dispute is
+settled by data in the JSON itself, not by re-running from memory.
 """
 
 from __future__ import annotations
@@ -14,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -111,18 +126,19 @@ def main() -> int:
     # Warm the JVM/codegen paths once with a trivial action.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    load_start = round(os.getloadavg()[0], 2)
+    warmups, timed_runs = 2, 3
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        # two warmup executions (first triggers codegen + C1 JIT, second
-        # lets C2 tiering settle), then the timed run — steady-state
-        # throughput is what's comparable across rounds
-        for _ in range(2):
+        for _ in range(warmups):
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(timed_runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(statistics.median(samples), 3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -133,6 +149,13 @@ def main() -> int:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "protocol": {
+                    "warmups": warmups,
+                    "timed_runs": timed_runs,
+                    "stat": "median",
+                    "load_avg_start": load_start,
+                    "load_avg_end": round(os.getloadavg()[0], 2),
+                },
             }
         )
     )
