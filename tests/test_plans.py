@@ -638,3 +638,19 @@ def test_dedup_unicode_normalized_single_arrow_stage(spark, sf_smoke) -> None:
     assert "BatchEvalPython" not in plan
     read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert all("struct<text:string>" in ln for ln in read_schemas), read_schemas
+
+
+def test_audio_decode_wav_narrow_two_column_scan(spark, sf_smoke) -> None:
+    # The WAV codec round trip is ONE MapInPandas stage directly over the
+    # scan — no exchange anywhere (narrow: payloads are built AND decoded
+    # inside the stage, so nothing wider than two longs enters Python and
+    # nothing shuffles at all), and the scan reads only doc_id + n_chars
+    # (text must be pruned away: this query never touches it).
+    plan = _plan(registry.QUERIES["audio_decode_wav"](spark, sf_smoke))
+    assert plan.count("MapInPandas (") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schemas and all(
+        "doc_id" in ln and "n_chars" in ln and "text" not in ln for ln in read_schemas
+    ), read_schemas

@@ -196,6 +196,12 @@ NOTES = {
         "only non-equi join is the 1-row broadcast of the raw-unique "
         "aggregate."
     ),
+    "audio_decode_wav": (
+        "REAL stdlib WAV codec round trip in one narrow MapInPandas "
+        "directly over a two-column pruned scan (doc_id, n_chars — text "
+        "pruned): zero exchanges in the whole plan; payloads are built "
+        "and decoded inside the stage so no blob ever shuffles."
+    ),
 }
 
 
