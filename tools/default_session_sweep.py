@@ -18,10 +18,10 @@ engine leaks the machine zone into results —
 (the process TZ moves the JVM default zone AND DuckDB's ICU TimeZone;
 the registered queries pin spark.sql.session.timeZone=UTC themselves,
 and the oracles use naive UTC timestamp arithmetic, so both sweeps
-must be green). Round-5 measurement: 378/378 green under UTC, ~250 s
-at sf0.01 (round 4 measured the then-372 both under UTC and under
-Asia/Tokyo). The check has teeth: re-setting the session zone to
-Asia/Tokyo after tuning flips window_tumbling to a hash mismatch.
+must be green). Round-5 measurements: 378/378 green under UTC (~250 s)
+AND under Asia/Tokyo (~210 s) at sf0.01. The check has teeth:
+re-setting the session zone to Asia/Tokyo after tuning flips
+window_tumbling to a hash mismatch.
 
 Usage: python tools/default_session_sweep.py [--sf-dir DIR] [--limit N]
 """
