@@ -91,31 +91,103 @@ def _scratch(name: str) -> str:
     return os.path.join(tempfile.gettempdir(), "pmr_spark_io", name)
 
 
+def _session_uid(spark: SparkSession) -> str:
+    """A uuid private to this SparkSession OBJECT (not its application):
+    ``spark.newSession()`` clones share the applicationId, and the REST
+    server's thread pool shares one session across requests, so neither
+    pid nor applicationId distinguishes two live sessions in one driver.
+    Attached under SCRATCH_LOCK with the double-checked pattern
+    catalog._session_memo uses (a racing second attach would silently
+    fork the namespace — harmless, but the lock is already here)."""
+    uid = getattr(spark, "_pmr_scratch_uid", None)
+    if uid is None:
+        with SCRATCH_LOCK:
+            uid = getattr(spark, "_pmr_scratch_uid", None)
+            if uid is None:
+                import uuid
+
+                uid = uuid.uuid4().hex[:8]
+                spark._pmr_scratch_uid = uid
+    return uid
+
+
+_SWEPT_STALE = False
+
+
+def _sweep_stale_scratch() -> None:
+    """Once per process: remove pmr_spark_io entries keyed to DEAD pids.
+
+    Keyed dirs cannot be removed by their creators (lazy readers are
+    still serving them when the query returns), so without this the key
+    space — one set of dirs per (process, session, input) — grows
+    without bound across pytest runs, sweeps, and driver rounds. Any
+    entry embedding ``_pid<digits>_`` whose pid no longer exists is
+    garbage by construction (its lazy readers died with the process).
+    Live pids (including reused ones) are left alone — the sweep bounds
+    growth, it doesn't guarantee emptiness."""
+    global _SWEPT_STALE
+    if _SWEPT_STALE:
+        return
+    with SCRATCH_LOCK:
+        if _SWEPT_STALE:
+            return
+        _SWEPT_STALE = True
+        import re
+        import shutil
+
+        root = os.path.join(tempfile.gettempdir(), "pmr_spark_io")
+        try:
+            entries = os.listdir(root)
+        except OSError:
+            return
+        for entry in entries:
+            # keyed round-trip dirs AND the pid-named embedded-Derby dbs
+            # (source_roundtrip_jdbc) — both are one-per-process litter
+            m = re.search(r"_pid(\d+)_", entry) or re.fullmatch(
+                r"derby_db_(\d+)", entry
+            )
+            if not m or int(m.group(1)) == os.getpid():
+                continue
+            try:
+                os.kill(int(m.group(1)), 0)
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+            except OSError:
+                pass  # pid exists (or EPERM): leave it
+
+
 def _scratch_keyed(spark: SparkSession, name: str, sf_dir: str) -> str:
-    """(pid, app, input)-keyed scratch dir for round trips that RETURN a
-    lazy reader over the written files: the caller (driver) collects after
-    return, so the dir must be private to this (process, session, input)
-    triple — with a shared name, a concurrent invocation's mode-overwrite
-    could delete part-files between this call's return and the caller's
-    collect (the libsvm/refwire keying pattern, minus the rmtree: lazy
-    readers cannot clean up behind themselves, and overwrite-in-place
-    bounds the footprint to one dir per key)."""
+    """(process, session-object, input)-keyed scratch dir for round trips
+    that RETURN a lazy reader over the written files: the caller (driver)
+    collects after return, so the dir must be private enough that no
+    OTHER live invocation's mode-overwrite can delete part-files between
+    this call's return and the caller's collect. pid + a per-session uuid
+    + the input digest make concurrent processes, newSession() clones,
+    and distinct sessions on one thread pool all disjoint. The one regime
+    NOT covered: two threads invoking the SAME query on the SAME session
+    and input concurrently — they compute the same key, and closing that
+    would require eager materialization (which would also truncate the
+    lineage the plan-pin tests assert on); every in-repo harness and the
+    external driver run a session's queries sequentially. Dirs are
+    reused per key (overwrite-in-place), and dead-pid keys are reaped by
+    _sweep_stale_scratch so the key space stays bounded across runs."""
     import hashlib
 
+    _sweep_stale_scratch()
     return _scratch(
-        f"{name}_pid{os.getpid()}_{spark.sparkContext.applicationId}_"
+        f"{name}_pid{os.getpid()}_{_session_uid(spark)}_"
         f"{hashlib.sha1(sf_dir.encode()).hexdigest()[:8]}"
     )
 
 
-# Serializes every (pid, app, input)-keyed scratch write→read lifecycle
-# (libsvm/refwire round trips, foreachBatch upsert): two concurrent
-# invocations in one process — spark.newSession() clones share the
-# applicationId, hence the scratch key — would otherwise let B's
-# entry-rmtree delete A's in-flight files between A's write and its
-# materializing read (the same hazard stream_state_inspect's lock
-# closes). RLock, pure in-process: the keys are pid-scoped so no
-# cross-process coordination is needed.
+# Serializes every keyed scratch write→read lifecycle (libsvm/refwire
+# round trips, foreachBatch upsert): two concurrent invocations of the
+# SAME query on the SAME session and input compute the same key, so B's
+# entry-rmtree would otherwise delete A's in-flight files between A's
+# write and its materializing read (the same hazard
+# stream_state_inspect's lock closes). RLock, pure in-process: the keys
+# are pid-scoped so no cross-process coordination is needed. Also guards
+# the one-time attach in _session_uid and the one-shot stale-dir sweep.
 SCRATCH_LOCK = threading.RLock()
 
 
@@ -412,19 +484,14 @@ def source_libsvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" 3:"), F.element_at("v", 3).cast("string"),
         F.lit(" 4:"), F.element_at("v", 4).cast("string"),
     )
-    # (pid, app, input-digest)-keyed scratch, stale tree removed at entry
+    # (pid, session, input-digest)-keyed scratch, stale tree removed at entry
     # (the stream_state_inspect remediation pattern — the old uuid key
     # leaked one libsvm dir per invocation); the read-back is
     # localCheckpoint-materialized so the dir can be removed before
     # returning — nothing reads it lazily. The whole write→read
     # lifecycle holds SCRATCH_LOCK so a concurrent invocation's
     # entry-rmtree cannot delete these files mid-flight.
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        "pmr_spark_io",
-        f"libsvm_pid{os.getpid()}_{spark.sparkContext.applicationId}_"
-        f"{_hashlib.sha1(sf_dir.encode()).hexdigest()[:8]}",
-    )
+    out_dir = _scratch_keyed(spark, "libsvm", sf_dir)
     with SCRATCH_LOCK:
         _shutil.rmtree(out_dir, ignore_errors=True)
         emb.select(line.alias("value")).write.mode("overwrite").text(out_dir)

@@ -286,26 +286,21 @@ def sink_roundtrip_refwire(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture corpus contains no delimiter bytes, which is exactly the
     assumption the reference itself lives on.
     """
-    import hashlib as _hashlib
     import shutil as _shutil
 
     from pythonmapreduce_spark.catalog import load
 
     register_refwire(spark)
-    # (pid, app, input-digest)-keyed so repeated runs REUSE one scratch
+    # (pid, session, input-digest)-keyed so repeated runs REUSE one scratch
     # location instead of leaking a fresh uuid dir per invocation (the
     # stream_state_inspect remediation pattern, ADVICE r3); the stale
     # prior tree is removed at entry. Safe against an earlier
     # invocation's still-held DataFrame because the read below is
     # localCheckpoint-materialized before return — nothing returned here
     # reads these files lazily.
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        "pmr_spark_io",
-        f"refwire_rt_pid{os.getpid()}_{spark.sparkContext.applicationId}_"
-        f"{_hashlib.sha1(sf_dir.encode()).hexdigest()[:8]}",
-    )
-    from pythonmapreduce_spark.sources.readers import SCRATCH_LOCK
+    from pythonmapreduce_spark.sources.readers import SCRATCH_LOCK, _scratch_keyed
+
+    out_dir = _scratch_keyed(spark, "refwire_rt", sf_dir)
 
     # the whole write→read lifecycle holds SCRATCH_LOCK so a concurrent
     # invocation's entry-rmtree (same (pid, app, input) key from a

@@ -433,10 +433,9 @@ def sink_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-least-once foreachBatch contract) merges to the same state —
     idempotent, hence effectively exactly-once.
     """
-    import hashlib
     import shutil
 
-    # (pid, app, input-digest)-keyed scratch, stale tree removed at entry
+    # (pid, session, input-digest)-keyed scratch, stale tree removed at entry
     # (the stream_state_inspect remediation pattern — the old uuid key
     # leaked a fresh versioned-target tree per invocation); the WHOLE
     # base is removed before returning, which is safe because the
@@ -444,14 +443,9 @@ def sink_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # these files lazily. The full write→stream→read lifecycle holds
     # SCRATCH_LOCK so a concurrent invocation's entry-rmtree (same key
     # from a newSession clone) cannot delete it mid-flight.
-    from pythonmapreduce_spark.sources.readers import SCRATCH_LOCK
+    from pythonmapreduce_spark.sources.readers import SCRATCH_LOCK, _scratch_keyed
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "pmr_spark_io",
-        f"fbu_pid{os.getpid()}_{spark.sparkContext.applicationId}_"
-        f"{hashlib.sha1(sf_dir.encode()).hexdigest()[:8]}",
-    )
+    base = _scratch_keyed(spark, "fbu", sf_dir)
     with SCRATCH_LOCK:
         shutil.rmtree(base, ignore_errors=True)
         src_dir = os.path.join(base, "src")

@@ -54,16 +54,20 @@ def test_permissive_read_quarantines_corrupt_rows(spark) -> None:
 def test_compaction_reduces_file_count(spark, sf_oracle) -> None:
     import glob
     import os
-    import tempfile
 
     from pythonmapreduce_spark.plans import registry
+    from pythonmapreduce_spark.sources.readers import _scratch_keyed
 
     registry.load_all()
     df = registry.QUERIES["sink_compaction"](spark, sf_oracle)
     assert df.count() > 0
-    base = os.path.join(tempfile.gettempdir(), "pmr_spark_io")
-    frag = glob.glob(os.path.join(base, "documents_fragmented", "*.parquet"))
-    comp = glob.glob(os.path.join(base, "documents_compacted", "*.parquet"))
+    # derive the SAME (pid, session, input)-keyed dirs the query wrote —
+    # asserting on the old fixed names would inspect stale leftovers from
+    # earlier runs instead of this invocation's output
+    frag_dir = _scratch_keyed(spark, "documents_fragmented", sf_oracle)
+    comp_dir = _scratch_keyed(spark, "documents_compacted", sf_oracle)
+    frag = glob.glob(os.path.join(frag_dir, "*.parquet"))
+    comp = glob.glob(os.path.join(comp_dir, "*.parquet"))
     assert len(frag) >= 16
     assert len(comp) <= 2
 
