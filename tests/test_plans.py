@@ -654,3 +654,62 @@ def test_audio_decode_wav_narrow_two_column_scan(spark, sf_smoke) -> None:
     assert read_schemas and all(
         "doc_id" in ln and "n_chars" in ln and "text" not in ln for ln in read_schemas
     ), read_schemas
+
+
+def test_gram_matrix_corpus_never_shuffles(spark, sf_smoke) -> None:
+    # X^T X as per-batch GEMM partials: ONE MapInPandas over an
+    # embedding-only pruned scan, and the ONLY exchange carries the
+    # (i, j, partial) flat rows — 4096 per batch, independent of n —
+    # into the final sum. The corpus itself must never shuffle: that is
+    # the property that turns a 100 TB corpus into a 16 KB matrix.
+    plan = _plan(registry.QUERIES["gram_matrix"](spark, sf_smoke))
+    assert plan.count("MapInPandas (") == 1
+    assert "BatchEvalPython" not in plan
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schemas and all(
+        "embedding" in ln and "vec_id" not in ln for ln in read_schemas
+    ), read_schemas
+    keys = _partition_keys(plan)
+    assert keys and all(k.startswith(("i", "j")) for k in keys), keys
+
+
+def test_pca_projection_pass_is_pure_codegen(spark, sf_smoke) -> None:
+    # PCA pass 2 (the returned plan): components arrive as broadcast
+    # array literals and the projection is zip_with/aggregate Column
+    # math — NO Python stage and NO exchange anywhere; the corpus
+    # streams through one codegen scan. (Pass 1's bounded d^2 collect
+    # happens before this plan exists; tests/test_pca.py pins its math.)
+    plan = _plan(registry.QUERIES["pca_project"](spark, sf_smoke))
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython", "Exchange"):
+        assert marker not in plan, marker
+
+
+def test_embedding_quantize_scan_only(spark, sf_smoke) -> None:
+    # int8 scalar quantization is per-row higher-order-function math:
+    # the scan IS the whole plan — no exchange, no Python stage.
+    plan = _plan(registry.QUERIES["embedding_quantize"](spark, sf_smoke))
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython", "Exchange"):
+        assert marker not in plan, marker
+
+
+def test_knn_gemm_single_arrow_stage(spark, sf_smoke) -> None:
+    # GEMM-path kNN: one Arrow stage does the matmul + per-batch top-k
+    # prune; only (query, candidate, score) survivors reach the single
+    # ranking exchange. No cartesian/nested-loop of the corpus.
+    plan = _plan(registry.QUERIES["knn_gemm"](spark, sf_smoke))
+    assert plan.count("MapInPandas (") == 1
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_recall_contracts_no_cartesian(spark, sf_smoke) -> None:
+    # The four ANN recall contracts each join an approximate shortlist
+    # against exact kNN truth. The tiny query set (20 rows) broadcasts —
+    # BroadcastNestedLoopJoin is the intended shape there — but a raw
+    # CartesianProduct or row-at-a-time Python anywhere would mean the
+    # corpus side lost its broadcast/blocked formulation.
+    for name in ("ann_ivf_recall", "ann_lsh_recall", "ann_pq_recall",
+                 "ann_pq_rerank_recall"):
+        plan = _plan(registry.QUERIES[name](spark, sf_smoke))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
