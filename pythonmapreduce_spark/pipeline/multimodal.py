@@ -44,17 +44,38 @@ FEATURE_SCHEMA = (
 # what the oracles pin — but a production image (pip install pillow) flips
 # the real round trip on with zero code change, and the oracles still hold
 # because PNG is lossless (encode→decode is the identity on the grid).
-try:  # pragma: no cover - environment-dependent
-    from PIL import Image as _PILImage  # type: ignore
+#
+# The probe EXECUTES a tiny in-memory PNG encode→decode round trip rather
+# than keying off import success: imageio installed without a PNG-capable
+# plugin (no pillow/pypng backend) imports fine but throws plugin errors
+# on first use, which would otherwise surface inside executor tasks
+# instead of taking the graceful NotImplementedError stand-in path.
+def _probe_image_codec() -> str | None:  # pragma: no cover - env-dependent
+    global _PILImage, _imageio
+    grid = np.arange(9, dtype=np.uint8).reshape(3, 3)
+    try:
+        import io
 
-    _IMAGE_CODEC: str | None = "PIL"
-except ImportError:  # pragma: no cover
+        from PIL import Image as _PILImage  # type: ignore
+
+        buf = io.BytesIO()
+        _PILImage.fromarray(grid, mode="L").save(buf, format="PNG")
+        if np.array_equal(np.asarray(_PILImage.open(io.BytesIO(buf.getvalue()))), grid):
+            return "PIL"
+    except Exception:
+        pass
     try:
         import imageio.v3 as _imageio  # type: ignore
 
-        _IMAGE_CODEC = "imageio"
-    except ImportError:
-        _IMAGE_CODEC = None
+        png = _imageio.imwrite("<bytes>", grid, extension=".png")
+        if np.array_equal(_imageio.imread(png, extension=".png"), grid):
+            return "imageio"
+    except Exception:
+        pass
+    return None
+
+
+_IMAGE_CODEC: str | None = _probe_image_codec()
 
 
 def encode_image(arr: "np.ndarray") -> bytes:

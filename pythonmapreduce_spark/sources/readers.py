@@ -113,18 +113,57 @@ def _session_uid(spark: SparkSession) -> str:
 
 _SWEPT_STALE = False
 
+# Live-pid entries older than this are reaped anyway: a long-lived driver
+# (the REST server) that churns SparkSession objects accumulates one dir
+# set per session uid for the life of the process, and age is the only
+# signal that a set's lazy readers are gone. Two days is far beyond any
+# single query/round lifetime here.
+_SCRATCH_AGE_LIMIT_S = 2 * 24 * 3600
+
+# Fixed-name entries current code still writes WITHOUT a pid key — an
+# immutable content cache regenerated on demand; never age-reaped because
+# its mtime stays at first creation while readers keep using it.
+_FIXED_LIVE_SCRATCH = {"refwire_books"}
+
+# Fixed names the pre-round-5 scheme wrote; no current code references
+# them, so they are removed on sight regardless of age (one-time cleanup
+# of pre-existing litter — new runs never recreate them).
+_LEGACY_FIXED_SCRATCH = {
+    "nation_csv",
+    "region_json",
+    "part_xml",
+    "part_v1",
+    "part_v2",
+    "supplier_orc",
+    "documents_by_lang",
+    "documents_compacted",
+    "documents_fragmented",
+    "dpp_documents_by_lang",
+    "refwire_rt",
+}
+
 
 def _sweep_stale_scratch() -> None:
-    """Once per process: remove pmr_spark_io entries keyed to DEAD pids.
+    """Once per process: bound the pmr_spark_io key space.
 
     Keyed dirs cannot be removed by their creators (lazy readers are
     still serving them when the query returns), so without this the key
     space — one set of dirs per (process, session, input) — grows
-    without bound across pytest runs, sweeps, and driver rounds. Any
-    entry embedding ``_pid<digits>_`` whose pid no longer exists is
-    garbage by construction (its lazy readers died with the process).
-    Live pids (including reused ones) are left alone — the sweep bounds
-    growth, it doesn't guarantee emptiness."""
+    without bound across pytest runs, sweeps, and driver rounds. Three
+    reap rules over entries not owned by this process:
+
+    1. pid-keyed entry (``_pid<d>_``, ``derby_db_<d>``, or the trailing
+       ``_<d>`` form of documents_dyn_overwrite/documents_prov) whose
+       pid is dead — garbage by construction.
+    2. pid-keyed entry whose pid is ALIVE but whose mtime is older than
+       ``_SCRATCH_AGE_LIMIT_S`` — session-uid churn inside a long-lived
+       driver; bounded by age instead of process death.
+    3. entry with no recognizable pid key (the pre-round-5 fixed-name
+       scheme: nation_csv, region_json, documents_fragmented, …) older
+       than the limit — legacy litter nothing live references. The
+       ``_FIXED_LIVE_SCRATCH`` allowlist protects the one fixed-name
+       cache current code still serves.
+    """
     global _SWEPT_STALE
     if _SWEPT_STALE:
         return
@@ -134,26 +173,45 @@ def _sweep_stale_scratch() -> None:
         _SWEPT_STALE = True
         import re
         import shutil
+        import time
 
         root = os.path.join(tempfile.gettempdir(), "pmr_spark_io")
         try:
             entries = os.listdir(root)
         except OSError:
             return
+        now = time.time()
+
+        def aged(path: str) -> bool:
+            try:
+                return now - os.path.getmtime(path) > _SCRATCH_AGE_LIMIT_S
+            except OSError:
+                return False  # vanished or unreadable: skip
+
         for entry in entries:
-            # keyed round-trip dirs AND the pid-named embedded-Derby dbs
-            # (source_roundtrip_jdbc) — both are one-per-process litter
-            m = re.search(r"_pid(\d+)_", entry) or re.fullmatch(
-                r"derby_db_(\d+)", entry
+            path = os.path.join(root, entry)
+            m = (
+                re.search(r"_pid(\d+)_", entry)
+                or re.fullmatch(r"derby_db_(\d+)", entry)
+                or re.fullmatch(r"documents_(?:dyn_overwrite|prov)_(\d+)", entry)
             )
-            if not m or int(m.group(1)) == os.getpid():
+            if m is None:
+                if entry in _LEGACY_FIXED_SCRATCH or (
+                    entry not in _FIXED_LIVE_SCRATCH and aged(path)
+                ):
+                    shutil.rmtree(path, ignore_errors=True)  # rule 3
+                continue
+            if int(m.group(1)) == os.getpid():
                 continue
             try:
                 os.kill(int(m.group(1)), 0)
             except ProcessLookupError:
-                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+                shutil.rmtree(path, ignore_errors=True)  # rule 1
+                continue
             except OSError:
-                pass  # pid exists (or EPERM): leave it
+                pass  # EPERM: pid exists
+            if aged(path):
+                shutil.rmtree(path, ignore_errors=True)  # rule 2
 
 
 def _scratch_keyed(spark: SparkSession, name: str, sf_dir: str) -> str:

@@ -79,3 +79,63 @@ def test_cli_surface() -> None:
     assert main(["list"]) == 0
     assert main(["oracle", "wordcount"]) == 0
     assert main(["oracle", "dedup_near"]) == 1  # rows-only
+
+
+def test_sweep_stale_scratch_rules(tmp_path, monkeypatch) -> None:
+    """The once-per-process scratch sweep bounds the pmr_spark_io key
+    space via three rules: dead-pid keyed entries (any of the three pid
+    patterns) go unconditionally, live-foreign-pid entries go only past
+    the age limit, and non-pid entries go when legacy-listed or aged —
+    with the live fixed-name allowlist immune even at any age."""
+    import time
+
+    from pythonmapreduce_spark.sources import readers
+
+    root = tmp_path / "pmr_spark_io"
+    root.mkdir()
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(readers, "_SWEPT_STALE", False)
+
+    dead = 999_999  # find a pid that demonstrably does not exist
+    while True:
+        try:
+            os.kill(dead, 0)
+        except ProcessLookupError:
+            break
+        except OSError:
+            pass
+        dead -= 1
+
+    old = time.time() - readers._SCRATCH_AGE_LIMIT_S - 60
+    gone, kept = [], []
+
+    def mk(name: str, aged: bool = False) -> str:
+        p = root / name
+        p.mkdir()
+        if aged:
+            os.utime(p, (old, old))
+        return name
+
+    # rule 1: dead-pid entries, all three patterns
+    gone.append(mk(f"nation_csv_pid{dead}_ab12cd34_ef56ab78"))
+    gone.append(mk(f"derby_db_{dead}"))
+    gone.append(mk(f"documents_prov_{dead}"))
+    gone.append(mk(f"documents_dyn_overwrite_{dead}"))
+    # rule 2: live foreign pid (pid 1 always exists) — aged goes, fresh stays
+    gone.append(mk("region_json_pid1_ab12cd34_ef56ab78", aged=True))
+    kept.append(mk("part_xml_pid1_ab12cd34_ef56ab78"))
+    # own pid is never touched, even aged
+    kept.append(mk(f"own_pid{os.getpid()}_ab12cd34_ef56ab78", aged=True))
+    # rule 3: legacy fixed names go on sight; unknown names only when aged
+    gone.append(mk("nation_csv"))
+    gone.append(mk("documents_fragmented"))
+    gone.append(mk("mystery_aged", aged=True))
+    kept.append(mk("mystery_fresh"))
+    # allowlisted fixed-name cache survives any age
+    kept.append(mk("refwire_books", aged=True))
+
+    readers._sweep_stale_scratch()
+
+    remaining = sorted(p.name for p in root.iterdir())
+    assert remaining == sorted(kept)
+    assert not any((root / g).exists() for g in gone)
