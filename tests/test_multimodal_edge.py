@@ -155,3 +155,39 @@ def test_image_codec_roundtrip_unit() -> None:
     else:
         back = mm.decode_image(mm.encode_image(grid))
         assert np.array_equal(np.asarray(back).reshape(6, 8), grid)
+
+
+def test_image_codec_probe_requires_working_roundtrip(monkeypatch) -> None:
+    """The capability probe must key off an EXECUTED encode→decode round
+    trip, not import success: an imageio present without a PNG-capable
+    plugin imports fine but throws on first use, and must resolve to the
+    no-codec stand-in path instead of failing inside executor tasks."""
+    import sys
+    import types
+
+    from pythonmapreduce_spark.pipeline import multimodal as mm
+
+    # No PIL, and an imageio.v3 that imports but raises on use.
+    broken = types.ModuleType("imageio.v3")
+    broken.imwrite = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("no PNG plugin installed")
+    )
+    broken.imread = broken.imwrite
+    pkg = types.ModuleType("imageio")
+    pkg.v3 = broken
+    monkeypatch.setitem(sys.modules, "PIL", None)  # import PIL -> ImportError
+    monkeypatch.setitem(sys.modules, "imageio", pkg)
+    monkeypatch.setitem(sys.modules, "imageio.v3", broken)
+    assert mm._probe_image_codec() is None
+
+    # An imageio whose decode does not invert encode must also be rejected.
+    import numpy as np
+
+    lossy = types.ModuleType("imageio.v3")
+    lossy.imwrite = lambda uri, arr, extension: b"payload"
+    lossy.imread = lambda payload, extension: np.zeros((3, 3), dtype=np.uint8)
+    pkg2 = types.ModuleType("imageio")
+    pkg2.v3 = lossy
+    monkeypatch.setitem(sys.modules, "imageio", pkg2)
+    monkeypatch.setitem(sys.modules, "imageio.v3", lossy)
+    assert mm._probe_image_codec() is None
