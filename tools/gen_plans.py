@@ -222,7 +222,12 @@ def main() -> None:
         df = QUERIES[name](spark, SF)
         plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
         out.append(f"## {name}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
-    with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as fh:
+    # PLANS_OUT lets tools/check_plan_drift.py capture to a temp file and
+    # diff against the committed dump without touching it.
+    dest = os.environ.get(
+        "PLANS_OUT", os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    )
+    with open(dest, "w") as fh:
         fh.write("\n".join(out))
 
 
