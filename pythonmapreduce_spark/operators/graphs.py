@@ -521,7 +521,15 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     a0 = sym.select(F.col("src").alias("vid")).distinct().withColumn("a", F.lit(1.0))
-    h1r = (
+    # Each raw score table feeds BOTH its own normalizer aggregate and the
+    # next half-round (and h1 additionally the final join). Without
+    # materializing these O(V) tables Catalyst re-executes the |E|-sized
+    # propagation join once per consumer (measured: 4 nested-loop
+    # normalizer subtrees instead of 2, with h1's edge join computed three
+    # times); checkpointing them keeps each half-round's shuffle join
+    # computed exactly once — the two-table-UPDATE shape iterative HITS
+    # needs at scale.
+    h1r = iter_materialize(
         sym.join(a0, sym.dst == a0.vid)
         .groupBy("src")
         .agg(F.sum("a").alias("h"))
@@ -531,7 +539,7 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     h1 = h1r.crossJoin(F.broadcast(h_tot)).select(
         "vid", (F.col("h") / F.col("ht")).alias("h")
     )
-    a1r = (
+    a1r = iter_materialize(
         sym.join(h1, sym.src == h1.vid)
         .groupBy("dst")
         .agg(F.sum("h").alias("a"))

@@ -713,3 +713,101 @@ def test_ann_recall_contracts_no_cartesian(spark, sf_smoke) -> None:
         plan = _plan(registry.QUERIES[name](spark, sf_smoke))
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_triangle_wedge_joins_stay_equi_with_pruned_scans(spark, sf_smoke) -> None:
+    # The node-iterator wedge join must plan both hops as hash equi-joins
+    # (wedge self-join keyed on the lower endpoint, closing probe on
+    # (v, w)) — the v<w orientation is a residual condition, never a
+    # BNLJ/cartesian trigger. Built over the raw edge derivation (no
+    # iter_materialize) so the pins also cover the scans: lineitem reads
+    # only (l_orderkey, l_partkey) and the 1-URGENT predicate reaches the
+    # orders scan as a pushed filter. At 100 TB this is the difference
+    # between Σdeg² wedge volume and an accidental |E|² blowup.
+    from pythonmapreduce_spark.operators.graphs import _edges
+
+    e = _edges(spark, sf_smoke)
+    e1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = e.select(F.col("src").alias("u2"), F.col("dst").alias("w"))
+    wedges = e1.join(
+        e2, (F.col("u") == F.col("u2")) & (F.col("v") < F.col("w"))
+    ).select("v", "w")
+    closing = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    plan = _plan(wedges.join(closing, ["v", "w"]).agg(F.count(F.lit(1)).alias("n")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority,1-URGENT)" in plan
+    lineitem_schemas = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln and "l_orderkey" in ln
+    ]
+    assert lineitem_schemas and all(
+        "l_partkey" in ln and "l_quantity" not in ln and "l_extendedprice" not in ln
+        for ln in lineitem_schemas
+    ), lineitem_schemas
+
+
+def test_pagerank_round_is_one_equi_join_one_agg_exchange(spark, sf_smoke) -> None:
+    # One PageRank round over the checkpointed (edge, degree) base:
+    # ranks join on the source vertex must stay a hash equi-join and the
+    # per-destination sum a partial/final HashAggregate pair around ONE
+    # hashpartitioning exchange on dst — per-round cost at scale is
+    # exactly one shuffle of O(V) rank mass, never a re-shuffle of edges.
+    from pythonmapreduce_spark.operators.graphs import _edges
+    from pythonmapreduce_spark.plans.materialize import iter_materialize
+
+    e = _edges(spark, sf_smoke)
+    sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    base = iter_materialize(sym.join(deg, "src"))
+    ranks = base.select("src", "d").dropDuplicates(["src"]).select(
+        "src", F.lit(0.25).alias("pr")
+    )
+    rnd = (
+        base.join(ranks, "src")
+        .groupBy("dst")
+        .agg((F.lit(0.01) + 0.85 * F.sum(F.col("pr") / F.col("d"))).alias("pr"))
+    )
+    plan = _plan(rnd)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    dst_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Arguments: hashpartitioning(dst" in ln
+    ]
+    assert len(dst_exchanges) == 1, plan
+
+
+def test_hits_only_nested_loops_are_one_row_normalizer_broadcasts(
+    spark, sf_smoke
+) -> None:
+    # The two score-propagation joins must be hash equi-joins on vertex
+    # keys; the ONLY nested-loop shapes allowed are the two 1-row
+    # normalizer broadcasts (sum-of-hubs, sum-of-authorities crossJoins),
+    # which is the documented bounded-crossJoin pattern. A third nested
+    # loop means a score table lost its materialization and its |E|-sized
+    # propagation join is being re-executed per consumer; any cartesian
+    # means a score join silently degraded.
+    import re
+
+    plan = _plan(registry.QUERIES["hits_hub_authority"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    bnlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(bnlj) == 2, plan
+    assert "BuildRight, Cross" in plan or "Cross BuildRight" in plan
+    equi = re.findall(
+        r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan
+    )
+    assert len(equi) >= 1, plan  # the final hub⋈authority join at minimum
+    # (the propagation joins themselves sit behind the two score-table
+    # checkpoints, which truncate lineage out of this plan)
+
+
+def test_clustering_coef_no_cartesian_and_left_join_preserved(spark, sf_smoke) -> None:
+    # Triangle corners re-keyed per vertex then LEFT-joined to degrees:
+    # triangle-free vertices must survive (left join present), and no
+    # wedge or closing hop may degrade to cartesian/BNLJ.
+    plan = _plan(registry.QUERIES["graph_clustering_coef"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftOuter" in plan, plan
