@@ -386,38 +386,41 @@ def shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents").select("doc_id")
 
-    def hrw(n: int, alias: str):
-        shards = spark.range(n).select(F.col("id").alias("shard"))
-        w = F.expr(
-            "cast(conv(substring(md5(concat(cast(doc_id as string), '#', "
-            "cast(shard as string))), 1, 15), 16, 10) as bigint)"
-        )
-        return (
-            docs.crossJoin(F.broadcast(shards))
-            .select("doc_id", "shard", w.alias("w"))
-            .groupBy("doc_id")
-            .agg(F.max_by("shard", "w").alias(alias))
-        )
-
-    h8 = hrw(8, "shard8")
-    h9 = hrw(9, "shard9")
-    hrw_row = (
-        h8.join(h9, "doc_id")
-        .agg(
-            F.sum((F.col("shard8") != F.col("shard9")).cast("int"))
-            .cast("long")
-            .alias("n_moved"),
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-        )
-        .select(F.lit("hrw").alias("strategy"), "n_docs", "n_moved")
+    # LITERALLY one pass (round 6; previously the 8-shard argmax, the
+    # 9-shard argmax, and the mod accounting each re-scanned the key
+    # column): one crossJoin against the 9-shard broadcast computes both
+    # assignments — the 8-shard winner is the same argmax with the
+    # shard-8 candidate's weight nulled out (max_by skips null weights) —
+    # and the mod comparison rides the same aggregated frame.
+    shards = spark.range(9).select(F.col("id").alias("shard"))
+    w = F.expr(
+        "cast(conv(substring(md5(concat(cast(doc_id as string), '#', "
+        "cast(shard as string))), 1, 15), 16, 10) as bigint)"
     )
-    mod_row = docs.agg(
+    assigned = (
+        docs.crossJoin(F.broadcast(shards))
+        .select("doc_id", "shard", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.max_by("shard", F.when(F.col("shard") < 8, F.col("w"))).alias(
+                "shard8"
+            ),
+            F.max_by("shard", "w").alias("shard9"),
+        )
+    )
+    stats = assigned.agg(
+        F.sum((F.col("shard8") != F.col("shard9")).cast("int"))
+        .cast("long")
+        .alias("hrw_moved"),
         F.sum((F.col("doc_id") % 8 != F.col("doc_id") % 9).cast("int"))
         .cast("long")
-        .alias("n_moved"),
+        .alias("mod_moved"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-    ).select(F.lit("mod").alias("strategy"), "n_docs", "n_moved")
-    return hrw_row.unionByName(mod_row).select(
+    )
+    return stats.selectExpr(
+        "stack(2, 'hrw', n_docs, hrw_moved, 'mod', n_docs, mod_moved) "
+        "AS (strategy, n_docs, n_moved)"
+    ).select(
         "strategy",
         "n_docs",
         "n_moved",

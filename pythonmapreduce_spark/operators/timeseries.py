@@ -3601,15 +3601,25 @@ def cdc_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 5th updated +10%, every 10th deleted); one combine-enabled pass
     over it maintains the view regardless of how many changes a key saw.
     """
-    base = load(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderpriority",
-        # exact integer mills (see oracle comment): the one representation
-        # where +10% and per-row retractions never meet a round boundary
-        F.round(F.col("o_totalprice") * 1000).cast("long").alias("base_m"),
-        F.expr("CAST(ROUND(o_totalprice * 1000) AS BIGINT) * 11 div 10").alias(
-            "upd_m"
-        ),
+    from pythonmapreduce_spark.plans.materialize import iter_materialize
+
+    # Materialized (round 6): the three changelog branches and the
+    # recompute cross-check all consume base, and without a checkpoint
+    # each re-scanned orders (4 scans, zero exchange reuse). base is four
+    # narrow columns — one scan; in production the changelog arrives as a
+    # stream and only the recompute ever touches the base table.
+    base = iter_materialize(
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderpriority",
+            # exact integer mills (see oracle comment): the one
+            # representation where +10% and per-row retractions never
+            # meet a round boundary
+            F.round(F.col("o_totalprice") * 1000).cast("long").alias("base_m"),
+            F.expr("CAST(ROUND(o_totalprice * 1000) AS BIGINT) * 11 div 10").alias(
+                "upd_m"
+            ),
+        )
     )
     inserts = base.select(
         "o_orderpriority",

@@ -993,7 +993,13 @@ def coverage_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     work is bounded by duplicate volume, and only 16-byte digests + short
     source codes shuffle. Output is at most |sources|² rows.
     """
-    d = (
+    from pythonmapreduce_spark.plans.materialize import iter_materialize
+
+    # Materialized (round 6): sizes and both pair sides consume d, and
+    # without a checkpoint each re-ran the corpus scan + md5 + distinct
+    # shuffle (3 corpus passes, zero exchange reuse). d is (source,
+    # 16-byte digest) — digest width, one corpus pass.
+    d = iter_materialize(
         load(spark, sf_dir, "documents")
         .select("source", F.md5("text").alias("digest"))
         .distinct()

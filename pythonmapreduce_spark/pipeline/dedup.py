@@ -1061,7 +1061,14 @@ def remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # string allocations matter). The oracle keeps md5 over the joined
     # span; the duplicate-span SETS agree because both hashes group by
     # span content.
-    pos = (
+    # Materialized (round 6): dup and covered BOTH consume pos, and
+    # without a checkpoint each re-derived the tokenize + 8x explode +
+    # hash from parquet (4 corpus scans, zero exchange reuse). pos is
+    # (doc_id, span_key, p) ints — checkpointing it keeps the span
+    # derivation single-pass while storing only integer width, never
+    # tokens; the corpus is read exactly twice (here and the rebuild's
+    # tokpos, which genuinely needs the token strings).
+    pos = iter_materialize(
         toks.where(F.size("t") >= 8)
         .select(
             "doc_id",
@@ -1167,9 +1174,17 @@ def dedup_near_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_docs = docs.where(F.col("doc_id") % 3 == 0)
     old_docs = docs.where(F.col("doc_id") % 3 != 0)
     cands = _cross_snapshot_candidates(new_docs, old_docs)
-    toks = docs.select("doc_id", F.array_distinct(tokens_col()).alias("tset"))
-    tn = toks.select(F.col("doc_id").alias("new_id"), F.col("tset").alias("set_n"))
-    to = toks.select(F.col("doc_id").alias("old_id"), F.col("tset").alias("set_o"))
+    # Verify-side token sets are derived per SNAPSHOT SLICE (round 6) so
+    # the %3 partition predicate reaches each scan — previously both
+    # sides re-tokenized the full corpus (two extra unpruned passes).
+    tn = new_docs.select(
+        F.col("doc_id").alias("new_id"),
+        F.array_distinct(tokens_col()).alias("set_n"),
+    )
+    to = old_docs.select(
+        F.col("doc_id").alias("old_id"),
+        F.array_distinct(tokens_col()).alias("set_o"),
+    )
     return (
         cands.hint("shuffle_hash")
         .join(tn, "new_id")

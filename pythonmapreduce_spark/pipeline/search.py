@@ -103,26 +103,51 @@ def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-15 for the fixed query ``join table spark``.
 
-    Plan shape for 100 TB: the token explode is filtered to query terms
-    BEFORE the (doc, term) aggregation, so only matching tokens ever
-    shuffle — the corpus's non-matching bulk dies in the scan stage.
-    df/idf (|terms| rows) and N/avgdl (1 row) broadcast onto the tf
-    table; the only large exchange is the per-doc length join on doc_id.
-    Scores round to 4dp on both engines before the top-k order so
-    float-summation drift cannot flip the ranking tiebreak (doc_id).
+    Plan shape for 100 TB: ONE corpus pass — a single scan emits
+    (doc_id, doc length, query-matching tokens), materialized at integer-
+    plus-matched-tokens width (round-6 change: dl, N/avgdl, and tf
+    previously each re-derived the tokenize from parquet, three corpus
+    passes with zero exchange reuse). Everything downstream is O(N_docs)
+    narrow: the explode is pre-filtered to query terms so only matching
+    tokens ever shuffle, df/idf (|terms| rows) and N/avgdl (1 row)
+    broadcast onto the tf table, and the only large exchange is the
+    per-doc length join on doc_id. Scores round to 4dp on both engines
+    before the top-k order so float-summation drift cannot flip the
+    ranking tiebreak (doc_id).
     """
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr("filter(split(text, '\\\\s+'), t -> t != '')").alias("toks"),
+    return (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(15)
     )
-    dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
-    stats = docs.agg(
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for the fixed query — bm25_rank's scorer, shared
+    with hybrid_search_rrf's lexical leg so the one-corpus-pass shape is
+    maintained in one place."""
+    from pythonmapreduce_spark.plans.materialize import iter_materialize
+
+    terms_sql = ", ".join(f"'{t}'" for t in _QUERY_TERMS)
+    base = iter_materialize(
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr("filter(split(text, '\\\\s+'), t -> t != '')").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.expr(f"filter(toks, t -> t IN ({terms_sql}))").alias("qtoks"),
+        )
+    )
+    dl = base.select("doc_id", "dl")
+    stats = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.avg(F.size("toks")).alias("avgdl"),
+        F.avg("dl").alias("avgdl"),
     )
     tf = (
-        docs.select("doc_id", F.explode("toks").alias("term"))
-        .where(F.col("term").isin(_QUERY_TERMS))
+        base.select("doc_id", F.explode("qtoks").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
@@ -137,7 +162,7 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    scored = (
+    return (
         tf.join(F.broadcast(idf), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats.select("avgdl")))
@@ -161,7 +186,6 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bm25")
         )
     )
-    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(15)
 
 
 @register(
@@ -199,25 +223,42 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived from the SAME bigram multiset so the model normalizes exactly;
     (2) each document's bigrams join their probabilities and average.
     The model tables are vocabulary-sized (≪ corpus at scale) and join on
-    the bigram/unigram key; the corpus-side explode never re-shuffles
-    until the final doc_id aggregation. ln on both engines; 4dp round
-    absorbs summation-order drift.
+    the bigram/unigram key. ONE corpus pass (round 6): the explode
+    collapses immediately into the per-(doc, bigram) count table, which
+    is materialized at count width and feeds BOTH the model aggregation
+    and the scoring join — previously the model side and the scoring
+    side each re-derived the tokenize+explode from parquet (4 corpus
+    scans, zero exchange reuse). The per-doc average weights each
+    distinct bigram by its count, which is exactly the per-occurrence
+    average. ln on both engines; 4dp round absorbs summation-order
+    drift.
     """
-    grams = _doc_bigrams(spark, sf_dir)
-    c2 = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    from pythonmapreduce_spark.plans.materialize import iter_materialize
+
+    tfd = iter_materialize(
+        _doc_bigrams(spark, sf_dir)
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c2 = tfd.groupBy("bigram").agg(F.sum("cnt").alias("c2"))
     c1 = (
         c2.groupBy(F.split("bigram", " ").getItem(0).alias("w1"))
         .agg(F.sum("c2").alias("c1"))
     )
     return (
-        grams.join(c2, "bigram")
+        tfd.join(c2, "bigram")
         .join(c1, F.split(F.col("bigram"), " ").getItem(0) == F.col("w1"))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            (F.round(F.avg(F.log(F.col("c2") / F.col("c1"))), 4) + 0.0).alias(
-                "avg_logp"
-            ),
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            (
+                F.round(
+                    F.sum(F.col("cnt") * F.log(F.col("c2") / F.col("c1")))
+                    / F.sum("cnt"),
+                    4,
+                )
+                + 0.0
+            ).alias("avg_logp"),
         )
     )
 
@@ -668,50 +709,10 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift-proof ranking keys, the suite's standard."""
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr("filter(split(text, '\\\\s+'), t -> t != '')").alias("toks"),
-    )
-    dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
-    stats = docs.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.avg(F.size("toks")).alias("avgdl"),
-    )
-    tf = (
-        docs.select("doc_id", F.explode("toks").alias("term"))
-        .where(F.col("term").isin(_QUERY_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
-    idf = (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "term",
-            F.log(
-                1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ).alias("idf"),
-        )
-    )
-    bm25 = (
-        tf.join(F.broadcast(idf), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats.select("avgdl")))
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.sum(
-                    F.col("idf") * F.col("tf") * (_K1 + 1)
-                    / (
-                        F.col("tf")
-                        + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))
-                    )
-                ),
-                4,
-            ).alias("bm25")
-        )
-    )
+    # Round 6: the lexical leg shares bm25_rank's one-corpus-pass scorer
+    # instead of re-deriving tokenize/dl/stats/tf inline (which cost three
+    # additional corpus scans with zero exchange reuse).
+    bm25 = _bm25_scores(spark, sf_dir)
     lex = bm25.select(
         "doc_id",
         F.row_number()
