@@ -811,3 +811,45 @@ def test_clustering_coef_no_cartesian_and_left_join_preserved(spark, sf_smoke) -
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftOuter" in plan, plan
+
+
+def test_reshaped_queries_stay_single_pass(spark, sf_smoke) -> None:
+    # Executed-plan audit as a regression gate for the round-6 scan-dedup
+    # work: the queries restructured to one-corpus-pass bases must never
+    # silently regrow duplicate subtrees (>=4 same-table scans with zero
+    # runtime exchange reuse), cartesians, or row-at-a-time Python. Uses
+    # the same rules as tools/audit_plans.py but in-process against the
+    # session fixture, post-execution so AQE reuse is visible.
+    import re
+    from collections import Counter
+
+    reshaped = [
+        "bm25_rank",
+        "hybrid_search_rrf",
+        "lm_perplexity",
+        "remove_dup_spans",
+        "coverage_overlap_sources",
+        "cdc_aggregate",
+        "shard_rendezvous",
+        "hits_hub_authority",
+    ]
+    jvm = spark._jvm
+    problems = []
+    for name in reshaped:
+        df = registry.QUERIES[name](spark, sf_smoke)
+        df.collect()
+        plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        if "CartesianProduct" in plan:
+            problems.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            problems.append(f"{name}: BatchEvalPython")
+        reused = len(re.findall(r"\(\d+\) ReusedExchange", plan))
+        scans = Counter(
+            m.group(1)
+            for m in re.finditer(r"Scan parquet[^\n]*?(\w+)\.parquet", plan)
+        )
+        if reused == 0:
+            for table, cnt in scans.items():
+                if cnt >= 4:
+                    problems.append(f"{name}: {table} scanned {cnt}x, no reuse")
+    assert not problems, problems
