@@ -15,6 +15,14 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # gen_scaled_sf
+
+# Executor python workers unpickle UDFs that reference the package and
+# resolve it via THEIR cwd/PYTHONPATH, not the driver's sys.path — run
+# this from the repo root (python tools/scaling_report.py) or the pair
+# tier dies with ModuleNotFoundError in the worker.
+if not os.path.isdir("pythonmapreduce_spark"):
+    os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pythonmapreduce_spark.plans.registry import QUERIES, load_all  # noqa: E402
 from pythonmapreduce_spark.session import get_spark  # noqa: E402
