@@ -232,10 +232,19 @@ def _scratch_keyed(spark: SparkSession, name: str, sf_dir: str) -> str:
     import hashlib
 
     _sweep_stale_scratch()
-    return _scratch(
+    path = _scratch(
         f"{name}_pid{os.getpid()}_{_session_uid(spark)}_"
         f"{hashlib.sha1(sf_dir.encode()).hexdigest()[:8]}"
     )
+    # Refresh mtime on every reuse: dir mtime only reflects direct-child
+    # writes, so without this a foreign process's age-based sweep (rule 2)
+    # could rmtree a >2-day-old dir a live long-running driver is still
+    # lazily serving. Liveness now keeps the age clock reset.
+    try:
+        os.utime(path)
+    except OSError:
+        pass  # not created yet — first write will set a fresh mtime
+    return path
 
 
 # Serializes every keyed scratch write→read lifecycle (libsvm/refwire

@@ -182,7 +182,12 @@ def _frame_books(out_dir: str) -> str:
     """Encode the reference's books corpus into its wire format, one
     ``.wire`` file per book — the exact framing loop of master.py:25-40
     (line-per-frame; leading BOM stripped to match Spark's text-reader
-    semantics so the oracle tokenization agrees)."""
+    semantics so the oracle tokenization agrees).
+
+    ``out_dir`` is a FIXED-NAME scratch entry (an immutable content
+    cache whose mtime never refreshes): any new fixed-name cache like
+    this one MUST be added to ``readers._FIXED_LIVE_SCRATCH``, or the
+    age-based sweep will silently reap it after 2 days."""
     if not os.path.isdir(out_dir):
         os.makedirs(out_dir, exist_ok=True)
         for src in sorted(glob.glob(os.path.join(_BOOKS_DIR, "*.txt"))):

@@ -835,6 +835,7 @@ def test_reshaped_queries_stay_single_pass(spark, sf_smoke) -> None:
     ]
     jvm = spark._jvm
     problems = []
+    any_scans_counted = False
     for name in reshaped:
         df = registry.QUERIES[name](spark, sf_smoke)
         df.collect()
@@ -844,12 +845,18 @@ def test_reshaped_queries_stay_single_pass(spark, sf_smoke) -> None:
         if "BatchEvalPython" in plan:
             problems.append(f"{name}: BatchEvalPython")
         reused = len(re.findall(r"\(\d+\) ReusedExchange", plan))
+        # Formatted explain carries the path on the 'Location:' line, not the
+        # 'Scan parquet' line — same rule as tools/audit_plans.py.
         scans = Counter(
             m.group(1)
-            for m in re.finditer(r"Scan parquet[^\n]*?(\w+)\.parquet", plan)
+            for m in re.finditer(r"Location:[^\n]*?/(\w+)\.parquet", plan)
         )
+        any_scans_counted = any_scans_counted or bool(scans)
         if reused == 0:
             for table, cnt in scans.items():
                 if cnt >= 4:
                     problems.append(f"{name}: {table} scanned {cnt}x, no reuse")
+    # Sanity: the counter must actually see scans somewhere, else the
+    # >=4-scans gate is dead code (the bug this rewrite fixed).
+    assert any_scans_counted, "scan counter matched nothing — regex rotted"
     assert not problems, problems

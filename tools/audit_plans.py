@@ -138,10 +138,9 @@ def main() -> int:
             findings.append(f"{name}: BatchEvalPython (row-at-a-time Python) in plan")
 
         reused = len(re.findall(r"\(\d+\) ReusedExchange", plan))
+        # Formatted explain puts the file path on the 'Location:' line, never
+        # on the 'Scan parquet' line itself — count scans from Location only.
         scans = Counter(
-            m.group(1)
-            for m in re.finditer(r"Scan parquet[^\n]*?(\w+)\.parquet", plan)
-        ) or Counter(
             m.group(1)
             for m in re.finditer(r"Location:[^\n]*?/(\w+)\.parquet", plan)
         )

@@ -22,11 +22,14 @@ for g in robust skew unicode temporal; do
 done
 echo "fixtures regenerated"
 
+fail=0
 run() { # name, command...
-  local name=$1; shift
+  local name=$1 rc; shift
   echo "=== axis: $name"
   "$@" > "$OUT/$name.log" 2>&1
-  echo "exit=$? $(grep -E 'problems: [0-9]+|BAD=\[' "$OUT/$name.log" | tail -1)"
+  rc=$?
+  fail=$((fail + rc))
+  echo "exit=$rc $(grep -E 'problems: [0-9]+|BAD=\[' "$OUT/$name.log" | tail -1)"
 }
 
 run robust    python tools/driver_sim.py --sf-dir /tmp/pmr_robust
@@ -37,4 +40,5 @@ run sf0001    python tools/driver_sim.py --sf-dir /root/testdata/sf0.001
 run tuned     python tools/driver_sim.py
 run def_utc   python tools/default_session_sweep.py
 run def_tokyo env TZ=Asia/Tokyo python tools/default_session_sweep.py
-echo "battery complete; logs in $OUT"
+echo "battery complete; logs in $OUT; failed-axis exit sum=$fail"
+exit $((fail > 0 ? 1 : 0))
