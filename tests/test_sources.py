@@ -139,3 +139,24 @@ def test_sweep_stale_scratch_rules(tmp_path, monkeypatch) -> None:
     remaining = sorted(p.name for p in root.iterdir())
     assert remaining == sorted(kept)
     assert not any((root / g).exists() for g in gone)
+
+
+def test_scratch_keyed_reuse_refreshes_mtime(tmp_path, monkeypatch, spark) -> None:
+    """Liveness must reset the age clock: a keyed dir a live driver keeps
+    reusing would otherwise cross _SCRATCH_AGE_LIMIT_S (dir mtime only
+    moves on direct-child writes) and a FOREIGN process's rule-2 sweep
+    could rmtree it mid-serve. _scratch_keyed touches the dir on every
+    call, so a reused dir is always younger than the limit."""
+    import time
+
+    from pythonmapreduce_spark.sources import readers
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(readers, "_SWEPT_STALE", True)  # isolate from the sweep
+
+    path = readers._scratch_keyed(spark, "mtime_probe", "/some/sf_dir")
+    os.makedirs(path)
+    old = time.time() - readers._SCRATCH_AGE_LIMIT_S - 60
+    os.utime(path, (old, old))
+    assert readers._scratch_keyed(spark, "mtime_probe", "/some/sf_dir") == path
+    assert time.time() - os.path.getmtime(path) < readers._SCRATCH_AGE_LIMIT_S
