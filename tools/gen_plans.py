@@ -202,6 +202,81 @@ NOTES = {
         "pruned): zero exchanges in the whole plan; payloads are built "
         "and decoded inside the stage so no blob ever shuffles."
     ),
+    # --- round-7: the driver-attestation window's plan families
+    # (time-series / event-analytics / ML-eval / as-of / TPC-H tier) ---
+    "session_funnel": (
+        "sessionization via the engine's session_window merge: ONE "
+        "user-key exchange assigns 30-min-gap sessions and the "
+        "conditional first-signup/last-purchase flags fold into the same "
+        "combine-enabled aggregate; the funnel rollup then runs on "
+        "|sessions| rows — no per-step self-join, no second pass over "
+        "events."
+    ),
+    "resample_ohlc": (
+        "positional open/close WITHOUT a window sort: min_by/max_by on "
+        "the (µs, event_id) struct key are algebraic aggregates, so the "
+        "whole OHLC bar builds in one partial+final HashAggregate pair — "
+        "|days| rows cross the exchange regardless of trade volume, vs "
+        "the naive first/last-over-window form that sorts every "
+        "partition."
+    ),
+    "rolling_zscore": (
+        "aggregate-then-window: the event log collapses to |days| rows "
+        "FIRST, then the trailing 14-row frame (current day excluded) "
+        "runs on that tiny series — the single-partition window sort is "
+        "|days| wide, never events-wide; at 100 TB the only O(events) "
+        "work is the day-key partial aggregate."
+    ),
+    "survival_km": (
+        "Kaplan–Meier as three collapses: events → |users| last-seen "
+        "rows (one key exchange), → |days| death counts, then the "
+        "at-risk countdown and the EXP(SUM(LN)) cumulative product are "
+        "windows over the |days| curve; horizon and total are 1-row "
+        "broadcasts. Nothing wider than |users| ever shuffles."
+    ),
+    "auc_roc": (
+        "exact Mann–Whitney AUC via the rank statistic: ONE "
+        "range-partitioned sort of narrow (score, label) pairs replaces "
+        "the O(n⁺·n⁻) pairwise definition; midrank tie handling is a "
+        "peer-count window sharing the same sort, and the final moment "
+        "aggregate is 1 row. The further refinement at 100 TB — "
+        "per-partition U-statistics merged driver-side — is documented "
+        "in the docstring but unnecessary below ~10¹¹ rows."
+    ),
+    "join_asof_nearest": (
+        "both as-of directions in ONE user-key exchange: purchases and "
+        "clicks union into a single sorted stream; the backward pass "
+        "orders (ts, right-first) and the forward pass (ts, right-last) "
+        "— two local sorts on the same partitioning, per-partition state "
+        "one row per direction, never a range-join explosion."
+    ),
+    "bitemporal_asof": (
+        "valid-time intervals close via one lead() per user, then the "
+        "two-axis lookup is a user-key EQUI-join with residual interval "
+        "+ knowledge predicates and a row_number pick of the most "
+        "recently learned state — both sides co-partition on user_id, "
+        "one exchange each; the non-equi axes stay residual conditions, "
+        "never the join key, so no BNLJ/cartesian appears."
+    ),
+    "window_range_frame": (
+        "time-based RANGE frame (trailing 1 h by epoch seconds) — the "
+        "sliding aggregate rows-frames cannot express on irregular "
+        "event times; one user-key exchange + per-partition sort, frame "
+        "bounds evaluated on the order value so peers enter together."
+    ),
+    "tpch_q9": (
+        "the LIKE filter prunes part BEFORE it reaches the fact join and "
+        "the profit expression computes pre-shuffle, so only (nation, "
+        "year, amount) crosses the aggregate exchange; dims broadcast, "
+        "lineitem never re-sorts."
+    ),
+    "tpch_q18": (
+        "Catalyst rewrites the HAVING IN-subquery to a left-semi join "
+        "against the filtered aggregate; lineitem is scanned twice but "
+        "shuffles on l_orderkey both times, so AQE's runtime "
+        "ReusedExchange serves the second consumer from the first "
+        "shuffle's files."
+    ),
 }
 
 

@@ -70,6 +70,23 @@ QUERY_SET = [
     # MapInPandas over a 2-long-column scan, zero exchanges — linear by
     # construction; pinned here to prove the Python stage stays linear).
     "audio_decode_wav",
+    # round-7 additions: one representative per plan family of the r07
+    # driver-attestation window (time-series/event-analytics/as-of/TPC-H)
+    # so the tier being attested carries measured scaling evidence —
+    # sessionized funnel (session window + ordered step match), rolling
+    # window frame stats, time-bucket resample agg, cumulative-product
+    # survival curve, range-pruned as-of backward join, two-time-axis
+    # as-of, and the two heaviest TPC-H shapes in the queue (q9's
+    # 6-table star with part-filter pushdown, q18's group-having
+    # semi-reduction into a wide join).
+    "session_funnel",
+    "rolling_zscore",
+    "resample_ohlc",
+    "survival_km",
+    "join_asof_nearest",
+    "bitemporal_asof",
+    "tpch_q9",
+    "tpch_q18",
 ]
 
 # The shapes where quadratic terms would hide; measured one decade further
