@@ -2212,31 +2212,42 @@ def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROC AUC via the rank statistic (Mann–Whitney U): does `value`
     separate purchases from other events? AUC = (Σ positive ranks −
-    n⁺(n⁺+1)/2) / (n⁺n⁻), with midrank tie handling (RANK gives the min
-    rank of a tie group; +（ties−1)/2 recovers the average rank) — the
-    exact AUC, not a trapezoid approximation over binned thresholds.
+    n⁺(n⁺+1)/2) / (n⁺n⁻), with midrank tie handling — the exact AUC,
+    not a trapezoid approximation over binned thresholds.
 
-    The rank formulation is what makes AUC computable at scale: ONE
-    global sort (the rank window) instead of the O(n⁺·n⁻) pairwise
-    definition, then a 1-row moment aggregate. At 100 TB the sort is a
-    range-partitioned exchange on the score — the same cost class as any
-    global orderBy; per-partition AUC + merge via the U-statistic is the
-    further refinement if even one sort is too much.
+    Scale shape (ks_statistic's discipline): scores collapse to DISTINCT
+    values FIRST via one combine-enabled hash aggregate — the only
+    O(events) work — and the rank math runs on the |distinct scores|
+    table: a tie group's minimum rank is (rows below)+1, so its midrank
+    is below+(cnt+1)/2 and rank_sum = Σ pos_s·midrank_s, identical to
+    per-row RANK + (ties−1)/2 (every term is a multiple of 0.5 far
+    below 2^53, so both summation orders are float-exact). The one
+    global-order window therefore sees rows bounded by the SCORE DOMAIN
+    (fixed-precision scores cap it regardless of corpus size), never by
+    the event log; a truly continuous 100 TB score column quantizes to
+    working precision first, or falls back to per-partition U-statistic
+    merge. (The pre-round-7 form ranked raw rows — |events| through a
+    single-partition window sort.)
     """
     scored = load(spark, sf_dir, "events").select(
         F.col("value").alias("score"),
         (F.col("event_type") == "purchase").alias("label"),
     )
-    ranked = scored.select(
-        "label",
-        F.rank().over(W.orderBy("score")).alias("rk"),
-        F.count(F.lit(1)).over(W.partitionBy("score")).alias("ties"),
+    per_score = scored.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long").alias("pos"),
     )
-    agg = ranked.agg(
-        F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long").alias("np"),
-        F.sum(F.when(F.col("label"), 0).otherwise(1)).cast("long").alias("nn"),
+    w_below = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    grouped = per_score.select(
+        "cnt",
+        "pos",
+        F.coalesce(F.sum("cnt").over(w_below), F.lit(0)).alias("below"),
+    )
+    agg = grouped.agg(
+        F.sum("pos").cast("long").alias("np"),
+        (F.sum("cnt") - F.sum("pos")).cast("long").alias("nn"),
         F.sum(
-            F.when(F.col("label"), F.col("rk") + (F.col("ties") - 1) / 2.0)
+            F.col("pos") * (F.col("below") + (F.col("cnt") + 1) / 2.0)
         ).alias("rank_sum"),
     )
     return agg.select(

@@ -860,3 +860,98 @@ def test_reshaped_queries_stay_single_pass(spark, sf_smoke) -> None:
     # >=4-scans gate is dead code (the bug this rewrite fixed).
     assert any_scans_counted, "scan counter matched nothing — regex rotted"
     assert not problems, problems
+
+
+# --- round-7: plan pins for the r07 attestation window's tier
+# (time-series / event-analytics / ML-eval / as-of / TPC-H) ---
+
+
+def test_auc_roc_collapses_before_global_window(spark, sf_smoke) -> None:
+    # The O(events) work must be the combine-enabled score aggregate;
+    # the global-order window (midrank cumulative) runs AFTER it, over
+    # |distinct scores| rows. Regression target: the pre-round-7 form
+    # ranked raw rows — |events| through one single-partition sort.
+    plan = _plan(registry.QUERIES["auc_roc"](spark, sf_smoke))
+    assert "hashpartitioning(score" in plan, plan  # collapse exchange
+    assert "SinglePartition" in plan, plan  # the (bounded) global window
+    agg = plan.index("hashpartitioning(score")
+    assert agg < plan.index("SinglePartition"), (
+        "score collapse must precede the global window"
+    )
+    assert plan.count("HashAggregate") >= 4  # partial+final, both aggs
+
+
+def test_resample_ohlc_aggregates_without_window(spark, sf_smoke) -> None:
+    # min_by/max_by build the OHLC bar as ONE partial+final aggregate
+    # pair (SortAggregate for the struct buffers) — no per-event window,
+    # exactly one exchange, keyed by the day group.
+    plan = _plan(registry.QUERIES["resample_ohlc"](spark, sf_smoke))
+    assert "Window" not in plan
+    # "Exchange (n)" is the tree-node form; the details section repeats
+    # each node as "(n) Exchange" (same convention as knn_blocked's pin)
+    assert plan.count("Exchange (") == 1, plan
+    assert plan.count("SortAggregate") >= 2 or plan.count("HashAggregate") >= 2
+
+
+def test_rolling_zscore_aggregates_then_windows(spark, sf_smoke) -> None:
+    # The event log collapses to |days| BEFORE the trailing frame: the
+    # day-key aggregate exchange must appear below the window's
+    # single-partition exchange in the tree (aggregate-then-window).
+    plan = _plan(registry.QUERIES["rolling_zscore"](spark, sf_smoke))
+    assert "Window" in plan
+    assert "hashpartitioning(_groupingexpression" in plan
+    assert "SinglePartition" in plan, plan
+    assert plan.index("hashpartitioning(_groupingexpression") < plan.index(
+        "SinglePartition"
+    )
+
+
+def test_session_funnel_single_user_exchange(spark, sf_smoke) -> None:
+    # Sessionization via the engine's session-window merge: one user-key
+    # exchange, no self-join per funnel step, no cartesian.
+    plan = _plan(registry.QUERIES["session_funnel"](spark, sf_smoke))
+    assert "MergingSessions" in plan or "SessionWindow" in plan, plan
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "Join" not in plan  # no per-step self-join
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_joins_stay_equi_keyed(spark, sf_smoke) -> None:
+    # join_asof_nearest: union-window technique — NO join node at all,
+    # both directions share the user-key exchange. bitemporal_asof: the
+    # two time axes stay residual predicates on user-key equi-joins —
+    # never the join key, so no nested-loop/cartesian anywhere.
+    near = _plan(registry.QUERIES["join_asof_nearest"](spark, sf_smoke))
+    assert "CartesianProduct" not in near
+    assert "NestedLoop" not in near
+    assert "hashpartitioning(user_id" in near
+    bi = _plan(registry.QUERIES["bitemporal_asof"](spark, sf_smoke))
+    assert "CartesianProduct" not in bi
+    assert "NestedLoop" not in bi
+    assert "SortMergeJoin" in bi or "ShuffledHashJoin" in bi or "BroadcastHashJoin" in bi
+
+
+def test_window_range_frame_uses_range_frame(spark, sf_smoke) -> None:
+    # The trailing 1-hour frame must be a RANGE frame on the order value
+    # (epoch seconds), partitioned by user — not a rows-frame rewrite.
+    plan = _plan(registry.QUERIES["window_range_frame"](spark, sf_smoke))
+    assert "RangeFrame" in plan, plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_tpch_q9_prunes_part_before_fact_join(spark, sf_smoke) -> None:
+    # The LIKE filter must reach the part scan (StringContains pushed),
+    # and dims broadcast — lineitem joins without shuffling.
+    plan = _plan(registry.QUERIES["tpch_q9"](spark, sf_smoke))
+    assert "StringContains(p_name" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q18_semi_join_on_shared_key(spark, sf_smoke) -> None:
+    # Catalyst must rewrite the HAVING IN-subquery to a LeftSemi join;
+    # both lineitem shuffles key on l_orderkey so AQE can reuse the
+    # exchange at runtime (verified executed: 2 ReusedExchange nodes).
+    plan = _plan(registry.QUERIES["tpch_q18"](spark, sf_smoke))
+    assert "LeftSemi" in plan, plan
+    assert "hashpartitioning(l_orderkey" in plan

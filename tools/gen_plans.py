@@ -213,12 +213,14 @@ NOTES = {
         "events."
     ),
     "resample_ohlc": (
-        "positional open/close WITHOUT a window sort: min_by/max_by on "
-        "the (µs, event_id) struct key are algebraic aggregates, so the "
-        "whole OHLC bar builds in one partial+final HashAggregate pair — "
-        "|days| rows cross the exchange regardless of trade volume, vs "
-        "the naive first/last-over-window form that sorts every "
-        "partition."
+        "positional open/close WITHOUT a window: min_by/max_by on the "
+        "(µs, event_id) struct key are algebraic aggregates, so the "
+        "whole OHLC bar builds in one partial+final aggregate pair and "
+        "|days| rows cross the one exchange regardless of trade volume "
+        "(the struct-keyed buffers route to SortAggregate — a "
+        "per-partition sort on the day key, map-side combine intact — "
+        "vs the naive first/last-over-window form that exchanges and "
+        "sorts every event under a per-day window)."
     ),
     "rolling_zscore": (
         "aggregate-then-window: the event log collapses to |days| rows "
@@ -235,13 +237,16 @@ NOTES = {
         "broadcasts. Nothing wider than |users| ever shuffles."
     ),
     "auc_roc": (
-        "exact Mann–Whitney AUC via the rank statistic: ONE "
-        "range-partitioned sort of narrow (score, label) pairs replaces "
-        "the O(n⁺·n⁻) pairwise definition; midrank tie handling is a "
-        "peer-count window sharing the same sort, and the final moment "
-        "aggregate is 1 row. The further refinement at 100 TB — "
-        "per-partition U-statistics merged driver-side — is documented "
-        "in the docstring but unnecessary below ~10¹¹ rows."
+        "exact Mann–Whitney AUC with the collapse-first discipline "
+        "(ks_statistic's): the O(events) work is ONE combine-enabled "
+        "partial+final aggregate to distinct scores; the unavoidable "
+        "global-order window (cumulative counts → midranks) then runs "
+        "over rows bounded by the SCORE DOMAIN, not the corpus — the "
+        "pre-round-7 form ranked raw rows, i.e. |events| through a "
+        "single-partition window sort. Midrank math from (cnt, pos) "
+        "group moments is float-exact vs the per-row form (multiples "
+        "of 0.5 below 2^53); per-partition U-statistic merge is the "
+        "documented fallback for truly continuous unquantized scores."
     ),
     "join_asof_nearest": (
         "both as-of directions in ONE user-key exchange: purchases and "

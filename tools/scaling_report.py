@@ -87,6 +87,10 @@ QUERY_SET = [
     "bitemporal_asof",
     "tpch_q9",
     "tpch_q18",
+    # round-7 reshape: AUC now collapses to distinct scores before the
+    # global-order window (domain-bounded, not corpus-bounded) — pinned
+    # here so the exponent records the aggregate-dominated shape.
+    "auc_roc",
 ]
 
 # The shapes where quadratic terms would hide; measured one decade further
