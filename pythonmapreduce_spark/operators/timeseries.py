@@ -2917,17 +2917,26 @@ def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     lastd = ev.groupBy("user_id").agg(
         F.max(F.col("ts").cast("date")).alias("last_day")
     )
-    horizon = lastd.agg(F.max("last_day").alias("horizon"))
-    total = lastd.agg(F.count(F.lit(1)).alias("n"))
+    # horizon and cohort size in ONE 1-row aggregate (two separate aggs
+    # would each re-derive the user-key collapse — a third events pass);
+    # n rides through the deaths aggregate as a constant so the curve
+    # needs no second broadcast join.
+    stats = lastd.agg(
+        F.max("last_day").alias("horizon"),
+        F.count(F.lit(1)).alias("n"),
+    )
     deaths = (
-        lastd.join(F.broadcast(horizon))
+        lastd.join(F.broadcast(stats))
         .where(F.col("last_day") < F.col("horizon"))
         .groupBy(F.col("last_day").alias("d"))
-        .agg(F.count(F.lit(1)).cast("long").alias("churned"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("churned"),
+            F.max("n").alias("n"),
+        )
     )
     wprev = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
     wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    curve = deaths.join(F.broadcast(total)).select(
+    curve = deaths.select(
         "d",
         "churned",
         (F.col("n") - F.coalesce(F.sum("churned").over(wprev), F.lit(0))).alias(

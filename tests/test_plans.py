@@ -931,6 +931,22 @@ def test_asof_joins_stay_equi_keyed(spark, sf_smoke) -> None:
     assert "SortMergeJoin" in bi or "ShuffledHashJoin" in bi or "BroadcastHashJoin" in bi
 
 
+def test_survival_km_single_stats_pass(spark, sf_smoke) -> None:
+    # Horizon + cohort size must come from ONE 1-row aggregate over the
+    # last-seen table: the pre-round-7 form ran them as two separate
+    # aggs, each re-deriving the user-key collapse (3 events scans).
+    # Executed plan (AQE reuse visible): ≤2 events scans, ≥1 reuse.
+    import re
+
+    df = registry.QUERIES["survival_km"](spark, sf_smoke)
+    df.collect()
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    scans = len(re.findall(r"Location:[^\n]*?/events\.parquet", plan))
+    assert scans <= 2, f"events scanned {scans}x"
+    assert "ReusedExchange" in plan, "last-seen derivations no longer share"
+
+
 def test_window_range_frame_uses_range_frame(spark, sf_smoke) -> None:
     # The trailing 1-hour frame must be a RANGE frame on the order value
     # (epoch seconds), partitioned by user — not a rows-frame rewrite.

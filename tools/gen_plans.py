@@ -233,8 +233,13 @@ NOTES = {
         "Kaplan–Meier as three collapses: events → |users| last-seen "
         "rows (one key exchange), → |days| death counts, then the "
         "at-risk countdown and the EXP(SUM(LN)) cumulative product are "
-        "windows over the |days| curve; horizon and total are 1-row "
-        "broadcasts. Nothing wider than |users| ever shuffles."
+        "windows over the |days| curve. Horizon AND cohort size come "
+        "from ONE 1-row broadcast aggregate (round 7: two separate aggs "
+        "each re-derived the user-key collapse — a third events pass; n "
+        "now rides through the deaths aggregate as a constant), and the "
+        "surviving pair of last-seen derivations shares its exchange at "
+        "runtime (executed plan: 2 events scans, 1 ReusedExchange). "
+        "Nothing wider than |users| ever shuffles."
     ),
     "auc_roc": (
         "exact Mann–Whitney AUC with the collapse-first discipline "
