@@ -126,9 +126,20 @@ def main() -> int:
     # Warm the JVM/codegen paths once with a trivial action.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    def steal_ticks() -> int:
+        # Hypervisor steal (field 8 of /proc/stat's cpu line): the
+        # adjudication signal for roaming per-query outliers on noisy VMs.
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except (OSError, IndexError, ValueError):
+            return -1
+
     load_start = round(os.getloadavg()[0], 2)
+    steal_start = steal_ticks()
     warmups, timed_runs = 2, 3
     times: dict[str, float] = {}
+    mins: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         for _ in range(warmups):
@@ -139,6 +150,7 @@ def main() -> int:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             samples.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(samples), 3)
+        mins[name] = round(min(samples), 3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -149,12 +161,21 @@ def main() -> int:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                # Additive diagnostics (headline stays the median): min-of-3
+                # is robust to a single hypervisor-steal burst landing inside
+                # one query's timed section, and the steal-tick delta says
+                # whether such bursts were even possible during this run.
+                "queries_min": mins,
+                "value_min": round(sum(mins.values()), 3),
                 "protocol": {
                     "warmups": warmups,
                     "timed_runs": timed_runs,
                     "stat": "median",
                     "load_avg_start": load_start,
                     "load_avg_end": round(os.getloadavg()[0], 2),
+                    "steal_ticks_delta": (
+                        steal_ticks() - steal_start if steal_start >= 0 else -1
+                    ),
                 },
             }
         )
