@@ -947,6 +947,24 @@ def test_survival_km_single_stats_pass(spark, sf_smoke) -> None:
     assert "ReusedExchange" in plan, "last-seen derivations no longer share"
 
 
+def test_chi2_contingency_materialized_once(spark, sf_smoke) -> None:
+    # The three consumers of the contingency table (seg margin, nat
+    # margin, cell join) must read the materialized |r x c| base, not
+    # each re-execute the customer aggregate: the pre-reshape form ran
+    # 3 customer scans with zero exchange reuse (the consumers' pruned
+    # column sets differ, so AQE never collapses them). With the base
+    # materialized the corpus scan happens once, eagerly, and the final
+    # executed plan contains NO parquet scan at all.
+    import re
+
+    df = registry.QUERIES["chi2_independence"](spark, sf_smoke)
+    df.collect()
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    scans = len(re.findall(r"Location:[^\n]*?/customer\.parquet", plan))
+    assert scans == 0, f"customer re-scanned {scans}x past the materialized base"
+
+
 def test_window_range_frame_uses_range_frame(spark, sf_smoke) -> None:
     # The trailing 1-hour frame must be a RANGE frame on the order value
     # (epoch seconds), partitioned by user — not a rows-frame rewrite.

@@ -48,6 +48,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--names", default="", help="comma-separated query subset")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "16"))
     args = ap.parse_args()
 
@@ -70,7 +71,10 @@ def main() -> int:
             f"read_parquet('{args.sf_dir}/{t}.parquet')"
         )
 
-    names = list(q)[: args.limit] if args.limit else list(q)
+    if args.names:
+        names = args.names.split(",")
+    else:
+        names = list(q)[: args.limit] if args.limit else list(q)
     bad: list[tuple[str, str]] = []
     t_start = time.time()
     for i, name in enumerate(names):
