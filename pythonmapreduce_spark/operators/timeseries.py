@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pythonmapreduce_spark.catalog import load
+from pythonmapreduce_spark.plans.materialize import iter_materialize
 from pythonmapreduce_spark.plans.registry import register
 
 
@@ -59,6 +60,15 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     value of that day's latest event, anchored on the unique event_id so
     the pick is deterministic. Days before a series' first observation
     stay NULL (nothing to fill from).
+
+    Scale shape: two events scans — the global day span (1-row bounds
+    aggregate over the unfiltered table; its calendar is global by
+    design) and the per-(user,day) aggregate over the pushed-down user
+    slice. The series' user list derives from the MATERIALIZED observed
+    aggregate (|users × days| rows), not a third corpus scan: distinct
+    user_id over the aggregate equals distinct user_id over the slice by
+    construction (groupBy keeps every user with ≥1 event), and the
+    pre-reshape third scan reused nothing at runtime.
     """
     events = load(spark, sf_dir, "events").where(F.col("user_id") <= 20)
     day = F.to_date("ts")
@@ -70,12 +80,14 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = span.select(
         F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
     )
-    series = events.select("user_id").distinct()
-    grid = series.crossJoin(F.broadcast(days))
 
-    observed = events.groupBy(F.col("user_id"), day.alias("day")).agg(
-        F.round(F.max_by("value", "event_id"), 4).alias("day_value")
+    observed = iter_materialize(
+        events.groupBy(F.col("user_id"), day.alias("day")).agg(
+            F.round(F.max_by("value", "event_id"), 4).alias("day_value")
+        )
     )
+    series = observed.select("user_id").distinct()
+    grid = series.crossJoin(F.broadcast(days))
 
     w = (
         W.partitionBy("user_id")
@@ -234,23 +246,20 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by first-seen week, counted
     in each subsequent active week.
 
-    The cohort table (one row per user) joins back to the event stream on
-    user_id — the same key the first-seen aggregation shuffled on, so the
-    exchange is reused; the retention matrix itself is tiny (weeks²).
+    The cohort week is a MIN window over user_id, not a groupBy+self-join:
+    one events scan and one user_id exchange produce (user, cohort_week,
+    active_week) directly — the pre-reshape groupBy-then-join form ran 3
+    events scans with zero exchange reuse at runtime (the aggregate's and
+    the probe side's pruned column sets differ, so AQE never collapsed
+    them). The retention matrix itself is tiny (weeks²).
     """
     ev = load(spark, sf_dir, "events").select("user_id", "ts")
-    firsts = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
-    )
-    activity = (
-        ev.join(firsts, "user_id")
-        .select(
-            "user_id",
-            "cohort_week",
-            F.date_trunc("week", F.col("ts")).cast("date").alias("active_week"),
-        )
-        .distinct()
-    )
+    per_user = W.partitionBy("user_id")
+    activity = ev.select(
+        "user_id",
+        F.date_trunc("week", F.min("ts").over(per_user)).cast("date").alias("cohort_week"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("active_week"),
+    ).distinct()
     return (
         activity.groupBy(
             "cohort_week",

@@ -965,6 +965,36 @@ def test_chi2_contingency_materialized_once(spark, sf_smoke) -> None:
     assert scans == 0, f"customer re-scanned {scans}x past the materialized base"
 
 
+def test_retention_cohorts_single_events_scan(spark, sf_smoke) -> None:
+    # Cohort week must come from a MIN window over user_id, not a
+    # groupBy+self-join: the pre-reshape form ran 3 events scans with
+    # zero runtime exchange reuse. One scan, no join.
+    import re
+
+    df = registry.QUERIES["retention_cohorts"](spark, sf_smoke)
+    df.collect()
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    scans = len(re.findall(r"Location:[^\n]*?/events\.parquet", plan))
+    assert scans == 1, f"events scanned {scans}x"
+    assert "Join" not in plan, "cohort week regrew a self-join"
+
+
+def test_resample_ffill_series_from_observed(spark, sf_smoke) -> None:
+    # The user list must derive from the materialized per-(user,day)
+    # aggregate, not a third events scan: post-reshape the final plan
+    # holds ONLY the global day-span scan (the observed aggregate's scan
+    # ran eagerly inside the materialization).
+    import re
+
+    df = registry.QUERIES["resample_ffill"](spark, sf_smoke)
+    df.collect()
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    scans = len(re.findall(r"Location:[^\n]*?/events\.parquet", plan))
+    assert scans <= 1, f"events scanned {scans}x past the materialized aggregate"
+
+
 def test_window_range_frame_uses_range_frame(spark, sf_smoke) -> None:
     # The trailing 1-hour frame must be a RANGE frame on the order value
     # (epoch seconds), partitioned by user — not a rows-frame rewrite.
