@@ -619,9 +619,12 @@ def boilerplate_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     digests shuffle (same digest-only discipline as dedup_exact /
     media_chunk_dedup), keyed by (source, digest) so the repeat count is
     blocked per source and no global hot key forms. Segmentation is a
-    shuffle-free explode in the scan stage; the boilerplate set is
-    per-source-bounded and joins back on the same (source, digest) key —
-    one exchange, reused by both the HAVING and the coverage join.
+    shuffle-free explode in the scan stage. "Repeated in ≥2 distinct
+    docs" is min(doc_id) != max(doc_id) over the (source, digest)
+    WINDOW — one pass over one exchange of the segment table; the
+    pre-reshape groupBy-HAVING + join-back form re-derived the exploded
+    segments on both sides (two corpus scans, zero runtime reuse,
+    despite this docstring's then-false reuse claim).
     """
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
@@ -646,18 +649,22 @@ def boilerplate_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seg_key"),
         )
     )
-    boiler = (
-        segs.groupBy("source", "seg_key")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("source", "seg_key")
-    )
+    from pyspark.sql import Window
+
+    # nd >= 2 distinct docs <=> min(doc_id) != max(doc_id) within the
+    # (source, seg_key) group — window-expressible, unlike COUNT(DISTINCT).
+    per_key = Window.partitionBy("source", "seg_key")
     per_doc = (
-        segs.join(boiler.withColumn("is_b", F.lit(1)), ["source", "seg_key"], "left")
+        segs.withColumn(
+            "is_b",
+            (
+                F.min("doc_id").over(per_key) != F.max("doc_id").over(per_key)
+            ).cast("int"),
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_segs"),
-            F.sum(F.coalesce(F.col("is_b"), F.lit(0))).cast("long").alias("n_boiler"),
+            F.sum("is_b").cast("long").alias("n_boiler"),
         )
     )
     return (

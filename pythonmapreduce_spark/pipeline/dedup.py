@@ -1495,6 +1495,10 @@ def dedup_intradoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys travel as digests, coverage as (doc_id, position) ints, and
     EVERY stage keys on doc_id — one partition layout end to end, no
     cross-doc exchange at all (the span table never leaves its doc).
+    The first-occurrence position is a MIN window over (doc_id, sk),
+    not a groupBy+self-join: the join form re-derived the exploded span
+    table on both sides (two corpus scans with zero runtime reuse) for
+    what is one pass over one shuffle of the same key.
     """
     toks = (
         load(spark, sf_dir, "documents")
@@ -1517,9 +1521,9 @@ def dedup_intradoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join(F.slice("t", F.col("p"), 2), " ")).alias("sk"),
         )
     )
-    firsts = spans.groupBy("doc_id", "sk").agg(F.min("p").alias("p0"))
+    first_in_doc = W.partitionBy("doc_id", "sk")
     covered = (
-        spans.join(firsts, ["doc_id", "sk"])
+        spans.withColumn("p0", F.min("p").over(first_in_doc))
         .where(F.col("p") >= F.col("p0") + 2)
         .select("doc_id", F.explode(F.array("p", F.col("p") + 1)).alias("cp"))
         .distinct()

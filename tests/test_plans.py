@@ -814,14 +814,15 @@ def test_clustering_coef_no_cartesian_and_left_join_preserved(spark, sf_smoke) -
 
 
 def test_reshaped_queries_stay_single_pass(spark, sf_smoke) -> None:
-    # Executed-plan audit as a regression gate for the round-6 scan-dedup
-    # work: the queries restructured to one-corpus-pass bases must never
-    # silently regrow duplicate subtrees (>=4 same-table scans with zero
-    # runtime exchange reuse), cartesians, or row-at-a-time Python. Uses
-    # the same rules as tools/audit_plans.py but in-process against the
-    # session fixture, post-execution so AQE reuse is visible.
-    import re
-    from collections import Counter
+    # Executed-plan audit as a regression gate for the round-6/7
+    # scan-dedup work: the queries restructured to one-corpus-pass bases
+    # must never silently regrow duplicate subtrees (>= SCAN_MULT_BAR
+    # same-table scans with zero runtime exchange reuse), cartesians, or
+    # row-at-a-time Python. Shares tools/audit_plans.py's final-plan-only
+    # counter LITERALLY (one rule, two callers) — raw Location-line
+    # counting overcounts because formatted AQE explain also prints the
+    # Initial Plan tree with renumbered scan nodes.
+    from tools.audit_plans import SCAN_MULT_BAR, final_plan_scan_counts
 
     reshaped = [
         "bm25_rank",
@@ -832,6 +833,12 @@ def test_reshaped_queries_stay_single_pass(spark, sf_smoke) -> None:
         "cdc_aggregate",
         "shard_rendezvous",
         "hits_hub_authority",
+        # round-7 reshapes
+        "chi2_independence",
+        "retention_cohorts",
+        "resample_ffill",
+        "dedup_intradoc_spans",
+        "boilerplate_detect",
     ]
     jvm = spark._jvm
     problems = []
@@ -844,20 +851,14 @@ def test_reshaped_queries_stay_single_pass(spark, sf_smoke) -> None:
             problems.append(f"{name}: CartesianProduct")
         if "BatchEvalPython" in plan:
             problems.append(f"{name}: BatchEvalPython")
-        reused = len(re.findall(r"\(\d+\) ReusedExchange", plan))
-        # Formatted explain carries the path on the 'Location:' line, not the
-        # 'Scan parquet' line — same rule as tools/audit_plans.py.
-        scans = Counter(
-            m.group(1)
-            for m in re.finditer(r"Location:[^\n]*?/(\w+)\.parquet", plan)
-        )
+        scans, reused = final_plan_scan_counts(plan)
         any_scans_counted = any_scans_counted or bool(scans)
         if reused == 0:
             for table, cnt in scans.items():
-                if cnt >= 4:
+                if cnt >= SCAN_MULT_BAR:
                     problems.append(f"{name}: {table} scanned {cnt}x, no reuse")
     # Sanity: the counter must actually see scans somewhere, else the
-    # >=4-scans gate is dead code (the bug this rewrite fixed).
+    # scan-multiplicity gate is dead code (the bug this rewrite fixed).
     assert any_scans_counted, "scan counter matched nothing — regex rotted"
     assert not problems, problems
 
@@ -993,6 +994,36 @@ def test_resample_ffill_series_from_observed(spark, sf_smoke) -> None:
     plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     scans = len(re.findall(r"Location:[^\n]*?/events\.parquet", plan))
     assert scans <= 1, f"events scanned {scans}x past the materialized aggregate"
+
+
+def test_intradoc_spans_window_not_selfjoin(spark, sf_smoke) -> None:
+    # First-occurrence position must be a MIN window over (doc_id, sk):
+    # the groupBy+self-join form re-derived the exploded span table on
+    # both sides (3 documents scans, zero runtime reuse). Two scans stay:
+    # the span explode and the all-docs length pass.
+    import re
+
+    df = registry.QUERIES["dedup_intradoc_spans"](spark, sf_smoke)
+    df.collect()
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    scans = len(re.findall(r"Location:[^\n]*?/documents\.parquet", plan))
+    assert scans <= 2, f"documents scanned {scans}x — span self-join regrew"
+
+
+def test_boilerplate_detect_window_not_having_join(spark, sf_smoke) -> None:
+    # The >=2-distinct-docs test must be min!=max over the (source,
+    # seg_key) window, not groupBy-HAVING joined back (3 documents scans,
+    # zero runtime reuse). Two scans stay: the segment explode and the
+    # all-docs id pass.
+    import re
+
+    df = registry.QUERIES["boilerplate_detect"](spark, sf_smoke)
+    df.collect()
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    scans = len(re.findall(r"Location:[^\n]*?/documents\.parquet", plan))
+    assert scans <= 2, f"documents scanned {scans}x — HAVING join regrew"
 
 
 def test_window_range_frame_uses_range_frame(spark, sf_smoke) -> None:

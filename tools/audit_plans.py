@@ -87,9 +87,105 @@ ALLOW: dict[str, dict[str, str]] = {
             "combining them via Expand would trade scan count for Expand "
             "row multiplication, profile_columns' documented cost"
         ),
+        "scan-mult:lineitem": (
+            "same per-constraint narrow-scan design: 3 lineitem scans are "
+            "the referential key pass plus two filter-pushed single-column "
+            "domain checks — each reads one column and its pushed predicate "
+            "can skip row groups, which one merged 2-column unfiltered pass "
+            "cannot"
+        ),
+    },
+    "tpch_q21": {
+        "scan-mult:lineitem": (
+            "the canonical l1/EXISTS-l2/NOT-EXISTS-l3 triple self-join — "
+            "the benchmark exists to exercise the optimizer on this "
+            "declarative form; every engine (and the DuckDB oracle) reads "
+            "lineitem three times, each slice filter- and column-pruned"
+        ),
+    },
+    "resample_interpolate": {
+        "scan-mult:events": (
+            "three DIFFERENT pruned column slices (bounds, anchor values, "
+            "densified grid base); merging them into one scan would read "
+            "the union of columns for every consumer and defeat pruning "
+            "(round-7 window adjudication)"
+        ),
+    },
+    "bitemporal_asof": {
+        "scan-mult:events": (
+            "same different-pruned-slices adjudication as "
+            "resample_interpolate: the two temporal axes and the probe "
+            "side each read distinct column sets behind pushed filters"
+        ),
+    },
+    "dedup_near_recall": {
+        "scan-mult:documents": (
+            "recall contract bounded to doc_id <= 300 with the range "
+            "filter PUSHED on every scan — each pass reads <=300 rows; "
+            "same bound as dedup_near_incremental_recall"
+        ),
+    },
+    "ann_pq_rerank": {
+        "scan-mult:embeddings": (
+            "re-ranking runs the PQ candidate pass and the exact-distance "
+            "pass side by side by definition; each pass is the certified "
+            "shape of its underlying query (bounded collects, corpus "
+            "never shuffles)"
+        ),
+    },
+    "ann_pq_recall": {
+        "scan-mult:embeddings": (
+            "a recall contract runs the exact baseline AND the PQ path "
+            "side by side by definition (same argument as "
+            "ann_pq_rerank_recall)"
+        ),
     },
 }
-SCAN_MULT_BAR = 4
+# Lowered 4 -> 3 late round 7 after the honest final-plan-only counter
+# landed: at bar 4 the 3-scan chi2_independence / retention_cohorts /
+# resample_ffill / dedup_intradoc_spans / boilerplate_detect shapes all
+# slipped through and each turned out to be a real duplicated subtree.
+SCAN_MULT_BAR = 3
+
+
+def final_plan_scan_counts(plan: str) -> tuple[Counter, int]:
+    """(table -> final-plan scan count, final-plan ReusedExchange count).
+
+    Formatted AQE explain prints the Final Plan tree AND the Initial Plan
+    tree, and when AQE renumbers nodes the initial tree's scans get their
+    own detail blocks — so counting raw ``Location:`` lines OVERCOUNTS
+    (measured: ngram_decontaminate shows 3 Location lines for a 2-scan
+    final plan). Count scan node ids that appear in tree lines OUTSIDE
+    any ``== Initial Plan ==`` region, then map ids to tables via the
+    detail blocks' Location lines.
+    """
+    kept_tree_ids: list[str] = []
+    reused = 0
+    skipping = False
+    for line in plan.splitlines():
+        if "== Initial Plan ==" in line:
+            skipping = True
+            continue
+        if skipping:
+            if not line.strip():
+                skipping = False
+            continue
+        if re.match(r"^\(\d+\) ", line):  # detail block header, not a tree line
+            continue
+        if "Scan parquet" in line:
+            m = re.search(r"\((\d+)\)\s*$", line)
+            if m:
+                kept_tree_ids.append(m.group(1))
+        if "ReusedExchange" in line:
+            reused += 1
+    table_of: dict[str, str] = {}
+    for m in re.finditer(
+        r"^\((\d+)\) Scan parquet[^\n]*\n(?:[^\n]+\n)*?Location:[^\n]*?/(\w+)\.parquet",
+        plan,
+        re.MULTILINE,
+    ):
+        table_of[m.group(1)] = m.group(2)
+    return Counter(table_of[i] for i in kept_tree_ids if i in table_of), reused
 
 
 def main() -> int:
@@ -137,13 +233,7 @@ def main() -> int:
         if "BatchEvalPython" in plan and "BatchEvalPython" not in allowed:
             findings.append(f"{name}: BatchEvalPython (row-at-a-time Python) in plan")
 
-        reused = len(re.findall(r"\(\d+\) ReusedExchange", plan))
-        # Formatted explain puts the file path on the 'Location:' line, never
-        # on the 'Scan parquet' line itself — count scans from Location only.
-        scans = Counter(
-            m.group(1)
-            for m in re.finditer(r"Location:[^\n]*?/(\w+)\.parquet", plan)
-        )
+        scans, reused = final_plan_scan_counts(plan)
         if reused == 0:
             for table, cnt in scans.items():
                 if cnt >= SCAN_MULT_BAR and f"scan-mult:{table}" not in allowed:
