@@ -91,6 +91,16 @@ QUERY_SET = [
     # global-order window (domain-bounded, not corpus-bounded) — pinned
     # here so the exponent records the aggregate-dominated shape.
     "auc_roc",
+    # round-7 second wave: the five 3-scan shapes reshaped to
+    # single-pass/window forms (contingency materialization, cohort MIN
+    # window, reused resample aggregate, intradoc span window,
+    # boilerplate min!=max window) — pinned so their exponents record
+    # the reshaped plans.
+    "chi2_independence",
+    "retention_cohorts",
+    "resample_ffill",
+    "dedup_intradoc_spans",
+    "boilerplate_detect",
 ]
 
 # The shapes where quadratic terms would hide; measured one decade further
