@@ -599,18 +599,23 @@ def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics — an interval ending exactly when another starts never
     counts as overlap. At scale the window partitions by event_type (and
     a day bucket for longer horizons), so no single sort spans the whole
-    history.
+    history. Both boundary points explode out of ONE scan (the
+    pre-reshape self-union read events twice for rows the scan stage can
+    emit in one pass).
     """
     ev = load(spark, sf_dir, "events").select("event_type", "ts")
     pts = ev.select(
-        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
-    ).unionAll(
-        ev.select(
-            "event_type",
-            (F.col("ts") + F.expr("INTERVAL 15 MINUTE")).alias("t"),
-            F.lit(-1).alias("delta"),
-        )
-    )
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.col("ts").alias("t"), F.lit(1).alias("delta")),
+                F.struct(
+                    (F.col("ts") + F.expr("INTERVAL 15 MINUTE")).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("b"),
+    ).select("event_type", F.col("b.t").alias("t"), F.col("b.delta").alias("delta"))
     w = W.partitionBy("event_type").orderBy("t")
     return (
         pts.withColumn("live", F.sum("delta").over(w))
@@ -2785,12 +2790,16 @@ def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output restricted to days where the full join exists; stickiness is
     a single rounded division. At 100 TB the (user, day) reduction is
-    the whole trick — events collapse by ~10³ before anything fans out.
+    the whole trick — events collapse by ~10³ before anything fans out,
+    and the reduced pair set is MATERIALIZED so its two consumers (the
+    30-day fan for MAU, the day count for DAU) read it instead of each
+    re-executing the corpus distinct (pre-reshape: 2 events scans, zero
+    runtime exchange reuse).
     """
     ev = load(spark, sf_dir, "events")
-    user_days = ev.select(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct()
+    user_days = iter_materialize(
+        ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    )
     fan = user_days.select(
         "user_id",
         F.explode(
@@ -3061,10 +3070,12 @@ def bandit_ucb(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation feeds an allocator instead of a significance test.
 
     Scale shape: one combine-enabled aggregate collapses the event log to
-    |arms| rows; the total, the scores, and the argmax window all run on
-    that tiny table (aggregate-then-window, as share_of_total). The
-    ln/sqrt math runs on identical doubles in both engines, rounded at
-    6dp.
+    |arms| rows; the total N is an unpartitioned window SUM over that
+    tiny table (aggregate-then-window, as share_of_total — the
+    pre-reshape separate 1-row total + broadcast join re-executed the
+    arms aggregate, 2 events scans with zero runtime reuse), and the
+    scores and argmax window run on the same |arms| rows. The ln/sqrt
+    math runs on identical doubles in both engines, rounded at 6dp.
     """
     from pyspark.sql import Window
 
@@ -3079,14 +3090,13 @@ def bandit_ucb(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_reward"),
         )
     )
-    tot = arms.agg(F.sum("n_pulls").alias("big_n"))
-    scored = arms.join(F.broadcast(tot)).select(
+    big_n = F.sum("n_pulls").over(Window.partitionBy())
+    scored = arms.select(
         "arm",
         "n_pulls",
         "mean_reward",
         F.round(
-            F.col("mean_reward")
-            + F.sqrt(2 * F.log(F.col("big_n")) / F.col("n_pulls")),
+            F.col("mean_reward") + F.sqrt(2 * F.log(big_n) / F.col("n_pulls")),
             6,
         ).alias("ucb"),
     )

@@ -745,21 +745,28 @@ def group_rare_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-hot/target encoders from memorizing singleton categories (and
     the long-tail bucket every feature store materializes).
 
-    Aggregate-then-broadcast: category counts are a |categories|-row
-    aggregate joined back onto the scan (broadcast at any scale — the
-    category domain is bounded), then one more combine-enabled count on
-    the collapsed key. No row ever shuffles with its full original
-    category cardinality.
+    Aggregate-then-reaggregate: category counts are a |categories|-row
+    aggregate, and the collapsed output is that tiny table re-summed
+    under the folded label — the per-row mapping never needs to
+    materialize for a count-only output, since the sum of per-source
+    counts under the collapsed label IS the count of mapped rows (the
+    pre-reshape join-back re-executed the corpus aggregate on the probe
+    side: 2 scans, zero runtime reuse; a pipeline that wants the
+    per-document mapped column still broadcasts the counts onto the
+    scan). No row ever shuffles with its full original category
+    cardinality.
     """
     docs = load(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    mapped = docs.join(F.broadcast(counts), "source").select(
-        F.when(F.col("n") >= 30, F.col("source")).otherwise("OTHER").alias(
-            "source_grouped"
+    return (
+        counts.select(
+            F.when(F.col("n") >= 30, F.col("source"))
+            .otherwise("OTHER")
+            .alias("source_grouped"),
+            "n",
         )
-    )
-    return mapped.groupBy("source_grouped").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
+        .groupBy("source_grouped")
+        .agg(F.sum("n").cast("long").alias("n_docs"))
     )
 
 
@@ -1070,11 +1077,15 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     additional data stops adding information (novelty trending to zero ⇒
     the source is exhausted; the scaling-law data question, measured).
 
-    First occurrence is one digest-keyed min-aggregate (no ordering, no
-    window over the corpus); the per-doc ratio is a second aggregate
-    after a digest equi-join. Shingles travel as 16-byte digests from the
+    First occurrence is a MIN window over the digest key — one pass over
+    one digest-keyed exchange of the distinct gram table (the pre-reshape
+    min-aggregate + equi-join re-derived the exploded gram table on both
+    sides: 2 corpus scans, zero runtime reuse); the per-doc ratio is the
+    following aggregate. Shingles travel as 16-byte digests from the
     scan stage on — Σ|shingles| rows but fixed narrow width.
     """
+    from pyspark.sql import Window
+
     toks = load(spark, sf_dir, "documents").select(
         "doc_id", tokens_col().alias("t")
     )
@@ -1091,9 +1102,8 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     return (
-        grams.join(firsts, "g")
+        grams.withColumn("first_doc", F.min("doc_id").over(Window.partitionBy("g")))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
@@ -1133,23 +1143,28 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the cheap middle tier between dedup_exact and MinHash, and the
     first thing to try when near-dup volume looks suspiciously high.
 
-    Normalization is scan-side regexp/lower; both distinct counts ride
-    16-byte digests through one aggregation. The report form (raw vs
-    normalized unique counts) is the decision artifact: a large gap says
-    normalize-then-hash before paying for LSH.
+    Normalization is scan-side regexp/lower; BOTH digests (raw and
+    normalized) come out of the SAME scan and both distinct counts ride
+    16-byte digests through one multi-distinct aggregation (the Expand
+    doubles digest-width rows — far cheaper than the pre-reshape second
+    corpus text scan for the raw count, which reused nothing at
+    runtime). The report form (raw vs normalized unique counts) is the
+    decision artifact: a large gap says normalize-then-hash before
+    paying for LSH.
     """
     docs = load(spark, sf_dir, "documents")
     norm_digest = F.md5(
         F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     )
-    raw = docs.agg(F.count_distinct(F.md5("text")).cast("long").alias("n_raw_unique"))
     return (
-        docs.select(norm_digest.alias("digest"))
+        docs.select(
+            norm_digest.alias("digest"), F.md5("text").alias("raw_digest")
+        )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.count_distinct("digest").cast("long").alias("n_normalized_unique"),
+            F.count_distinct("raw_digest").cast("long").alias("n_raw_unique"),
         )
-        .crossJoin(F.broadcast(raw))
         .select(
             "n_docs",
             "n_normalized_unique",
@@ -1226,21 +1241,23 @@ def dedup_unicode_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # normalize ONCE into a named column — Catalyst does not collapse two
     # textually-identical Python UDF calls, so deriving digest and the
     # denormalized flag from separate nfc(text) expressions runs the
-    # Arrow stage twice over the corpus (plan-pinned to 1 stage)
+    # Arrow stage twice over the corpus (plan-pinned to 1 stage). The raw
+    # digest rides the SAME scan: the pre-reshape separate raw-count
+    # aggregate was a second corpus text scan with zero runtime reuse;
+    # the multi-distinct Expand this replaces it with doubles only
+    # digest-width rows.
     norm = docs.select("text", nfc(F.col("text")).alias("ntext")).select(
         F.md5("ntext").alias("digest"),
+        F.md5("text").alias("raw_digest"),
         (F.col("text") != F.col("ntext")).cast("long").alias("was_denormalized"),
-    )
-    raw = docs.agg(
-        F.count_distinct(F.md5("text")).cast("long").alias("n_raw_unique")
     )
     return (
         norm.agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("was_denormalized").cast("long").alias("n_denormalized"),
             F.count_distinct("digest").cast("long").alias("n_nfc_unique"),
+            F.count_distinct("raw_digest").cast("long").alias("n_raw_unique"),
         )
-        .crossJoin(F.broadcast(raw))
         .select(
             "n_docs",
             "n_denormalized",
@@ -1924,40 +1941,37 @@ def fim_split_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure per-row integer expressions in the scan stage —
     no explode, no shuffle, no Python. The whole transform runs at scan
     bandwidth regardless of corpus size; only the final collect-free
-    projection leaves the stage."""
+    projection leaves the stage. The splittable and under-3-token
+    branches are ONE guarded CASE over one scan (the pre-reshape
+    union of two complementary filters tokenized the corpus twice with
+    zero runtime reuse)."""
     toks = load(spark, sf_dir, "documents").select(
         "doc_id", token_count_col().alias("n")
     )
     knuth = lambda e: ((e % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)  # noqa: E731
-    splittable = toks.where(F.col("n") >= 3).select(
-        "doc_id", "n", (1 + knuth(F.col("doc_id")) % (F.col("n") - 2)).alias("c1")
-    ).select(
-        "doc_id",
-        "n",
-        "c1",
-        (
-            F.col("c1") + 1
-            + knuth(F.col("doc_id") + 7) % (F.col("n") - F.col("c1") - 1)
-        ).alias("c2"),
-    ).select(
+    ok = F.col("n") >= 3
+    # Guard the modulus denominators: for under-3-token rows c1/c2 are
+    # never emitted, but the expressions must still be evaluable.
+    c1 = F.when(ok, 1 + knuth(F.col("doc_id")) % (F.col("n") - 2)).otherwise(
+        F.col("n")
+    )
+    cuts = toks.select("doc_id", "n", c1.alias("c1"))
+    c2 = F.when(
+        ok,
+        F.col("c1") + 1 + knuth(F.col("doc_id") + 7) % (F.col("n") - F.col("c1") - 1),
+    ).otherwise(F.col("n"))
+    cuts2 = cuts.select("doc_id", "n", "c1", c2.alias("c2"))
+    return cuts2.select(
         "doc_id",
         F.col("n").cast("long").alias("n_tokens"),
         F.col("c1").cast("long").alias("len_prefix"),
         (F.col("c2") - F.col("c1")).cast("long").alias("len_middle"),
         (F.col("n") - F.col("c2")).cast("long").alias("len_suffix"),
-        F.when(knuth(F.col("doc_id") + 13) % 2 == 0, "PSM")
+        F.when(~ok, "none")
+        .when(knuth(F.col("doc_id") + 13) % 2 == 0, "PSM")
         .otherwise("SPM")
         .alias("mode"),
     )
-    tiny = toks.where(F.col("n") < 3).select(
-        "doc_id",
-        F.col("n").cast("long").alias("n_tokens"),
-        F.col("n").cast("long").alias("len_prefix"),
-        F.lit(0).cast("long").alias("len_middle"),
-        F.lit(0).cast("long").alias("len_suffix"),
-        F.lit("none").alias("mode"),
-    )
-    return splittable.unionAll(tiny)
 
 
 @register(

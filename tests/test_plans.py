@@ -631,8 +631,9 @@ def test_dedup_unicode_normalized_single_arrow_stage(spark, sf_smoke) -> None:
     # NFC normalization is ONE Arrow stage over a text-only pruned scan
     # (digest and the denormalized flag both derive from the same
     # normalized column — a second UDF evaluation would double the
-    # corpus pass); downstream ships 16-byte digests, and the only
-    # non-equi join is the 1-row broadcast of the raw-unique aggregate.
+    # corpus pass); the raw digest rides the same scan (round-7 reshape:
+    # the separate raw-unique aggregate was a second corpus scan) and
+    # downstream ships 16-byte digests through one multi-distinct agg.
     plan = _plan(registry.QUERIES["dedup_unicode_normalized"](spark, sf_smoke))
     assert plan.count("ArrowEvalPython (") == 1
     assert "BatchEvalPython" not in plan
@@ -839,6 +840,15 @@ def test_reshaped_queries_stay_single_pass(spark, sf_smoke) -> None:
         "resample_ffill",
         "dedup_intradoc_spans",
         "boilerplate_detect",
+        # round-7 second wave (2-scan -> 1-scan collapses)
+        "stickiness_dau_mau",
+        "bandit_ucb",
+        "interval_overlap",
+        "ngram_novelty",
+        "dedup_exact_normalized",
+        "dedup_unicode_normalized",
+        "group_rare_categories",
+        "fim_split_prep",
     ]
     jvm = spark._jvm
     problems = []
@@ -994,6 +1004,36 @@ def test_resample_ffill_series_from_observed(spark, sf_smoke) -> None:
     plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     scans = len(re.findall(r"Location:[^\n]*?/events\.parquet", plan))
     assert scans <= 1, f"events scanned {scans}x past the materialized aggregate"
+
+
+def test_round7_second_wave_single_scan(spark, sf_smoke) -> None:
+    # The eight 2-scan shapes collapsed to one base-table pass late round
+    # 7 (materialized distinct, window totals, boundary explode, min
+    # window, dual digests in one scan, count re-aggregation, guarded
+    # CASE) must stay single-scan: at most ONE final-plan scan of the
+    # base table (zero when an eager materialization hides it).
+    from tools.audit_plans import final_plan_scan_counts
+
+    wave = {
+        "stickiness_dau_mau": "events",
+        "bandit_ucb": "events",
+        "interval_overlap": "events",
+        "ngram_novelty": "documents",
+        "dedup_exact_normalized": "documents",
+        "dedup_unicode_normalized": "documents",
+        "group_rare_categories": "documents",
+        "fim_split_prep": "documents",
+    }
+    jvm = spark._jvm
+    problems = []
+    for name, table in wave.items():
+        df = registry.QUERIES[name](spark, sf_smoke)
+        df.collect()
+        plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        scans, _ = final_plan_scan_counts(plan)
+        if scans.get(table, 0) > 1:
+            problems.append(f"{name}: {table} scanned {scans[table]}x")
+    assert not problems, problems
 
 
 def test_intradoc_spans_window_not_selfjoin(spark, sf_smoke) -> None:
