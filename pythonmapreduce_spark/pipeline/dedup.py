@@ -1401,12 +1401,20 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.size("t") >= 8)
     )
+    # n_grams = size(t) - 3 BY CONSTRUCTION (one gram per explode
+    # position), so the count rides the scan as a per-row constant — the
+    # pre-reshape separate groupBy over the re-derived gram table was a
+    # second corpus scan with zero runtime reuse.
     hashed = (
         toks.select(
-            "doc_id", "t", F.explode(F.sequence(F.lit(1), F.size("t") - 3)).alias("p")
+            "doc_id",
+            (F.size("t") - 3).cast("long").alias("n_grams"),
+            "t",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 3)).alias("p"),
         )
         .selectExpr(
             "doc_id",
+            "n_grams",
             "p",
             "CAST(conv(substring(md5(array_join(slice(t, p, 4), ' ')), 1, 8), 16, 10)"
             " AS BIGINT) AS h",
@@ -1417,6 +1425,7 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     w5 = word.rowsBetween(0, 4)
     win = keyed.select(
         "doc_id",
+        "n_grams",
         "p",
         F.min(F.struct("m", "p")).over(w5).alias("mn"),
         F.lead("p", 4).over(word).alias("lead4"),
@@ -1425,22 +1434,23 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         win.where(F.col("lead4").isNotNull())
         .select(
             "doc_id",
+            "n_grams",
             F.col("mn.p").alias("pmin"),
             F.expr("(mn.m + mn.p) div 8").alias("fp"),
         )
         .distinct()
     )
-    gc = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
-    sc = selected.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_selected")
-    )
-    return gc.join(sc, "doc_id").select(
-        "doc_id",
-        "n_grams",
-        "n_selected",
-        F.round(F.col("n_selected") * 1.0 / (F.col("n_grams") - 4), 4).alias(
-            "density"
-        ),
+    return (
+        selected.groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_selected"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_selected",
+            F.round(F.col("n_selected") * 1.0 / (F.col("n_grams") - 4), 4).alias(
+                "density"
+            ),
+        )
     )
 
 

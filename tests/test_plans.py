@@ -849,6 +849,7 @@ def test_reshaped_queries_stay_single_pass(spark, sf_smoke) -> None:
         "dedup_unicode_normalized",
         "group_rare_categories",
         "fim_split_prep",
+        "winnow_fingerprints",
     ]
     jvm = spark._jvm
     problems = []
@@ -1023,6 +1024,7 @@ def test_round7_second_wave_single_scan(spark, sf_smoke) -> None:
         "dedup_unicode_normalized": "documents",
         "group_rare_categories": "documents",
         "fim_split_prep": "documents",
+        "winnow_fingerprints": "documents",
     }
     jvm = spark._jvm
     problems = []
