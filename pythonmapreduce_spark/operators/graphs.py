@@ -81,8 +81,25 @@ def _pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame | None:
     if n_nodes == 0:
         return None
     teleport = 0.15 / n_nodes
-    ranks = nodes.select("src", F.lit(1.0 / n_nodes).alias("pr"))
-    for _ in range(3):
+    # Iteration-1 specialization (superstep-0 constant folding): the
+    # uniform init makes every rank the literal 1/|V|, and the rank
+    # table covers exactly contrib_base's src set (nodes derives from
+    # it), so the first join attaches a constant to every edge row —
+    # fold it into the aggregate instead. Same pr/d terms summed under
+    # the same grouping; any reordering drift sits far below the
+    # ×1000-then-round-6dp compare precision the oracle already relies
+    # on for cross-engine float summation.
+    ranks = (
+        contrib_base.groupBy("dst")
+        .agg(
+            (
+                F.lit(teleport)
+                + 0.85 * F.sum(F.lit(1.0 / n_nodes) / F.col("d"))
+            ).alias("pr")
+        )
+        .withColumnRenamed("dst", "src")
+    )
+    for _ in range(2):
         ranks = (
             contrib_base.join(ranks, "src")
             .groupBy("dst")
@@ -615,10 +632,23 @@ def graph_cc_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = e.select("src", "dst").unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = sym.select(F.col("src").alias("vid")).distinct().withColumn(
-        "lbl", F.col("vid")
+    # Round-1 specialization (superstep-0 constant folding): with every
+    # initial label equal to the vertex id, round 1's neighbor-min is
+    # just min(dst) per src and the least() against the own label is
+    # least(src, min(dst)) — one combine-enabled aggregate over the edge
+    # base replaces the label join + left-join merge. Every vertex
+    # appears as a src in the symmetric edge set, so no left join is
+    # needed to keep isolated-side rows. Integer min — bit-identical to
+    # the general round the oracle unrolls.
+    labels = iter_materialize(
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("nbl"))
+        .select(
+            F.col("src").alias("vid"),
+            F.least(F.col("src"), F.col("nbl")).alias("lbl"),
+        )
     )
-    for _ in range(3):
+    for _ in range(2):
         nbr_min = (
             sym.join(labels.withColumnRenamed("vid", "dst2"), F.col("dst") == F.col("dst2"))
             .groupBy("src")
@@ -701,12 +731,23 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     sym = e.select("src", "dst").unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = sym.select(F.col("src").alias("vid")).distinct().withColumn(
-        "lbl", F.col("vid")
-    )
     from pyspark.sql import Window
 
-    for _ in range(2):
+    # Round-1 specialization (first-iteration constant folding, the
+    # standard Pregel superstep-0 trick): every initial label is the
+    # vertex id and sym is duplicate-free BY CONSTRUCTION (_edges ends
+    # in distinct() under src < dst, so no (a,b) repeats in either
+    # direction on any fixture) — every round-1 vote count is exactly 1
+    # and the (cnt DESC, lbl ASC) top-1 is simply the minimum neighbor
+    # id. One combine-enabled min-aggregate over the edge base replaces
+    # the label join + O(E) vote count + per-vertex window; integer
+    # min, so bit-identical to the general round the oracle unrolls.
+    labels = iter_materialize(
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("lbl"))
+        .select(F.col("src").alias("vid"), "lbl")
+    )
+    for _ in range(1):
         votes = (
             sym.join(
                 labels.withColumnRenamed("vid", "dst2"),
@@ -782,15 +823,22 @@ def kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = e.select("src", "dst").unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    alive = sym.select(F.col("src").alias("vid")).distinct()
+    alive = None
     counts = []
     for r in range(1, 4):
-        deg = (
-            sym.join(alive.withColumnRenamed("vid", "sv"), F.col("src") == F.col("sv"), "left_semi")
-            .join(alive.withColumnRenamed("vid", "dv"), F.col("dst") == F.col("dv"), "left_semi")
-            .groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
+        if alive is None:
+            # Round-1 specialization: the initial survivor set is every
+            # vertex of sym (both semi-joins are identity filters — src
+            # and dst are drawn from the same symmetric edge set), so
+            # round 1 is a bare combine-enabled degree count.
+            deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        else:
+            deg = (
+                sym.join(alive.withColumnRenamed("vid", "sv"), F.col("src") == F.col("sv"), "left_semi")
+                .join(alive.withColumnRenamed("vid", "dv"), F.col("dst") == F.col("dv"), "left_semi")
+                .groupBy("src")
+                .agg(F.count(F.lit(1)).alias("deg"))
+            )
         alive = iter_materialize(
             deg.where(F.col("deg") >= 3).select(F.col("src").alias("vid"))
         )

@@ -66,3 +66,94 @@ def test_bm25_broadcasts_model_sides(spark, sf_smoke) -> None:
     assert plan.count("BroadcastNestedLoopJoin Cross") <= 2
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_superstep0_specializations_match_general_round(spark, sf_smoke) -> None:
+    """The round-1 specializations in LPA / CC / pagerank fold the
+    deterministic uniform init into one aggregate. Their soundness rests
+    on sym being duplicate-free (``_edges`` ends in distinct() under
+    src < dst); this test re-runs round 1 in the GENERAL form the oracle
+    unrolls and asserts equality on the live graph, so a future edge
+    derivation that drops the distinct (or an asymmetric variant that
+    makes both directions collide) fails here, not in the driver diff.
+    """
+    from pyspark.sql import Window
+
+    e = _edges(spark, sf_smoke)
+    sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # the by-construction claim itself
+    assert sym.count() == sym.distinct().count()
+
+    labels0 = sym.select(F.col("src").alias("vid")).distinct().withColumn(
+        "lbl", F.col("vid")
+    )
+
+    # Round-1 votes carry one distinct label per neighbor, so every
+    # (src, lbl) vote count is exactly 1 — the fact the min() rewrite uses.
+    dup_votes = (
+        sym.join(labels0.withColumnRenamed("vid", "dst2"), F.col("dst") == F.col("dst2"))
+        .groupBy("src", "lbl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+    )
+    assert dup_votes.count() == 0
+
+    # LPA round 1, general: vote count + (cnt DESC, lbl ASC) top-1.
+    w = Window.partitionBy("src").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
+    lpa_general = (
+        sym.join(labels0.withColumnRenamed("vid", "dst2"), F.col("dst") == F.col("dst2"))
+        .groupBy("src", "lbl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("src").alias("vid"), "lbl")
+    )
+    lpa_special = sym.groupBy("src").agg(F.min("dst").alias("lbl")).select(
+        F.col("src").alias("vid"), "lbl"
+    )
+    assert lpa_general.exceptAll(lpa_special).count() == 0
+    assert lpa_special.exceptAll(lpa_general).count() == 0
+
+    # CC round 1, general: neighbor-min left-joined onto own label.
+    nbr_min = (
+        sym.join(labels0.withColumnRenamed("vid", "dst2"), F.col("dst") == F.col("dst2"))
+        .groupBy("src")
+        .agg(F.min("lbl").alias("nbl"))
+        .select(F.col("src").alias("vid"), "nbl")
+    )
+    cc_general = labels0.join(nbr_min, "vid", "left").select(
+        "vid", F.least(F.col("lbl"), F.coalesce("nbl", F.col("lbl"))).alias("lbl")
+    )
+    cc_special = sym.groupBy("src").agg(F.min("dst").alias("nbl")).select(
+        F.col("src").alias("vid"),
+        F.least(F.col("src"), F.col("nbl")).alias("lbl"),
+    )
+    assert cc_general.exceptAll(cc_special).count() == 0
+    assert cc_special.exceptAll(cc_general).count() == 0
+
+    # PageRank iteration 1, general join form vs folded-literal form:
+    # float sums may reorder, so compare per-vertex within 1e-12 — three
+    # orders tighter than the oracle's round-6dp-of-×1000 compare.
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    base = sym.join(deg, "src")
+    n = base.select("src").distinct().count()
+    teleport = 0.15 / n
+    ranks0 = base.select("src", "d").dropDuplicates(["src"]).select(
+        "src", F.lit(1.0 / n).alias("pr")
+    )
+    pr_general = (
+        base.join(ranks0, "src")
+        .groupBy("dst")
+        .agg((F.lit(teleport) + 0.85 * F.sum(F.col("pr") / F.col("d"))).alias("pr"))
+    )
+    pr_special = base.groupBy("dst").agg(
+        (F.lit(teleport) + 0.85 * F.sum(F.lit(1.0 / n) / F.col("d"))).alias("pr")
+    )
+    drift = (
+        pr_general.withColumnRenamed("pr", "pg")
+        .join(pr_special, "dst")
+        .select(F.max(F.abs(F.col("pg") - F.col("pr"))).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert drift is not None and drift < 1e-12
+    assert pr_general.count() == pr_special.count() == n
