@@ -722,17 +722,17 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Per round: one vertex-key equi-join of the label table against the
     materialized edge base, a (vertex, label) count aggregate, and a
-    per-vertex top-1 — WindowGroupLimit-class work over O(E) vote rows,
-    labels O(V), edges never re-derived (iter_materialize). Same
-    iterative scale shape as pagerank: co-partitioned on the vertex key,
-    nothing collected, rounds extend to convergence on a cluster.
+    per-vertex top-1 expressed as max_by(lbl, (cnt, -lbl)) — a second
+    combine-enabled hash aggregate instead of a per-vertex sort window,
+    so both round stages take map-side partials and nothing sorts.
+    Labels stay O(V), edges are never re-derived (iter_materialize).
+    Same iterative scale shape as pagerank: co-partitioned on the vertex
+    key, nothing collected, rounds extend to convergence on a cluster.
     """
     e = iter_materialize(_edges(spark, sf_dir))
     sym = e.select("src", "dst").unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    from pyspark.sql import Window
-
     # Round-1 specialization (first-iteration constant folding, the
     # standard Pregel superstep-0 trick): every initial label is the
     # vertex id and sym is duplicate-free BY CONSTRUCTION (_edges ends
@@ -756,13 +756,14 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
             .groupBy("src", "lbl")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        w = Window.partitionBy("src").orderBy(
-            F.col("cnt").desc(), F.col("lbl").asc()
-        )
-        labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select(F.col("src").alias("vid"), "lbl")
+        # Top-1 under (cnt DESC, lbl ASC) == argmax of the struct
+        # (cnt, -lbl), which is unique per vertex (labels are distinct
+        # within a vote group), so max_by is deterministic and
+        # order-equivalent to the oracle's ROW_NUMBER pick — but runs as
+        # a combine-enabled hash aggregate instead of a per-vertex sort
+        # window (map-side partials, no sort, no WindowGroupLimit pass).
+        labels = votes.groupBy(F.col("src").alias("vid")).agg(
+            F.max_by("lbl", F.struct(F.col("cnt"), (-F.col("lbl")).alias("nl"))).alias("lbl")
         )
         labels = iter_materialize(labels)
     return labels.groupBy(F.col("lbl").alias("community")).agg(
