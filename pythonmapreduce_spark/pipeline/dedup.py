@@ -495,12 +495,23 @@ def _label_propagation(pairs: DataFrame) -> DataFrame:
         .distinct()
     )
     edges = iter_materialize(edges)
-    labels = (
-        edges.select(F.col("id_a").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
+    # Round-1 specialization (superstep-0 constant folding, same as the
+    # graph tier's LPA/CC): with every initial label equal to the node
+    # id, the first neighbor-min is just min(id_b) per id_a and the
+    # least() against the own label is least(id_a, min(id_b)) — one
+    # combine-enabled aggregate over the edge base replaces the label
+    # join + left-join merge. min() is duplicate-insensitive, so this
+    # needs no dup-free precondition; every node appears as an id_a in
+    # the symmetrized edge set, so no left join is needed either.
+    labels = iter_materialize(
+        edges.groupBy(F.col("id_a").alias("doc_id"))
+        .agg(F.min("id_b").alias("nbl"))
+        .select(
+            "doc_id",
+            F.least(F.col("doc_id"), F.col("nbl")).alias("cluster_id"),
+        )
     )
-    for _ in range(8):
+    for _ in range(7):
         # Each node's candidate label: min over neighbors' current labels.
         neighbor_min = (
             edges.join(labels, edges["id_b"] == labels["doc_id"])
