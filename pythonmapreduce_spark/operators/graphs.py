@@ -537,7 +537,6 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = e.select("src", "dst").unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    a0 = sym.select(F.col("src").alias("vid")).distinct().withColumn("a", F.lit(1.0))
     # Each raw score table feeds BOTH its own normalizer aggregate and the
     # next half-round (and h1 additionally the final join). Without
     # materializing these O(V) tables Catalyst re-executes the |E|-sized
@@ -546,10 +545,13 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # times); checkpointing them keeps each half-round's shuffle join
     # computed exactly once — the two-table-UPDATE shape iterative HITS
     # needs at scale.
+    # Half-round-1 specialization (superstep-0 fold, as in LPA/CC/
+    # pagerank): a0 is uniformly 1.0, so the first hub score is just the
+    # vertex degree — sum of exact 1.0s, order-independent in float, so
+    # bit-identical to the general half-round's join+sum the oracle runs.
     h1r = iter_materialize(
-        sym.join(a0, sym.dst == a0.vid)
-        .groupBy("src")
-        .agg(F.sum("a").alias("h"))
+        sym.groupBy("src")
+        .agg(F.sum(F.lit(1.0)).alias("h"))
         .select(F.col("src").alias("vid"), "h")
     )
     h_tot = h1r.agg(F.sum("h").alias("ht"))
