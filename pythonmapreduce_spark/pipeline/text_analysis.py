@@ -739,18 +739,26 @@ def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-shuffles for it), and the split is the Knuth multiplicative hash —
     no RNG, stable across engines and runs.
 
-    Scale note on the decontamination stage (same contract as the
-    standalone ``decontamination`` query): a real benchmark suite is a
-    DEPLOYMENT CONSTANT — a few thousand snippets regardless of corpus
-    size — so the broadcast side stays KB-scale and the corpus streams
-    through one substring-scan stage. The fixture's ``doc_id % 7`` bench
-    rule ties the snippet count to n ONLY so the DuckDB oracle can derive
-    the same set; it is not the production shape (see
-    ``decontamination_ngram`` for the hash-join path that also handles
-    huge bench sets). Composability is the point:
-    each stage is an already-certified operator (pipeline_clean_corpus,
-    dedup_exact, decontamination, dataset_split) and the composition
-    still hash-matches a single-statement SQL oracle.
+    Scale note on the decontamination stage: it runs the WINDOW-HASH
+    path (``decontamination_ngram``'s certified shape) — each surviving
+    doc explodes into its 60-char windows via one ``regexp_extract_all``
+    pass and BroadcastHashJoins them against the snippet set on STRING
+    EQUALITY, then a combine-enabled per-doc max(hit) folds the verdict
+    back to one row per doc. That costs O(corpus_chars × window_width)
+    through one hash probe per window, linear in BOTH sides — vs the
+    per-snippet broadcast-``contains`` theta join (the standalone
+    ``decontamination`` query's small-bench shape), whose
+    O(corpus_bytes × |bench|) probe loop is also the single
+    JIT-compile-sensitive hot loop in the whole headline set (measured
+    bimodal 1.0 s / 1.8 s across same-code bench runs depending on
+    whether C2 finished tiering the generated contains loop during
+    warmup; the hash probe shows no such mode split). The group-back
+    exchange ships one boolean per (doc, window-match) AFTER map-side
+    partial aggregation — |docs| narrow rows, not |windows|.
+    Composability is the point: each stage is an already-certified
+    operator (pipeline_clean_corpus, dedup_exact, decontamination_ngram,
+    dataset_split) and the composition still hash-matches a
+    single-statement SQL oracle.
     """
     from pythonmapreduce_spark.sources.text_corpus import token_count_col
 
@@ -762,16 +770,30 @@ def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where((F.col("doc_id") % 7 == 0) & (F.length("text") >= 60))
         .select(F.substring("text", 1, 60).alias("snip"))
     )
-    clean = (
+    survivors = (
         docs.where(F.col("n_chars") >= 100)
         .where(token_count_col() >= 10)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .join(
-            F.broadcast(bench),
-            F.expr("contains(text, snip)"),
-            "left_anti",
+    )
+    # contains(text, snip) with every snippet exactly 60 chars ⇔ some
+    # 60-char window of text equals some snippet; the lookahead capture
+    # walks the doc once (see decontamination_ngram's docstring for why
+    # per-position substring() would be O(len²) per doc).
+    clean = (
+        survivors.select(
+            "doc_id",
+            "lang",
+            F.explode_outer(
+                F.expr(r"regexp_extract_all(text, '(?s)(?=(.{60}))', 1)")
+            ).alias("win"),
         )
+        .join(
+            F.broadcast(bench), F.col("win") == F.col("snip"), "left"
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.max(F.col("snip").isNotNull()).alias("hit"))
+        .where(~F.col("hit"))
     )
     split = (
         F.when(((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296) % 10 < 8, "train")

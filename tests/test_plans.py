@@ -352,14 +352,17 @@ def test_percentile_agg_single_exchange_pruned_scan(spark, sf_smoke) -> None:
 def test_pipeline_train_prep_shape(spark, sf_smoke) -> None:
     # the composed chain must keep each stage's certified shape: dedup as
     # a WindowGroupLimit (per-key state O(1), not a full-partition sort
-    # retain), decontamination as a BROADCAST anti join (corpus side
-    # never re-shuffles for it; the bench side is a deployment constant),
-    # and exactly two hash exchanges end to end (text-hash dedup + final
-    # split/lang agg)
+    # retain), decontamination as decontamination_ngram's window-vs-
+    # snippet BROADCAST HASH equi-join (one probe per window regardless
+    # of |bench|; the corpus side never re-shuffles for it) — never the
+    # per-snippet contains() nested loop — and exactly three hash
+    # exchanges end to end (text-hash dedup + per-doc verdict group-back
+    # + final split/lang agg)
     plan = _plan(registry.QUERIES["pipeline_train_prep"](spark, sf_smoke))
     assert "WindowGroupLimit" in plan
-    assert "BroadcastNestedLoopJoin LeftAnti" in plan
-    assert len(_partition_keys(plan)) == 2
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(_partition_keys(plan)) == 3
 
 
 def test_decontamination_ngram_hash_join(spark, sf_smoke) -> None:

@@ -38,16 +38,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # why each exception is bounded.
 ALLOW: dict[str, dict[str, str]] = {
     "udf_scalar": {"BatchEvalPython": "intentional row-UDF coverage query"},
-    "pipeline_train_prep": {
+    "decontamination": {
         "BroadcastNestedLoopJoin LeftAnti": (
             "decontamination theta anti-join: build side is the benchmark "
             "set (thousands of rows by design), broadcast once; the "
-            "large-bench algorithm is decontamination_ngram's hash join"
-        ),
-    },
-    "decontamination": {
-        "BroadcastNestedLoopJoin LeftAnti": (
-            "same bounded benchmark-set broadcast as pipeline_train_prep"
+            "large-bench algorithm is decontamination_ngram's hash join, "
+            "which pipeline_train_prep also uses since late round 7"
         ),
     },
     "dedup_near_incremental": {
