@@ -122,6 +122,12 @@ PAIR_TIER = [
     "dedup_simhash",
     "decontamination_ngram",
     "winnow_fingerprints",
+    # late round 7: the flagship curation chain, after its decontam stage
+    # moved to the window-hash equi-join — pinned one decade up so the
+    # composed pipeline (quality gate -> WindowGroupLimit dedup ->
+    # window explode + BroadcastHashJoin -> per-doc verdict group-back)
+    # carries measured evidence, not just its stages.
+    "pipeline_train_prep",
 ]
 
 
