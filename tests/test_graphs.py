@@ -157,3 +157,28 @@ def test_superstep0_specializations_match_general_round(spark, sf_smoke) -> None
     )
     assert drift is not None and drift < 1e-12
     assert pr_general.count() == pr_special.count() == n
+
+    # HITS half-round 1, general join+sum over a0 ≡ 1.0 vs bare degree
+    # sum: both are sums of exact 1.0s, so equality is exact.
+    a0 = labels0.select("vid", F.lit(1.0).alias("a"))
+    h_general = (
+        sym.join(a0, sym.dst == a0.vid)
+        .groupBy("src")
+        .agg(F.sum("a").alias("h"))
+    )
+    h_special = sym.groupBy("src").agg(F.sum(F.lit(1.0)).alias("h"))
+    assert h_general.exceptAll(h_special).count() == 0
+    assert h_special.exceptAll(h_general).count() == 0
+
+    # k-core round 1: the two survivor semi-joins are identity filters
+    # when every vertex is alive, so the bare degree count matches.
+    alive0 = labels0.select("vid")
+    deg_general = (
+        sym.join(alive0.withColumnRenamed("vid", "sv"), F.col("src") == F.col("sv"), "left_semi")
+        .join(alive0.withColumnRenamed("vid", "dv"), F.col("dst") == F.col("dv"), "left_semi")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    deg_special = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    assert deg_general.exceptAll(deg_special).count() == 0
+    assert deg_special.exceptAll(deg_general).count() == 0
