@@ -174,12 +174,20 @@ def test_profile_columns_no_corpus_sort(spark, sf_smoke) -> None:
     """The profiler must never sort the corpus: the 18s-at-sf0.1 failure
     mode was the 8-way multi-distinct lowering to a 9-grouping-key
     SortAggregate over an 8× Expand, whose required ordering inserted a
-    corpus-wide Sort. The two-pass form has NO Sort operator anywhere
-    (zero-key SortAggregates for string min/max are sort-free) and the
-    distinct pass stays hash-based."""
+    corpus-wide Sort. The per-column-scan form has NO Sort operator and
+    NO Expand anywhere (zero-key SortAggregates for string min/max are
+    sort-free), each distinct aggregate stays hash-based, and every
+    distinct-pass scan is single-column pruned."""
     plan = _plan(registry.QUERIES["profile_columns"](spark, sf_smoke))
     assert "+- Sort (" not in plan and ": Sort (" not in plan
+    assert "Expand" not in plan
     assert "HashAggregate" in plan
+    one_col_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "ReadSchema" in ln and ln.count(":") >= 1 and ln.count(",") == 0
+    ]
+    assert len(one_col_scans) >= 8, plan
 
 
 def test_ann_ivf_corpus_never_shuffles(spark, sf_smoke) -> None:
