@@ -1645,8 +1645,15 @@ def _pq_train(sample):
         for m in range(_PQ_M):
             # argmin over ||x-c||^2 = argmin over (-2 x.c + ||c||^2)
             a = (c2[m][None, :] - 2.0 * (xs[:, m, :] @ cb[m].T)).argmin(axis=1)
-            for k in np.unique(a):
-                new[m, k] = xs[a == k, m, :].mean(axis=0)
+            # Vectorized centroid update (one scatter-add per subspace,
+            # not one masked mean per occupied code: the per-code loop
+            # was 2 rounds x 8 subspaces x <=256 fancy-indexed means
+            # ~ 0.3 s of driver time at the 4096-vector training cap).
+            cnt = np.bincount(a, minlength=_PQ_K).astype(np.float64)
+            sums = np.zeros((_PQ_K, _PQ_DSUB))
+            np.add.at(sums, a, xs[:, m, :])
+            occ = cnt > 0
+            new[m, occ] = sums[occ] / cnt[occ, None]
         cb = new
     return cb
 
