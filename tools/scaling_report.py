@@ -4,7 +4,8 @@ empirical scaling exponent b from t ≈ a·SF^b over the top decade.
 
 b ≈ 0 → fixed-cost dominated at these sizes; b ≈ 1 → linear (the target
 for scan/agg/join plans); b > 1.3 → superlinear, a scale risk to explain
-or fix. Run: ``python tools/scaling_report.py`` (~5 min).
+or fix. Run: ``python tools/scaling_report.py`` (~45-60 min with the
+min-of-3 protocol and the sf1.0 tier; needs the machine exclusively).
 """
 
 from __future__ import annotations
@@ -128,6 +129,19 @@ PAIR_TIER = [
     # window explode + BroadcastHashJoin -> per-doc verdict group-back)
     # carries measured evidence, not just its stages.
     "pipeline_train_prep",
+    # round-7 fourth session: the ITERATIVE tier, post superstep-0 folds.
+    # Iteration-bound shapes hide a different failure than pair blowup —
+    # per-round state that grows with rounds (uncheckpointed lineage) or
+    # a per-round join that stops being O(E). Each loop here runs a fixed
+    # round count over the co-occurrence edge set, so the measured b must
+    # track the edge count's growth (~linear in SF), not rounds².
+    "pagerank_iter",
+    "label_propagation_communities",
+    "bfs_distances",
+    "graph_cc_rounds",
+    "kcore_rounds",
+    "hits_hub_authority",
+    "dedup_clusters",
 ]
 
 
@@ -154,27 +168,51 @@ def _semdedup_assign_stage(spark, sf_dir):
     return semdedup_assign(spark, e, c)
 
 
+def _steal_ticks() -> int:
+    """Hypervisor steal (field 8 of /proc/stat's cpu line) — same
+    adjudication signal bench.py records: a large delta across the run
+    means cells may be burst-inflated even under the min-of-3 protocol
+    (a multi-minute burst covers all 3 consecutive timed runs)."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return -1
+
+
 def main() -> int:
     load_all()
     spark = get_spark("scaling-report", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark.range(1000).selectExpr("sum(id)").collect()
+    steal_start = _steal_ticks()
+
+    def timed(fn, d: str) -> float:
+        """Min of 3 timed runs after 2 warmups: the burst-robust statistic
+        (same rationale as bench.py's queries_min) — a single timed run on
+        a steal-burst boot can inflate one cell 3-6x and turn a clean b
+        into a phantom superlinear row (measured: remove_dup_spans 50.0 s
+        single-shot vs 8.8 s min-of-3 at sf1.0 on the 2026-08-16 boot)."""
+        for _ in range(2):  # codegen + JIT warm
+            fn(spark, d).write.mode("overwrite").format("noop").save()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, d).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     times: dict[str, dict[float, float]] = {}
     for name in QUERY_SET:
         fn = QUERIES[name]
         times[name] = {}
         for sf in SFS:
-            d = SF_DIRS[sf]
-            for _ in range(2):  # codegen + JIT warm
-                fn(spark, d).write.mode("overwrite").format("noop").save()
-            t0 = time.perf_counter()
-            fn(spark, d).write.mode("overwrite").format("noop").save()
-            times[name][sf] = time.perf_counter() - t0
+            times[name][sf] = timed(fn, SF_DIRS[sf])
 
     lines = [
         "# SCALING — measured cross-SF behavior (generated by tools/scaling_report.py)",
         "",
-        "Steady-state wall time (local[32], noop sink, 2 warmups) at three scale",
+        "Steady-state wall time (local[32], noop sink, 2 warmups, min of 3",
+        "timed runs — burst-robust against hypervisor steal) at three scale",
         "factors spanning 100× in data volume. `b` is the empirical exponent of",
         "t ≈ a·SF^b fitted over the top decade (sf0.01 → sf0.1): **b ≈ 0** means",
         "fixed cost (JVM/plan/scheduling) still dominates at these sizes, **b ≈ 1**",
@@ -225,15 +263,10 @@ def main() -> int:
         )
         pair_times[name] = {}
         for sf in pair_sfs:
-            d = pair_dirs[sf]
-            for _ in range(2):
-                fn(spark, d).write.mode("overwrite").format("noop").save()
-            t0 = time.perf_counter()
-            fn(spark, d).write.mode("overwrite").format("noop").save()
-            pair_times[name][sf] = time.perf_counter() - t0
+            pair_times[name][sf] = timed(fn, pair_dirs[sf])
 
     lines += [
-        "## Pair-generating tier, extended decade (sf0.1 → sf1.0)",
+        "## Pair-generating and iterative tiers, extended decade (sf0.1 → sf1.0)",
         "",
         "Measurement-only inputs derived from the sf0.1 fixtures with",
         "TPC-H-style SF semantics — entity counts grow, per-entity density",
@@ -283,6 +316,25 @@ def main() -> int:
         "substring flaw surfaced here and nowhere else, and why a",
         "documents-reading row near b≈1.1 is 'linear in bytes', not",
         "superlinear in docs.)",
+        "",
+        "The iterative rows (pagerank_iter, label_propagation_communities,",
+        "bfs_distances, graph_cc_rounds, kcore_rounds, hits_hub_authority,",
+        "dedup_clusters) each run a FIXED round count over the co-occurrence",
+        "edge set (or the LSH cluster graph for dedup_clusters), with the",
+        "round-7 superstep-0 folds in: their per-round state is",
+        "localCheckpoint'd/materialized, so time must grow with the edge",
+        "count (~linear in SF), not with rounds × lineage depth — an",
+        "uncheckpointed loop would show here as a superlinear row one",
+        "decade up even though every round is individually O(E).",
+        "",
+    ]
+    steal_delta = _steal_ticks() - steal_start
+    lines += [
+        f"Run diagnostics: steal_ticks_delta={steal_delta} across the whole",
+        "report (bench.py's adjudication signal; a clean boot measures tens",
+        "to low hundreds over this workload — thousands mean hypervisor",
+        "bursts may have inflated individual cells despite min-of-3, so",
+        "re-measure any row over the bar standalone before acting on it).",
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"), "w") as f:
