@@ -347,12 +347,21 @@ def test_semdedup_assignment_no_broadcast_exchange(spark, sf_smoke) -> None:
     assert "Join" not in plan
 
 
-def test_percentile_agg_single_exchange_pruned_scan(spark, sf_smoke) -> None:
-    # exact percentiles via partial+final ObjectHashAggregate: ONE
-    # group-key exchange carries percentile buffers, and the scan reads
-    # only the two referenced columns
+def test_percentile_agg_collapsed_weighted_quantile(spark, sf_smoke) -> None:
+    # exact quantile_cont via the collapsed value distribution: one
+    # combine-enabled count per (group, value), a per-group running count
+    # over the sorted distincts (window sort — spills via the external
+    # sorter instead of OOMing), and the cum-covers-index selection.
+    # Exactly two hash exchanges — (flag, v) for the counts, flag for the
+    # window — with the final per-flag agg reusing the window's
+    # partitioning; NO ObjectHashAggregate whole-group value buffer
+    # anywhere (the old `percentile` form held every group value in one
+    # unspillable buffer — ~2 TB per group at 100 TB); scan pruned to the
+    # two referenced columns.
     plan = _plan(registry.QUERIES["percentile_agg"](spark, sf_smoke))
-    assert len(_partition_keys(plan)) == 1
+    assert len(_partition_keys(plan)) == 2
+    assert "ObjectHashAggregate" not in plan
+    assert "Window" in plan
     assert "Join" not in plan
     assert "l_extendedprice" in plan and "l_orderkey" not in plan
 
