@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pythonmapreduce_spark.catalog import load
+from pythonmapreduce_spark.operators.quantiles import weighted_quantiles
 from pythonmapreduce_spark.plans.registry import register
 
 
@@ -282,37 +283,17 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_extendedprice").alias("v")
     )
-    counts = li.groupBy("l_returnflag", "v").agg(F.count(F.lit(1)).alias("cnt"))
-    nn_cnt = F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(F.lit(0))
-    wflag = W.partitionBy("l_returnflag")
-    word = wflag.orderBy(F.col("v").asc_nulls_first())
-    cum = counts.withColumn("cum", F.sum(nn_cnt).over(word)).withColumn(
-        "n", F.sum(nn_cnt).over(wflag)
+    q = weighted_quantiles(
+        li,
+        ["l_returnflag"],
+        "v",
+        {"p50_raw": 0.5, "p95_raw": 0.95},
+        extra={"vmax": F.max("v")},
     )
-
-    def pick(p: float, edge) -> F.Column:
-        # value at 0-based sorted index edge(p*(n-1)): the first distinct
-        # value whose cumulative non-null count covers that index.
-        idx = edge(F.lit(p) * (F.col("n") - F.lit(1)))
-        return F.min(F.when(F.col("cum") >= idx + 1, F.col("v")))
-
-    res = cum.groupBy("l_returnflag").agg(
-        F.max("n").alias("n"),
-        pick(0.5, F.floor).alias("p50_lo"),
-        pick(0.5, F.ceil).alias("p50_hi"),
-        pick(0.95, F.floor).alias("p95_lo"),
-        pick(0.95, F.ceil).alias("p95_hi"),
-        F.max("v").alias("vmax"),
-    )
-
-    def interp(lo: str, hi: str, p: float) -> F.Column:
-        h = F.lit(p) * (F.col("n") - F.lit(1))
-        return F.col(lo) + (h - F.floor(h)) * (F.col(hi) - F.col(lo))
-
-    return res.select(
+    return q.select(
         "l_returnflag",
-        F.round(interp("p50_lo", "p50_hi", 0.5), 4).alias("p50"),
-        F.round(interp("p95_lo", "p95_hi", 0.95), 4).alias("p95"),
+        F.round("p50_raw", 4).alias("p50"),
+        F.round("p95_raw", 4).alias("p95"),
         F.round("vmax", 2).alias("p_max"),
     )
 
@@ -755,16 +736,16 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins tell you where values sit; equi-depth tells you where the ROWS
     sit, which is what balancing work across ranges needs).
 
-    Exact quartile bounds come from one percentile aggregate (1 row,
-    broadcast back); bin assignment is a stateless CASE inside the
-    second scan, then a 4-group partial+final count. Strict-< bin edges
-    on both engines so boundary-valued rows land identically.
+    Exact quartile bounds come from one collapsed weighted-quantile pass
+    (operators/quantiles.py — count per distinct value, spillable sorted
+    cumsum, never a whole-table percentile buffer; 1 row broadcast
+    back); bin assignment is a stateless CASE inside the second scan,
+    then a 4-group partial+final count. Strict-< bin edges on both
+    engines so boundary-valued rows land identically.
     """
     orders = load(spark, sf_dir, "orders")
-    b = orders.agg(
-        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
-        F.expr("percentile(o_totalprice, 0.50)").alias("q2"),
-        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    b = weighted_quantiles(
+        orders, [], "o_totalprice", {"q1": 0.25, "q2": 0.50, "q3": 0.75}
     )
     binned = orders.crossJoin(F.broadcast(b)).select(
         "o_totalprice",

@@ -1,0 +1,81 @@
+"""Exact weighted quantiles over the collapsed value distribution.
+
+Spark's exact ``percentile`` aggregate runs as ObjectHashAggregate whose
+per-group buffer holds EVERY value until finalization: executor memory
+bounds the approach at one group's row count x 8 bytes (a ~2 TB
+unspillable buffer per group at the 100 TB target), and the exchange
+ships whole-group object buffers to one task per group. The collapsed
+form here is the engine's ks_statistic/auc_roc discipline applied to
+quantiles:
+
+1. one combine-enabled count per distinct (group, value) — shuffle
+   width is |distinct values|, never |rows|;
+2. a per-group running count over the value-sorted distincts (window
+   sort, which SPILLS via the external sorter instead of OOMing);
+3. the quantile_cont selection — the value at 0-based sorted index i is
+   the first distinct value whose cumulative count reaches i+1 — for
+   floor/ceil(p*(n-1)), then linear interpolation between them.
+
+Exact at any group size and bit-compatible with SQL quantile_cont /
+Spark percentile at the call sites' rounding (proven against the DuckDB
+oracle by percentile_agg). approx_percentile (t-digest; mergeable,
+constant memory) remains the recommended sketch path at scale — this is
+the exact twin that now merely gets slow, not impossible.
+
+NULL semantics match the aggregate form: NULL values sort first with a
+zero running count (never selected), n counts non-NULL only, and an
+all-NULL group yields NULL quantiles but still appears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    ps: dict[str, float],
+    extra: dict[str, Column] | None = None,
+) -> DataFrame:
+    """One row per group: ``group_cols`` + a double column per ``ps``
+    entry (name -> quantile fraction), exact-interpolated. ``extra``
+    adds aggregate columns evaluated over the collapsed distinct-value
+    rows (e.g. ``F.max(value_col)`` — identical to the raw-row max).
+    Empty ``group_cols`` computes global quantiles (single window
+    partition — the same single-task finalization the percentile
+    aggregate had, but spillable)."""
+    v = F.col(value_col)
+    counts = df.groupBy(*(group_cols + [value_col])).agg(
+        F.count(F.lit(1)).alias("_wq_cnt")
+    )
+    nn_cnt = F.when(v.isNotNull(), F.col("_wq_cnt")).otherwise(F.lit(0))
+    part = [F.col(c) for c in group_cols] if group_cols else [F.lit(1)]
+    wgrp = W.partitionBy(*part)
+    word = wgrp.orderBy(v.asc_nulls_first())
+    cum = counts.withColumn("_wq_cum", F.sum(nn_cnt).over(word)).withColumn(
+        "_wq_n", F.sum(nn_cnt).over(wgrp)
+    )
+
+    def pick(p: float, edge) -> Column:
+        idx = edge(F.lit(p) * (F.col("_wq_n") - F.lit(1)))
+        return F.min(F.when(F.col("_wq_cum") >= idx + 1, v))
+
+    aggs = [F.max("_wq_n").alias("_wq_n")]
+    for name, p in ps.items():
+        aggs.append(pick(p, F.floor).alias(f"_wq_{name}_lo"))
+        aggs.append(pick(p, F.ceil).alias(f"_wq_{name}_hi"))
+    for name, col in (extra or {}).items():
+        aggs.append(col.alias(name))
+    res = cum.groupBy(*group_cols).agg(*aggs)
+
+    out = [F.col(c) for c in group_cols]
+    for name, p in ps.items():
+        h = F.lit(p) * (F.col("_wq_n") - F.lit(1))
+        lo, hi = F.col(f"_wq_{name}_lo"), F.col(f"_wq_{name}_hi")
+        out.append((lo + (h - F.floor(h)) * (hi - lo)).alias(name))
+    out += [F.col(name) for name in (extra or {})]
+    return res.select(*out)

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pythonmapreduce_spark.catalog import load
+from pythonmapreduce_spark.operators.quantiles import weighted_quantiles
 from pythonmapreduce_spark.plans.materialize import iter_materialize
 from pythonmapreduce_spark.plans.registry import register
 
@@ -692,13 +693,15 @@ def winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact interpolated percentiles per group collapse to |segments| rows
     of bounds which broadcast back onto the unshuffled table — same
     aggregate-then-broadcast shape as min_max_scale, so the big side
-    never exchanges. percentile() and quantile_cont share the linear
-    interpolation definition (proven cross-engine by percentile_agg).
+    never exchanges. The bounds come from the collapsed weighted-
+    quantile pass (operators/quantiles.py: count per distinct value +
+    spillable sorted cumsum — no per-segment whole-group percentile
+    buffer), which shares quantile_cont's linear interpolation
+    definition (proven cross-engine by percentile_agg).
     """
     cust = load(spark, sf_dir, "customer")
-    bounds = cust.groupBy("c_mktsegment").agg(
-        F.expr("percentile(c_acctbal, 0.05)").alias("lo"),
-        F.expr("percentile(c_acctbal, 0.95)").alias("hi"),
+    bounds = weighted_quantiles(
+        cust, ["c_mktsegment"], "c_acctbal", {"lo": 0.05, "hi": 0.95}
     )
     return cust.join(F.broadcast(bounds), "c_mktsegment").select(
         "c_custkey",
@@ -732,16 +735,16 @@ def robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     winsorize clamps; robust scaling re-centers on order statistics).
 
     Same aggregate-then-broadcast shape as its two siblings: |segments|
-    rows of (median, IQR) broadcast onto the unshuffled table.
+    rows of (median, IQR) broadcast onto the unshuffled table, the order
+    statistics from the collapsed weighted-quantile pass
+    (operators/quantiles.py — no per-segment percentile buffer).
     Degenerate IQR=0 floors to 1 on both engines.
     """
     cust = load(spark, sf_dir, "customer")
-    st = cust.groupBy("c_mktsegment").agg(
-        F.expr("percentile(c_acctbal, 0.5)").alias("med"),
-        (
-            F.expr("percentile(c_acctbal, 0.75)")
-            - F.expr("percentile(c_acctbal, 0.25)")
-        ).alias("iqr"),
+    st = weighted_quantiles(
+        cust, ["c_mktsegment"], "c_acctbal", {"med": 0.5, "q1": 0.25, "q3": 0.75}
+    ).select(
+        "c_mktsegment", "med", (F.col("q3") - F.col("q1")).alias("iqr")
     )
     safe_iqr = F.when(F.col("iqr") == 0, F.lit(1.0)).otherwise(F.col("iqr"))
     return cust.join(F.broadcast(st), "c_mktsegment").select(
