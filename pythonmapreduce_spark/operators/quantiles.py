@@ -40,14 +40,16 @@ def weighted_quantiles(
     value_col: str,
     ps: dict[str, float],
     extra: dict[str, Column] | None = None,
+    include_n: str | None = None,
 ) -> DataFrame:
     """One row per group: ``group_cols`` + a double column per ``ps``
     entry (name -> quantile fraction), exact-interpolated. ``extra``
     adds aggregate columns evaluated over the collapsed distinct-value
-    rows (e.g. ``F.max(value_col)`` — identical to the raw-row max).
-    Empty ``group_cols`` computes global quantiles (single window
-    partition — the same single-task finalization the percentile
-    aggregate had, but spillable)."""
+    rows (e.g. ``F.max(value_col)`` — identical to the raw-row max);
+    ``include_n`` additionally emits the group's non-null value count
+    under that name. Empty ``group_cols`` computes global quantiles
+    (single window partition — the same single-task finalization the
+    percentile aggregate had, but spillable)."""
     v = F.col(value_col)
     counts = df.groupBy(*(group_cols + [value_col])).agg(
         F.count(F.lit(1)).alias("_wq_cnt")
@@ -73,6 +75,10 @@ def weighted_quantiles(
     res = cum.groupBy(*group_cols).agg(*aggs)
 
     out = [F.col(c) for c in group_cols]
+    if include_n:
+        # empty GLOBAL input still produces one aggregate row (max over
+        # zero rows = NULL) — a count must read 0 there, like COUNT(*).
+        out.append(F.coalesce(F.col("_wq_n"), F.lit(0)).alias(include_n))
     for name, p in ps.items():
         h = F.lit(p) * (F.col("_wq_n") - F.lit(1))
         lo, hi = F.col(f"_wq_{name}_lo"), F.col(f"_wq_{name}_hi")

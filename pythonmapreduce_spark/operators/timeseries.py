@@ -1342,8 +1342,13 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same one-key shuffle discipline as funnel_steps (both stages group
     on user_id); the percentile summary collapses |converted users|
-    rows to one. Integer-second latencies keep the exact percentile
-    interpolation engine-identical.
+    rows to one THROUGH the collapsed weighted-quantile pass
+    (operators/quantiles.py): latencies are integer seconds, so the
+    distinct-value distribution is bounded by the time horizon — the
+    global percentile never buffers |converted users| values (the old
+    percentile aggregate held them all in one unspillable buffer).
+    Integer-second latencies keep the exact interpolation
+    engine-identical.
     """
     ev = load(spark, sf_dir, "events")
     s1 = (
@@ -1365,11 +1370,19 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("latency_s")
         )
     )
-    return conv.agg(
-        F.count(F.lit(1)).cast("long").alias("n_converted"),
-        F.expr("percentile(latency_s, 0.5)").cast("long").alias("p50_s"),
-        F.expr("percentile(latency_s, 0.9)").cast("long").alias("p90_s"),
-        F.max("latency_s").cast("long").alias("max_s"),
+    q = weighted_quantiles(
+        conv,
+        [],
+        "latency_s",
+        {"p50_raw": 0.5, "p90_raw": 0.9},
+        extra={"max_raw": F.max("latency_s")},
+        include_n="n_raw",
+    )
+    return q.select(
+        F.col("n_raw").cast("long").alias("n_converted"),
+        F.col("p50_raw").cast("long").alias("p50_s"),
+        F.col("p90_raw").cast("long").alias("p90_s"),
+        F.col("max_raw").cast("long").alias("max_s"),
     )
 
 

@@ -19,6 +19,14 @@ post-execution plan:
   duplicate subtrees are genuinely re-executed — the shape that hid the
   round-6 HITS half-round re-execution. Plans where AQE reuse kicks in
   are fine: the visible scan count includes collapsed duplicates.
+- GROWTH-CLASS ObjectHashAggregate (round-7 addition): ``percentile`` /
+  ``collect_list`` / ``collect_set`` / ``mode`` / ``median`` buffers
+  hold data PROPORTIONAL TO GROUP SIZE until finalization and cannot
+  spill — the wall percentile_agg's collapsed weighted-quantile rewrite
+  removed (~2 TB per group at 100 TB for a value buffer). Fixed-size
+  sketch aggregates (approx_percentile's t-digest, HLL) are fine and
+  not flagged. Each surviving growth-class site must carry an argued
+  PER-GROUP bound in the allowlist (``objagg:<fn>``).
 
 Exit 0 when only allowlisted findings remain, 1 otherwise. Run after
 adding or reshaping any query:  python tools/audit_plans.py
@@ -149,7 +157,113 @@ ALLOW: dict[str, dict[str, str]] = {
             "ann_pq_rerank_recall)"
         ),
     },
+    # ---- growth-class ObjectHashAggregate bounds (round-7 check) ----
+    # Every surviving collect/percentile buffer argues its PER-GROUP
+    # bound; the unbounded cases (percentile_agg, winsorize,
+    # robust_scale, histogram_equidepth, conversion_latency) were
+    # collapsed through operators/quantiles.py instead.
+    "inverted_index": {
+        "objagg:collect_set": (
+            "the posting list IS the query's output contract (reference "
+            "byte-parity with mapreduce_inverted.py, which emits full "
+            "per-token doc lists); the production search tier bounds "
+            "postings with the df∈[2,100] prune (search.py)"
+        ),
+    },
+    "inverted_index_text": {
+        "objagg:collect_set": "same output contract as inverted_index",
+    },
+    "inverted_index_positional": {
+        "objagg:collect_list": (
+            "positions collect per (term, doc) — bounded by one "
+            "document's length, never corpus-sized"
+        ),
+    },
+    "feature_hashing": {
+        "objagg:collect_list": (
+            "per-doc list over the 32 fixed hash buckets — hard bound 32 "
+            "elements per group"
+        ),
+    },
+    "remove_dup_spans": {
+        "objagg:collect_list": (
+            "per-doc token list for span rewriting — bounded by one "
+            "document's length (the rewrite needs the doc's own tokens "
+            "in order)"
+        ),
+    },
+    "graph_common_neighbors": {
+        "objagg:collect_set": (
+            "adjacency set per vertex — bounded by max degree, which the "
+            "co-occurrence construction bounds by order size (the same "
+            "bound the wedge join's Σdeg² argument rests on)"
+        ),
+    },
+    "anomaly_mad": {
+        "objagg:percentile": (
+            "median/MAD over the ALREADY-COLLAPSED |days|-row daily "
+            "series — group size bounded by the calendar horizon"
+        ),
+    },
+    "interarrival_stats": {
+        "objagg:percentile": (
+            "per-USER gap percentiles — group size is one user's event "
+            "count (hot users are a skew concern, not a memory wall); "
+            "global variants must collapse via operators/quantiles.py"
+        ),
+    },
+    "agg_collect": {
+        "objagg:collect_list": (
+            "intentional coverage query for the collect operators — the "
+            "per-group array IS the declared output"
+        ),
+    },
+    "agg_stringagg": {
+        "objagg:collect_list": (
+            "listagg semantics: the concatenated per-group string is the "
+            "output contract; group width is the output row width"
+        ),
+    },
+    "approx_quantile": {
+        "objagg:percentile": (
+            "the exact percentile here is the CALIBRATION BOUND the "
+            "sketch contract asserts against — the query exists to hold "
+            "the sketch to the exact answer at test scale; production "
+            "runs the sketch alone"
+        ),
+    },
 }
+
+# The banded-LSH bucket membership lists (MinHash and SimHash paths):
+# the buffer holds (doc_id[, signature]) per bucket MEMBER — linear in
+# members, id-width rows, never document content — and a bucket is a
+# band-hash collision class, i.e. near-duplicates of one document, so
+# the largest buffer scales with the corpus's largest duplicate cluster
+# (the thing this pipeline removes). The QUADRATIC danger (pair
+# explosion) is what _BUCKET_CAP's star degradation caps; the membership
+# collect itself is the documented one-shuffle in-bucket pair design
+# (pipeline/dedup.py:_pairs_in_buckets).
+for _q in (
+    "dedup_near",
+    "dedup_near_recall",
+    "dedup_simhash",
+    "dedup_simhash_verify",
+    "dedup_near_incremental",
+    "dedup_near_incremental_recall",
+):
+    ALLOW.setdefault(_q, {})["objagg:collect_list"] = (
+        "LSH bucket membership list: id-width rows linear in bucket "
+        "members (≈ one duplicate cluster); pair explosion capped by "
+        "_BUCKET_CAP star degradation"
+    )
+
+# IVF's "collect" is the K centroids into ONE broadcastable row — bound
+# is K, corpus-size-independent.
+for _q in ("ann_ivf", "ann_ivf_recall"):
+    ALLOW.setdefault(_q, {})["objagg:collect_list"] = (
+        "collects the K centroid vectors into one broadcast row — bound "
+        "is K (fixture 8/deployment ~sqrt(n) lists), never corpus rows"
+    )
 # Lowered 4 -> 3 late round 7 after the honest final-plan-only counter
 # landed: at bar 4 the 3-scan chi2_independence / retention_cohorts /
 # resample_ffill / dedup_intradoc_spans / boilerplate_detect shapes all
@@ -197,6 +311,28 @@ def final_plan_scan_counts(plan: str) -> tuple[Counter, int]:
     return Counter(table_of[i] for i in kept_tree_ids if i in table_of), reused
 
 
+# Aggregate functions whose ObjectHashAggregate buffer grows with the
+# group's row count (unspillable until finalization). approx_percentile /
+# hll / count-min run in fixed-size buffers and are not in this set.
+GROWTH_AGG_FNS = ("percentile", "collect_list", "collect_set", "mode", "median")
+
+
+def growth_object_aggs(plan: str) -> set[str]:
+    """Growth-class aggregate function names appearing in any
+    ObjectHashAggregate node's Functions list."""
+    found: set[str] = set()
+    for m in re.finditer(
+        r"^\(\d+\) ObjectHashAggregate\n((?:[^\n]+\n)*?)Functions \[\d+\]: \[([^\n]*)",
+        plan,
+        re.MULTILINE,
+    ):
+        fns = m.group(2)
+        for fn in GROWTH_AGG_FNS:
+            if re.search(rf"\b{fn}\(", fns):
+                found.add(fn)
+    return found
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -241,6 +377,14 @@ def main() -> int:
 
         if "BatchEvalPython" in plan and "BatchEvalPython" not in allowed:
             findings.append(f"{name}: BatchEvalPython (row-at-a-time Python) in plan")
+
+        for fn_name in growth_object_aggs(plan):
+            if f"objagg:{fn_name}" not in allowed:
+                findings.append(
+                    f"{name}: growth-class ObjectHashAggregate buffer "
+                    f"({fn_name}) — per-group memory wall, argue the bound "
+                    "or collapse (operators/quantiles.py)"
+                )
 
         scans, reused = final_plan_scan_counts(plan)
         if reused == 0:
