@@ -327,3 +327,53 @@ def test_remove_dup_spans_idempotent(spark, sf_oracle) -> None:
         n_clean = len([t for t in r["cleaned"].split(" ") if t]) if r["cleaned"] else 0
         assert r["n_removed"] >= 0
         assert n_clean == r["n_tokens"] - r["n_removed"]
+
+
+def test_weighted_quantiles_matches_numpy(spark) -> None:
+    """operators/quantiles.weighted_quantiles == numpy's 'linear'
+    interpolation (the quantile_cont definition) on randomized grouped
+    data with duplicates and NULLs; global (no-group) mode, include_n,
+    an all-NULL group, and empty input all behave."""
+    import numpy as np
+
+    from pythonmapreduce_spark.operators.quantiles import weighted_quantiles
+
+    rng = np.random.default_rng(1707)
+    rows = []
+    expected: dict[str, dict[str, float]] = {}
+    for g in ("a", "b", "c"):
+        # duplicates on purpose: values drawn from a small grid
+        vals = rng.choice(np.arange(0, 50, 0.25), size=int(rng.integers(7, 60)))
+        for v in vals:
+            rows.append((g, float(v)))
+        rows.append((g, None))  # NULLs must be ignored
+        expected[g] = {
+            "q1": float(np.quantile(vals, 0.25, method="linear")),
+            "med": float(np.quantile(vals, 0.5, method="linear")),
+            "p9": float(np.quantile(vals, 0.9, method="linear")),
+        }
+    rows.append(("z", None))  # all-NULL group: NULL quantiles, still a row
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    got = {
+        r["g"]: r.asDict()
+        for r in weighted_quantiles(
+            df, ["g"], "v", {"q1": 0.25, "med": 0.5, "p9": 0.9}, include_n="n"
+        ).collect()
+    }
+    for g, exp in expected.items():
+        for k, want in exp.items():
+            assert abs(got[g][k] - want) < 1e-9, (g, k, got[g][k], want)
+    assert got["z"]["med"] is None and got["z"]["n"] == 0
+
+    # global mode over the concatenation of all non-null values
+    allv = np.array([v for _, v in rows if v is not None])
+    gl = weighted_quantiles(df, [], "v", {"med": 0.5}, include_n="n").collect()[0]
+    assert abs(gl["med"] - float(np.quantile(allv, 0.5, method="linear"))) < 1e-9
+    assert gl["n"] == len(allv)
+
+    # empty input: grouped -> no rows; global -> one row, n=0, NULL quantile
+    empty = spark.createDataFrame([], "g string, v double")
+    assert weighted_quantiles(empty, ["g"], "v", {"med": 0.5}).count() == 0
+    g0 = weighted_quantiles(empty, [], "v", {"med": 0.5}, include_n="n").collect()[0]
+    assert g0["n"] == 0 and g0["med"] is None
