@@ -680,16 +680,29 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage is one of this engine's operators chained as DataFrames, so
     Catalyst fuses the whole thing into one plan (the dedup's hash shuffle
     is the only wide stage — filters run before it, pruning pushdown-style).
+
+    Every text-derived column (digest, token count) is computed IN THE
+    SCAN STAGE, so the dedup exchange carries (doc_id, lang, n_chars,
+    n_tokens, 32-byte digest) — never the text itself (DEPLOYMENT §3's
+    content-never-crosses-an-exchange rule; the pre-round-7 form selected
+    the token count after the window and shipped full text through the
+    dedup shuffle).
     """
     from pythonmapreduce_spark.sources.text_corpus import token_count_col
 
-    docs = load(spark, sf_dir, "documents").where(F.col("n_chars") >= 100)
-    w = W.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
-    clean = (
-        docs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "lang", "n_chars", token_count_col().alias("n_tokens"))
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("n_chars") >= 100)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            token_count_col().alias("n_tokens"),
+            F.sha2("text", 256).alias("h"),
+        )
     )
+    w = W.partitionBy("h").orderBy("doc_id")
+    clean = docs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
     return clean.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),

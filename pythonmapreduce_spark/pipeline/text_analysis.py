@@ -729,8 +729,11 @@ GROUP BY split, lang
 @register("pipeline_train_prep", oracle=_TRAIN_PREP_ORACLE)
 def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data preparation: length + token-count quality
-    gate → exact dedup (first-doc survivor) → benchmark decontamination →
-    deterministic train/val/test split → per-(split, lang) counts.
+    gate → benchmark decontamination → exact dedup (first-doc survivor)
+    → deterministic train/val/test split → per-(split, lang) counts.
+    (Decontam and dedup commute — identical texts get identical
+    verdicts — so this order equals the dedup-first composition while
+    keeping text out of every exchange; see the inline note.)
 
     The full nightly chain a pretraining corpus runs, composed from this
     engine's operators as ONE Catalyst plan: the quality filters evaluate
@@ -740,11 +743,11 @@ def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     no RNG, stable across engines and runs.
 
     Scale note on the decontamination stage: it runs the WINDOW-HASH
-    path (``decontamination_ngram``'s certified shape) — each surviving
-    doc explodes into its 60-char windows via one ``regexp_extract_all``
-    pass and BroadcastHashJoins them against the snippet set on STRING
-    EQUALITY, then a combine-enabled per-doc max(hit) folds the verdict
-    back to one row per doc. That costs O(corpus_chars × window_width)
+    path (``decontamination_ngram``'s certified shape) — each
+    quality-passing doc explodes into its 60-char windows via one
+    ``regexp_extract_all`` pass and BroadcastHashJoins them against the
+    snippet set on STRING EQUALITY, then a combine-enabled per-doc
+    max(hit) folds the verdict back to one row per doc. That costs O(corpus_chars × window_width)
     through one hash probe per window, linear in BOTH sides — vs the
     per-snippet broadcast-``contains`` theta join (the standalone
     ``decontamination`` query's small-bench shape), whose
@@ -765,25 +768,40 @@ def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
     bench = (
         docs.where((F.col("doc_id") % 7 == 0) & (F.length("text") >= 60))
         .select(F.substring("text", 1, 60).alias("snip"))
-    )
-    survivors = (
-        docs.where(F.col("n_chars") >= 100)
-        .where(token_count_col() >= 10)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
     )
     # contains(text, snip) with every snippet exactly 60 chars ⇔ some
     # 60-char window of text equals some snippet; the lookahead capture
     # walks the doc once (see decontamination_ngram's docstring for why
     # per-position substring() would be O(len²) per doc).
-    clean = (
-        survivors.select(
+    #
+    # The decontam verdict runs BEFORE the dedup window (they commute:
+    # identical texts have identical windows, hence identical verdicts,
+    # so filtering whole duplicate classes before or after picking the
+    # min-doc_id survivor yields the same set — asserted value-identical
+    # against the dedup-first form at sf0.1). The payoff is
+    # DEPLOYMENT §3's content rule: every text-derived value (digest,
+    # windows, verdict) is computed in the scan stage, so all three
+    # exchanges carry (doc_id, lang, 32-byte digest, boolean) — the
+    # pre-reorder form shipped FULL TEXT through the dedup shuffle
+    # because the window explode still needed it afterwards. Measured
+    # trade at bench scale: +~0.5 s (the explode now covers every
+    # quality doc, not just dedup survivors — proportional to the dup
+    # rate). At 100 TB the sign flips hard: duplicate-rate×corpus extra
+    # hash probes are map-side CPU, while the old shape moved
+    # corpus-sized text bytes through the cluster bisection — the
+    # bottleneck DEPLOYMENT §3 exists to forbid. (A doc_id-bucketed
+    # corpus layout, DEPLOYMENT §2, would also allow dedup-first with a
+    # co-located exchange-free join-back.)
+    verdict = (
+        docs.where(F.col("n_chars") >= 100)
+        .where(token_count_col() >= 10)
+        .select(
             "doc_id",
             "lang",
+            F.sha2("text", 256).alias("h"),
             F.explode_outer(
                 F.expr(r"regexp_extract_all(text, '(?s)(?=(.{60}))', 1)")
             ).alias("win"),
@@ -791,9 +809,14 @@ def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             F.broadcast(bench), F.col("win") == F.col("snip"), "left"
         )
-        .groupBy("doc_id", "lang")
+        .groupBy("doc_id", "lang", "h")
         .agg(F.max(F.col("snip").isNotNull()).alias("hit"))
-        .where(~F.col("hit"))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    clean = (
+        verdict.where(~F.col("hit"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
     )
     split = (
         F.when(((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296) % 10 < 8, "train")

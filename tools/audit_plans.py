@@ -19,6 +19,14 @@ post-execution plan:
   duplicate subtrees are genuinely re-executed — the shape that hid the
   round-6 HITS half-round re-execution. Plans where AQE reuse kicks in
   are fine: the visible scan count includes collapsed duplicates.
+- CONTENT-OVER-EXCHANGE (round-7 addition): the raw documents ``text``
+  column crossing any Exchange violates DEPLOYMENT §3's design rule
+  (content never crosses an exchange — keys, digests, and aggregates
+  do). The engine-wide probe that introduced this check found the rule
+  already held everywhere except the two composed pipelines (both
+  reshaped: text-derived digests/verdicts now compute scan-side) and
+  the grouped-pandas coverage query, whose applyInPandas semantics
+  REQUIRE co-locating group rows (allowlisted: ``text-exchange``).
 - GROWTH-CLASS ObjectHashAggregate (round-7 addition): ``percentile`` /
   ``collect_list`` / ``collect_set`` / ``mode`` / ``median`` buffers
   hold data PROPORTIONAL TO GROUP SIZE until finalization and cannot
@@ -232,6 +240,13 @@ ALLOW: dict[str, dict[str, str]] = {
             "runs the sketch alone"
         ),
     },
+    "udf_group_arrow": {
+        "text-exchange": (
+            "applyInPandas/applyInArrow must co-locate each group's rows "
+            "on one task — shipping the group's content IS the operator; "
+            "coverage query for the grouped-Arrow surface"
+        ),
+    },
 }
 
 # The banded-LSH bucket membership lists (MinHash and SimHash paths):
@@ -377,6 +392,18 @@ def main() -> int:
 
         if "BatchEvalPython" in plan and "BatchEvalPython" not in allowed:
             findings.append(f"{name}: BatchEvalPython (row-at-a-time Python) in plan")
+
+        if "text-exchange" not in allowed:
+            for m in re.finditer(
+                r"^\(\d+\) Exchange\nInput \[\d+\]: \[([^\n]*)", plan, re.MULTILINE
+            ):
+                if re.search(r"\btext#", m.group(1)):
+                    findings.append(
+                        f"{name}: raw 'text' column crosses an Exchange — "
+                        "compute digests/derived values scan-side instead "
+                        "(DEPLOYMENT §3 content rule)"
+                    )
+                    break
 
         for fn_name in growth_object_aggs(plan):
             if f"objagg:{fn_name}" not in allowed:
