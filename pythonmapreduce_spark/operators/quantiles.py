@@ -29,6 +29,8 @@ all-NULL group yields NULL quantiles but still appears.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -43,13 +45,38 @@ def weighted_quantiles(
     include_n: str | None = None,
 ) -> DataFrame:
     """One row per group: ``group_cols`` + a double column per ``ps``
-    entry (name -> quantile fraction), exact-interpolated. ``extra``
-    adds aggregate columns evaluated over the collapsed distinct-value
-    rows (e.g. ``F.max(value_col)`` — identical to the raw-row max);
-    ``include_n`` additionally emits the group's non-null value count
-    under that name. Empty ``group_cols`` computes global quantiles
-    (single window partition — the same single-task finalization the
-    percentile aggregate had, but spillable)."""
+    entry (name -> quantile fraction), exact-interpolated.
+
+    ``extra`` aggregates run over the COLLAPSED distinct-(group, value)
+    rows, NOT the raw rows — each distinct value appears ONCE regardless
+    of its multiplicity. Only dedup-INVARIANT aggregates (``min`` /
+    ``max`` / ``any_value`` over the value column) equal their raw-row
+    twins; a duplicate-sensitive aggregate (count / sum / avg) must be
+    written weight-aware against the carried multiplicity column, e.g.
+    ``F.sum(F.col(v) * F.col("_wq_cnt"))`` for the raw-row sum — a bare
+    ``F.sum(v)`` would silently sum each value once. ``include_n`` is
+    the weight-aware COUNT(value) already (sum of ``_wq_cnt`` over
+    non-null values); use it instead of an ``extra`` count.
+
+    ``include_n`` emits the group's non-null RAW-ROW value count under
+    that name. Empty ``group_cols`` computes global quantiles (single
+    window partition — the same single-task finalization the percentile
+    aggregate had, but spillable)."""
+    # Guard (not just docs): a duplicate-sensitive extra that ignores the
+    # multiplicity column is a silent-wrong-answer bug, so reject it at
+    # plan-build time. Column reprs print the unresolved expression
+    # (e.g. Column<'sum(latency_s)'>), which is enough to spot the bare
+    # duplicate-sensitive forms.
+    for name, col in (extra or {}).items():
+        expr = str(col)
+        if "_wq_cnt" not in expr and re.search(
+            r"\b(count|sum|avg|mean|stddev\w*|variance|var_\w+|std)\(", expr
+        ):
+            raise ValueError(
+                f"extra aggregate {name!r} ({expr}) is duplicate-sensitive "
+                "but runs over the COLLAPSED distinct-value rows; weight it "
+                "by _wq_cnt (e.g. sum(v * _wq_cnt)) or use include_n"
+            )
     v = F.col(value_col)
     counts = df.groupBy(*(group_cols + [value_col])).agg(
         F.count(F.lit(1)).alias("_wq_cnt")

@@ -1370,6 +1370,12 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("latency_s")
         )
     )
+    # include_n counts NON-NULL latency_s, while the oracle's COUNT(*)
+    # counts conv rows; they agree ONLY because latency_s is built from
+    # min(ts) after an inner join and can never be NULL here. If a
+    # future edit makes latency_s nullable (outer join, nullable ts),
+    # switch to an explicit COUNT(*) aggregate or n_converted silently
+    # shrinks relative to the oracle.
     q = weighted_quantiles(
         conv,
         [],

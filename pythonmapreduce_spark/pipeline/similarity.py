@@ -1649,6 +1649,14 @@ def _pq_train(sample):
             # not one masked mean per occupied code: the per-code loop
             # was 2 rounds x 8 subspaces x <=256 fancy-indexed means
             # ~ 0.3 s of driver time at the 4096-vector training cap).
+            # np.add.at accumulates in input order (deterministic given
+            # the vec_id sort) but SEQUENTIALLY, vs np.mean's pairwise
+            # summation — so vs the old loop form, centroids can differ
+            # in the last ulp for large clusters, and a near-tie argmin
+            # can flip a code. Equality to the loop form was verified at
+            # sf0.1 only; the operative guarantee at any scale is the
+            # ann_pq_recall / ann_pq_rerank_recall floor, not
+            # bit-stability of the codebook.
             cnt = np.bincount(a, minlength=_PQ_K).astype(np.float64)
             sums = np.zeros((_PQ_K, _PQ_DSUB))
             np.add.at(sums, a, xs[:, m, :])

@@ -1058,6 +1058,48 @@ def test_round7_second_wave_single_scan(spark, sf_smoke) -> None:
     assert not problems, problems
 
 
+def test_audit_text_alias_tracing() -> None:
+    # Round-8 content-rule hardening: an IDENTITY re-alias of the raw
+    # text attribute (text#5 AS body#9, transitively body#9 AS c#11)
+    # must be traced into the Exchange check; a function-DERIVED value
+    # (xxhash64(text#5) AS d#7) must NOT — digests are what the rule
+    # says should cross.
+    from tools.audit_plans import text_attr_ids
+
+    plan = (
+        "(1) Scan parquet\n"
+        "Output [2]: [doc_id#1, text#5]\n"
+        "(2) Project\n"
+        "Output [3]: [text#5 AS body#9, xxhash64(text#5, 42) AS d#7, "
+        "substring(text#5, 1, 10) AS snip#8]\n"
+        "(3) Project\n"
+        "Output [1]: [body#9 AS c#11]\n"
+    )
+    ids = text_attr_ids(plan)
+    assert {"5", "9", "11"} <= ids
+    assert "7" not in ids and "8" not in ids
+
+
+def test_audit_growth_aggs_sees_sortaggregate() -> None:
+    # Round-8 hardening: the same growth-class buffer runs under
+    # SortAggregate when ObjectHashAggregate is disabled or falls back —
+    # the lint must catch both hosts, and leave fixed-size sketches
+    # (approx_percentile) alone.
+    from tools.audit_plans import growth_object_aggs
+
+    plan = (
+        "(1) SortAggregate\n"
+        "Functions [1]: [percentile(v#3, 0.5, 1, 0, 0)]\n"
+        "(2) ObjectHashAggregate\n"
+        "Functions [1]: [collect_list(x#4, 0, 0)]\n"
+        "(3) HashAggregate\n"
+        "Functions [1]: [approx_percentile(v#3, 0.5, 10000, 0, 0)]\n"
+        "(4) SortAggregate\n"
+        "Functions [1]: [min(v#3)]\n"
+    )
+    assert growth_object_aggs(plan) == {"percentile", "collect_list"}
+
+
 def test_intradoc_spans_window_not_selfjoin(spark, sf_smoke) -> None:
     # First-occurrence position must be a MIN window over (doc_id, sk):
     # the groupBy+self-join form re-derived the exploded span table on

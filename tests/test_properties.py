@@ -377,3 +377,38 @@ def test_weighted_quantiles_matches_numpy(spark) -> None:
     assert weighted_quantiles(empty, ["g"], "v", {"med": 0.5}).count() == 0
     g0 = weighted_quantiles(empty, [], "v", {"med": 0.5}, include_n="n").collect()[0]
     assert g0["n"] == 0 and g0["med"] is None
+
+
+def test_weighted_quantiles_extra_guard(spark) -> None:
+    """The ``extra`` aggregates run over COLLAPSED distinct-value rows, so
+    a bare duplicate-sensitive aggregate is a silent wrong answer — the
+    round-8 guard must reject it at plan-build time, while dedup-invariant
+    (max) and weight-aware (sum(v*_wq_cnt)) forms pass AND the weight-aware
+    sum equals the raw-row sum."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pythonmapreduce_spark.operators.quantiles import weighted_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("a", 3.0), ("b", 2.0)], "g string, v double"
+    )
+    with pytest.raises(ValueError, match="duplicate-sensitive"):
+        weighted_quantiles(df, ["g"], "v", {"med": 0.5}, extra={"s": F.sum("v")})
+    with pytest.raises(ValueError, match="duplicate-sensitive"):
+        weighted_quantiles(df, ["g"], "v", {"med": 0.5}, extra={"c": F.count("v")})
+    got = {
+        r["g"]: r.asDict()
+        for r in weighted_quantiles(
+            df,
+            ["g"],
+            "v",
+            {"med": 0.5},
+            extra={
+                "vmax": F.max("v"),
+                "vsum": F.sum(F.col("v") * F.col("_wq_cnt")),
+            },
+        ).collect()
+    }
+    assert got["a"]["vmax"] == 3.0 and abs(got["a"]["vsum"] - 5.0) < 1e-12
+    assert got["b"]["vmax"] == 2.0 and abs(got["b"]["vsum"] - 2.0) < 1e-12

@@ -27,14 +27,20 @@ post-execution plan:
   reshaped: text-derived digests/verdicts now compute scan-side) and
   the grouped-pandas coverage query, whose applyInPandas semantics
   REQUIRE co-locating group rows (allowlisted: ``text-exchange``).
-- GROWTH-CLASS ObjectHashAggregate (round-7 addition): ``percentile`` /
+  Round 8: the check traces IDENTITY RE-ALIASES of the text attribute
+  (``text#5 AS body#9``, transitively) so renaming the column no
+  longer hides a violation; function-derived digests stay exempt by
+  design.
+- GROWTH-CLASS aggregate buffers (round-7 addition): ``percentile`` /
   ``collect_list`` / ``collect_set`` / ``mode`` / ``median`` buffers
   hold data PROPORTIONAL TO GROUP SIZE until finalization and cannot
   spill — the wall percentile_agg's collapsed weighted-quantile rewrite
   removed (~2 TB per group at 100 TB for a value buffer). Fixed-size
   sketch aggregates (approx_percentile's t-digest, HLL) are fine and
-  not flagged. Each surviving growth-class site must carry an argued
-  PER-GROUP bound in the allowlist (``objagg:<fn>``).
+  not flagged. Round 8: SortAggregate nodes are scanned too — the same
+  whole-group buffer runs there when objectHashAggregate is disabled or
+  its fallback threshold trips. Each surviving growth-class site must
+  carry an argued PER-GROUP bound in the allowlist (``objagg:<fn>``).
 
 Exit 0 when only allowlisted findings remain, 1 otherwise. Run after
 adding or reshaping any query:  python tools/audit_plans.py
@@ -326,18 +332,23 @@ def final_plan_scan_counts(plan: str) -> tuple[Counter, int]:
     return Counter(table_of[i] for i in kept_tree_ids if i in table_of), reused
 
 
-# Aggregate functions whose ObjectHashAggregate buffer grows with the
-# group's row count (unspillable until finalization). approx_percentile /
-# hll / count-min run in fixed-size buffers and are not in this set.
+# Aggregate functions whose aggregation buffer grows with the group's
+# row count (unspillable until finalization). approx_percentile / hll /
+# count-min run in fixed-size buffers and are not in this set.
 GROWTH_AGG_FNS = ("percentile", "collect_list", "collect_set", "mode", "median")
 
 
 def growth_object_aggs(plan: str) -> set[str]:
     """Growth-class aggregate function names appearing in any
-    ObjectHashAggregate node's Functions list."""
+    ObjectHashAggregate OR SortAggregate node's Functions list. The
+    SortAggregate arm matters because the SAME whole-group buffer runs
+    there when objectHashAggregate is disabled or the fallback-count
+    threshold trips mid-query — the memory wall doesn't care which
+    operator hosts the buffer (round-8 ADVICE fix)."""
     found: set[str] = set()
     for m in re.finditer(
-        r"^\(\d+\) ObjectHashAggregate\n((?:[^\n]+\n)*?)Functions \[\d+\]: \[([^\n]*)",
+        r"^\(\d+\) (?:ObjectHashAggregate|SortAggregate)\n"
+        r"((?:[^\n]+\n)*?)Functions \[\d+\]: \[([^\n]*)",
         plan,
         re.MULTILINE,
     ):
@@ -346,6 +357,31 @@ def growth_object_aggs(plan: str) -> set[str]:
             if re.search(rf"\b{fn}\(", fns):
                 found.add(fn)
     return found
+
+
+def text_attr_ids(plan: str) -> set[str]:
+    """Attribute ids carrying the RAW documents ``text`` column,
+    including identity re-aliases (``text#5 AS body#9`` — and aliases of
+    those aliases, transitively). Function-DERIVED values
+    (``xxhash64(text#5, 42) AS d#9``) are intentionally not traced:
+    digests/verdicts computed from text are exactly what the content
+    rule says SHOULD cross an exchange. The identity-alias regex relies
+    on the formatted plan printing a bare re-alias as ``name#i AS
+    other#j`` with no intervening ``(``/``,`` — a wrapped use never has
+    the attribute directly adjacent to ``AS`` (round-8 ADVICE fix: the
+    literal ``text#`` grep missed ``F.col("text").alias("body")``)."""
+    ids = {m.group(1) for m in re.finditer(r"\btext#(\d+)", plan)}
+    names = {"text"}
+    changed = bool(ids)
+    while changed:
+        changed = False
+        for nm in sorted(names):
+            for m in re.finditer(rf"\b{re.escape(nm)}#\d+ AS (\w+)#(\d+)", plan):
+                if m.group(2) not in ids:
+                    ids.add(m.group(2))
+                    names.add(m.group(1))
+                    changed = True
+    return ids
 
 
 def main() -> int:
@@ -394,14 +430,22 @@ def main() -> int:
             findings.append(f"{name}: BatchEvalPython (row-at-a-time Python) in plan")
 
         if "text-exchange" not in allowed:
+            raw_ids = text_attr_ids(plan)
             for m in re.finditer(
                 r"^\(\d+\) Exchange\nInput \[\d+\]: \[([^\n]*)", plan, re.MULTILINE
             ):
-                if re.search(r"\btext#", m.group(1)):
+                crossing = {
+                    a.group(1)
+                    for a in re.finditer(r"\w+#(\d+)", m.group(1))
+                    if a.group(1) in raw_ids
+                }
+                if crossing:
                     findings.append(
-                        f"{name}: raw 'text' column crosses an Exchange — "
-                        "compute digests/derived values scan-side instead "
-                        "(DEPLOYMENT §3 content rule)"
+                        f"{name}: raw 'text' column (attr id(s) "
+                        f"{sorted(crossing)}, incl. identity aliases) "
+                        "crosses an Exchange — compute digests/derived "
+                        "values scan-side instead (DEPLOYMENT §3 content "
+                        "rule)"
                     )
                     break
 

@@ -142,6 +142,18 @@ PAIR_TIER = [
     "kcore_rounds",
     "hits_hub_authority",
     "dedup_clusters",
+    # round-8: the collapsed exact-quantile tier (operators/quantiles.py,
+    # the round-7 rewrite that replaced unspillable whole-group percentile
+    # buffers). Its scale claim — shuffle width = |distinct values|, window
+    # sort spills — is argued and bench-measured at sf0.1; this decade
+    # makes it MEASURED like the graph tier. The failure it would expose:
+    # a distinct-value domain that secretly grows ~|rows| (then the window
+    # sort does corpus-sized work per group and b drifts superlinear).
+    "percentile_agg",
+    "histogram_equidepth",
+    "winsorize",
+    "robust_scale",
+    "conversion_latency",
 ]
 
 
@@ -266,7 +278,7 @@ def main() -> int:
             pair_times[name][sf] = timed(fn, pair_dirs[sf])
 
     lines += [
-        "## Pair-generating and iterative tiers, extended decade (sf0.1 → sf1.0)",
+        "## Pair-generating, iterative, and exact-quantile tiers, extended decade (sf0.1 → sf1.0)",
         "",
         "Measurement-only inputs derived from the sf0.1 fixtures with",
         "TPC-H-style SF semantics — entity counts grow, per-entity density",
@@ -326,6 +338,16 @@ def main() -> int:
         "count (~linear in SF), not with rounds × lineage depth — an",
         "uncheckpointed loop would show here as a superlinear row one",
         "decade up even though every round is individually O(E).",
+        "",
+        "The exact-quantile rows (percentile_agg, histogram_equidepth,",
+        "winsorize, robust_scale, conversion_latency — round 8) measure the",
+        "collapsed weighted-quantile pass (operators/quantiles.py) one",
+        "decade up: the combine-enabled distinct-(group,value) count is the",
+        "only |rows|-proportional stage, so b must track the scan (~linear),",
+        "while the window sort runs over |distinct values| rows. A",
+        "superlinear row here would mean the distinct-value domain grows",
+        "with the corpus faster than assumed (prices/latencies are",
+        "domain-bounded by construction in TPC-H-semantics inputs).",
         "",
     ]
     steal_delta = _steal_ticks() - steal_start
