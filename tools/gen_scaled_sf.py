@@ -142,6 +142,32 @@ def _gen_orders_lineitem(con: duckdb.DuckDBPyConnection, out_dir: str, r: int) -
     )
 
 
+def _gen_customer_events(out_dir: str, r: int) -> None:
+    """customer and events for the exact-quantile tier (round 8): entity
+    keys (c_custkey / event_id / user_id) offset per replica, VALUE
+    columns (c_acctbal, ts, value) kept verbatim — more entities over
+    the SAME bounded value domain, which is exactly the collapse
+    assumption weighted_quantiles' scale claim rests on (and TPC-H's own
+    SF semantics: acctbal's domain does not grow with SF). pyarrow
+    round-trip preserves the exact schema — notably events' timestamp
+    unit, which varies between driver generations (catalog sniffs it)."""
+    for t, keys in (("customer", ["c_custkey"]), ("events", ["event_id", "user_id"])):
+        base = pq.read_table(f"{SRC}/{t}.parquet")
+        chunks = [base]
+        offs = {k: pa.compute.max(base.column(k)).as_py() + 1 for k in keys}
+        for i in range(1, r):
+            cols = {}
+            for name in base.column_names:
+                col = base.column(name)
+                if name in keys:
+                    col = pa.compute.add(col, i * offs[name])
+                cols[name] = col
+            chunks.append(pa.table(cols))
+        pq.write_table(
+            pa.concat_tables(chunks).combine_chunks(), f"{out_dir}/{t}.parquet"
+        )
+
+
 def ensure_scaled_dirs() -> dict[float, str]:
     """Generate (idempotently) and return {sf: dir} for the scaled tiers."""
     con = duckdb.connect()
@@ -149,15 +175,21 @@ def ensure_scaled_dirs() -> dict[float, str]:
     for sf, r in REPLICAS.items():
         out_dir = os.path.join(OUT_ROOT, f"sf{sf}")
         out[float(sf)] = out_dir
-        if all(
-            os.path.exists(os.path.join(out_dir, f"{t}.parquet"))
-            for t in ("documents", "embeddings", "orders", "lineitem")
-        ):
+        have = {
+            t: os.path.exists(os.path.join(out_dir, f"{t}.parquet"))
+            for t in ("documents", "embeddings", "orders", "lineitem",
+                      "customer", "events")
+        }
+        if all(have.values()):
             continue
         os.makedirs(out_dir, exist_ok=True)
-        _gen_documents(con, out_dir, r)
-        _gen_embeddings(out_dir, r)
-        _gen_orders_lineitem(con, out_dir, r)
+        if not (have["documents"] and have["embeddings"] and have["orders"]
+                and have["lineitem"]):
+            _gen_documents(con, out_dir, r)
+            _gen_embeddings(out_dir, r)
+            _gen_orders_lineitem(con, out_dir, r)
+        if not (have["customer"] and have["events"]):
+            _gen_customer_events(out_dir, r)
     return out
 
 
