@@ -163,6 +163,46 @@ def test_lsh_pathological_bucket_stays_linear(spark) -> None:
     assert hub["m"] == 0 and hub["x"] == 0, "star pairs must anchor at the bucket min"
 
 
+def test_lsh_bucket_stats_matches_independent_recount(spark, sf_smoke) -> None:
+    """dedup_lsh_bucket_stats is the registry's only rows-only query
+    without an oracle-backed twin (it summarizes LSH-internal bucket ids
+    no SQL oracle can reproduce) — so pin it HERE against an independent
+    recomputation: collect the (band, bucket) sizes at sf0.001 and
+    rebuild every output column in Python, including the pairs_avoided
+    accounting (s(s-1)/2 - (s-1) per capped bucket)."""
+    from collections import Counter
+
+    from pythonmapreduce_spark.catalog import load
+    from pythonmapreduce_spark.pipeline.dedup import _BUCKET_CAP, lsh_bands
+    from pythonmapreduce_spark.plans import registry
+
+    sizes = Counter(
+        (r["band"], r["bucket"])
+        for r in lsh_bands(load(spark, sf_smoke, "documents")).collect()
+    )
+    want: dict[int, dict[str, int]] = {}
+    for (band, _), s in sizes.items():
+        w = want.setdefault(
+            band, {"n_buckets": 0, "max_bucket": 0, "capped_buckets": 0,
+                   "pairs_avoided": 0}
+        )
+        w["n_buckets"] += 1
+        w["max_bucket"] = max(w["max_bucket"], s)
+        if s > _BUCKET_CAP:
+            w["capped_buckets"] += 1
+            w["pairs_avoided"] += s * (s - 1) // 2 - (s - 1)
+    got = {
+        r["band"]: r.asDict()
+        for r in registry.QUERIES["dedup_lsh_bucket_stats"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for band, w in want.items():
+        for col, val in w.items():
+            assert got[band][col] == val, (band, col, got[band][col], val)
+
+
 def test_lsh_bucket_cap_preserves_small_bucket_pairs(spark) -> None:
     """Below the cap, pair generation is unchanged: k distinct duplicated
     texts of m copies each yield m*(m-1)/2 pairs per text."""
