@@ -39,6 +39,13 @@ def test_attestation_ordering() -> None:
             tiers.append(2)
     # tiers must be monotonically non-decreasing
     assert tiers == sorted(tiers)
+    # within the green tier, STALEST attestation first (the round-9+
+    # rotation: once everything is attested once, each window re-attests
+    # the rows whose last driver check is oldest)
+    green_rounds = [
+        state[n][0] for n, t in zip(names, tiers) if t == 2 and n in state
+    ]
+    assert green_rounds == sorted(green_rounds)
     # the one standing driver FAIL is re-attested first
     if any(t == 0 for t in tiers):
         assert names[0] == "agg_collect"
