@@ -66,17 +66,37 @@ def weighted_quantiles(
     # multiplicity column is a silent-wrong-answer bug, so reject it at
     # plan-build time. Column reprs print the unresolved expression
     # (e.g. Column<'sum(latency_s)'>), which is enough to spot the bare
-    # duplicate-sensitive forms.
+    # duplicate-sensitive forms. Best-effort string heuristic, hardened
+    # twice per ADVICE: (a) the alternation covers the order/moment
+    # statistics this module exists to replace (median/mode/percentile/
+    # skewness/kurtosis/corr/covar_*), not just count/sum/avg/stddev;
+    # (b) _wq_cnt must appear INSIDE each matched aggregate call, not
+    # merely anywhere in the expression — sum(v) + max(_wq_cnt)*0 is
+    # still wrong and still rejected.
     for name, col in (extra or {}).items():
         expr = str(col)
-        if "_wq_cnt" not in expr and re.search(
-            r"\b(count|sum|avg|mean|stddev\w*|variance|var_\w+|std)\(", expr
+        for m in re.finditer(
+            r"\b(count|sum|avg|mean|stddev\w*|variance|var_\w+|std|median"
+            r"|mode|percentile\w*|skewness|kurtosis|corr|covar_\w+)\(",
+            expr,
         ):
-            raise ValueError(
-                f"extra aggregate {name!r} ({expr}) is duplicate-sensitive "
-                "but runs over the COLLAPSED distinct-value rows; weight it "
-                "by _wq_cnt (e.g. sum(v * _wq_cnt)) or use include_n"
-            )
+            depth, i = 1, m.end()
+            while i < len(expr) and depth:
+                if expr[i] == "(":
+                    depth += 1
+                elif expr[i] == ")":
+                    depth -= 1
+                i += 1
+            if "_wq_cnt" not in expr[m.end() : i - 1]:
+                raise ValueError(
+                    f"extra aggregate {name!r} ({expr}) has a duplicate-"
+                    f"sensitive call {m.group(1)}(...) over the COLLAPSED "
+                    "distinct-value rows without the _wq_cnt multiplicity "
+                    "inside it; weight it by _wq_cnt (e.g. sum(v * _wq_cnt)) "
+                    "or use include_n. (Best-effort string check — it cannot "
+                    "prove a weight-aware expression is ARITHMETICALLY "
+                    "correct, only that the multiplicity was consulted.)"
+                )
     v = F.col(value_col)
     counts = df.groupBy(*(group_cols + [value_col])).agg(
         F.count(F.lit(1)).alias("_wq_cnt")

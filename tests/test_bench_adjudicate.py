@@ -1,0 +1,153 @@
+"""The bench adjudication tool, pinned against the r06-r08 history.
+
+BASELINE.md's run table adjudicated rounds 6-8 by hand; those rows are
+the known answers (VERDICT r08 item 2: unit-test the tool where the
+right answers are already established):
+
+- run 37 (BENCH_r07 driver row): "uniform 1.26 elevation" vs r06,
+  computed as r07 queries_min over r06 medians — the published per-query
+  figures (dedup_exact 1.84x, inverted_index 1.54x, window_tumbling
+  1.53x) reproduce exactly under that stat pairing.
+- BENCH_r08 vs BENCH_r07 (min/min): the round-8 driver's three
+  out-of-band queries (dedup_unicode_normalized ~2.5x, tokenizer_
+  roundtrip ~1.8x, stream_stream_left_join ~1.7x) are the judged-noise
+  set (VERDICT r08 performance table) and must surface as outliers over
+  a ~1.0 uniform estimate.
+
+No Spark needed — the tool is pure JSON/regex/git.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from tools.bench_adjudicate import (
+    adjudicate,
+    parse_bench,
+    pick_stat,
+    query_defining_files,
+)
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _have(name: str) -> bool:
+    return (REPO / name).exists()
+
+
+@pytest.mark.skipif(not _have("BENCH_r06.json"), reason="history file absent")
+def test_parse_complete_driver_tail() -> None:
+    r06 = parse_bench(REPO / "BENCH_r06.json")
+    assert len(r06["queries"]) == 48
+    assert r06["value"] == pytest.approx(38.119)
+    assert r06["queries"]["dedup_exact"] == pytest.approx(0.121)
+    # r06 predates the min stat and the steal counter
+    assert r06["queries_min"] == {} and r06["steal"] is None
+
+
+@pytest.mark.skipif(not _have("BENCH_r08.json"), reason="history file absent")
+def test_parse_front_truncated_driver_tail() -> None:
+    # BENCH_r08's tail is cut mid-"queries" dict; the regex fallback must
+    # still recover the complete queries_min dict and the protocol block.
+    r08 = parse_bench(REPO / "BENCH_r08.json")
+    assert len(r08["queries_min"]) == 48
+    assert r08["value_min"] == pytest.approx(46.099)
+    assert r08["steal"] == 10475
+    assert r08["queries_min"]["stream_stream_left_join"] == pytest.approx(4.028)
+
+
+@pytest.mark.skipif(
+    not (_have("BENCH_r06.json") and _have("BENCH_r07.json")),
+    reason="history files absent",
+)
+def test_run37_uniform_elevation_reproduced() -> None:
+    cand = parse_bench(REPO / "BENCH_r07.json")
+    ref = parse_bench(REPO / "BENCH_r06.json")
+    cq, rq, stat = pick_stat(cand, ref)
+    assert stat == "min/median"  # exactly how the published row was computed
+    # the three published per-query figures
+    assert cq["dedup_exact"] / rq["dedup_exact"] == pytest.approx(1.84, abs=0.01)
+    assert cq["inverted_index"] / rq["inverted_index"] == pytest.approx(1.54, abs=0.01)
+    assert cq["window_tumbling"] / rq["window_tumbling"] == pytest.approx(1.53, abs=0.01)
+    res = adjudicate(cand, ref)
+    assert res["n_shared"] == 48
+    # published "uniform 1.26 elevation"
+    assert res["uniform_elevation"] == pytest.approx(1.26, abs=0.02)
+    # tiny-query multiples absorbed into the uniform estimate, not listed
+    assert res["outliers"] == []
+    assert res["normalized_total_s"] == pytest.approx(35.0, abs=0.5)
+
+
+@pytest.mark.skipif(
+    not (_have("BENCH_r07.json") and _have("BENCH_r08.json")),
+    reason="history files absent",
+)
+def test_r08_driver_outliers_reproduced() -> None:
+    res = adjudicate(
+        parse_bench(REPO / "BENCH_r08.json"), parse_bench(REPO / "BENCH_r07.json")
+    )
+    assert res["stat"] == "min/min"
+    # identical code both rounds => uniform ~1.0 even through the storm
+    assert 0.9 <= res["uniform_elevation"] <= 1.05
+    flagged = {o["query"] for o in res["outliers"]}
+    # the judged-noise trio from VERDICT r08
+    assert {
+        "dedup_unicode_normalized",
+        "tokenizer_roundtrip",
+        "stream_stream_left_join",
+    } <= flagged
+    assert res["steal_candidate"] == 10475 and res["steal_reference"] == 3940
+
+
+def test_touched_classification(tmp_path: Path) -> None:
+    # Synthetic pair: one touched query regresses 3x, one untouched query
+    # spikes 3x, everything else rides a uniform 1.2 elevation.
+    qs_ref = {
+        "percentile_agg": 1.0,
+        "join_star": 0.5,
+        "topk": 0.3,
+        "agg_basic": 0.6,
+        "wordcount": 0.2,
+        "dedup_exact": 0.15,
+        "knn_cosine": 0.7,
+        "ann_ivf": 1.1,
+    }
+    qs_cand = {k: round(v * 1.2, 4) for k, v in qs_ref.items()}
+    qs_cand["percentile_agg"] = 3.0  # touched (operators/aggregates.py)
+    qs_cand["join_star"] = 1.5  # untouched spike
+    for name, qs in (("ref.json", qs_ref), ("cand.json", qs_cand)):
+        (tmp_path / name).write_text(
+            json.dumps(
+                {
+                    "metric": "headline_total",
+                    "value": sum(qs.values()),
+                    "unit": "sec",
+                    "queries": qs,
+                    "sf": 0.1,
+                    "protocol": {"stat": "median", "steal_ticks_delta": 7},
+                }
+            )
+        )
+    res = adjudicate(
+        parse_bench(tmp_path / "cand.json"),
+        parse_bench(tmp_path / "ref.json"),
+        touched_files={"pythonmapreduce_spark/operators/aggregates.py"},
+        repo=REPO,
+    )
+    assert res["uniform_elevation"] == pytest.approx(1.2, abs=0.01)
+    by_q = {o["query"]: o for o in res["outliers"]}
+    assert by_q["percentile_agg"]["touched"] is True
+    assert by_q["join_star"]["touched"] is False
+    assert "settle same-round" in res["verdict"]
+    assert "percentile_agg" in res["verdict"]
+
+
+def test_query_defining_files_static_scan() -> None:
+    m = query_defining_files(
+        REPO, ["percentile_agg", "join_star", "stream_stream_left_join"]
+    )
+    assert m["percentile_agg"] == "pythonmapreduce_spark/operators/aggregates.py"
+    assert m["join_star"] == "pythonmapreduce_spark/operators/joins.py"
+    assert m["stream_stream_left_join"].startswith("pythonmapreduce_spark/")

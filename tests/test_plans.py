@@ -1080,6 +1080,51 @@ def test_audit_text_alias_tracing() -> None:
     assert "7" not in ids and "8" not in ids
 
 
+def test_audit_text_tracer_is_id_keyed_not_name_keyed() -> None:
+    # Round-9 ADVICE fix: a function-DERIVED column that reuses the
+    # traced NAME (xxhash64(text#5) AS text#12, later printed bare as
+    # text#12) must NOT be seeded or propagated as raw text — tracing is
+    # keyed on attribute ids, with alias TARGETS excluded from the seed.
+    from tools.audit_plans import text_attr_ids
+
+    plan = (
+        "(1) Scan parquet\n"
+        "Output [2]: [doc_id#1, text#5]\n"
+        "(2) Project\n"
+        "Output [1]: [xxhash64(text#5, 42) AS text#12]\n"
+        "(3) Exchange\n"
+        "Input [1]: [text#12]\n"
+        "(4) Project\n"
+        "Output [1]: [text#12 AS digest#13]\n"
+    )
+    ids = text_attr_ids(plan)
+    assert "5" in ids
+    # the digest named `text` and its downstream alias are NOT raw text
+    assert "12" not in ids and "13" not in ids
+
+
+def test_audit_text_tracer_follows_identity_casts() -> None:
+    # Round-9 ADVICE fix: cast(text#5 as string) is byte-identical
+    # content — a no-op re-typing must not launder raw text past the
+    # Exchange check. Casts to non-content types and real functions
+    # remain exempt (they derive NEW values).
+    from tools.audit_plans import text_attr_ids
+
+    plan = (
+        "(1) Scan parquet\n"
+        "Output [2]: [doc_id#1, text#5]\n"
+        "(2) Project\n"
+        "Output [3]: [cast(text#5 as string) AS body#9, "
+        "cast(text#5 as binary) AS raw#10, "
+        "cast(length(text#5) as string) AS len_s#14]\n"
+        "(3) Project\n"
+        "Output [1]: [cast(body#9 as string) AS c#11]\n"
+    )
+    ids = text_attr_ids(plan)
+    assert {"5", "9", "10", "11"} <= ids
+    assert "14" not in ids
+
+
 def test_audit_growth_aggs_sees_sortaggregate() -> None:
     # Round-8 hardening: the same growth-class buffer runs under
     # SortAggregate when ObjectHashAggregate is disabled or falls back —

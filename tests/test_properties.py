@@ -437,6 +437,23 @@ def test_weighted_quantiles_extra_guard(spark) -> None:
         weighted_quantiles(df, ["g"], "v", {"med": 0.5}, extra={"s": F.sum("v")})
     with pytest.raises(ValueError, match="duplicate-sensitive"):
         weighted_quantiles(df, ["g"], "v", {"med": 0.5}, extra={"c": F.count("v")})
+    # Round-9 ADVICE hardening: (a) order/moment statistics are in the
+    # alternation — a bare median over collapsed rows is exactly the
+    # dedup-distorted answer the module replaces; (b) _wq_cnt must sit
+    # INSIDE each duplicate-sensitive call — a separate _wq_cnt term
+    # elsewhere in the expression no longer launders a bare sum through.
+    with pytest.raises(ValueError, match="duplicate-sensitive"):
+        weighted_quantiles(df, ["g"], "v", {"med": 0.5}, extra={"m": F.median("v")})
+    with pytest.raises(ValueError, match="duplicate-sensitive"):
+        weighted_quantiles(df, ["g"], "v", {"med": 0.5}, extra={"k": F.skewness("v")})
+    with pytest.raises(ValueError, match="duplicate-sensitive"):
+        weighted_quantiles(
+            df,
+            ["g"],
+            "v",
+            {"med": 0.5},
+            extra={"s": F.sum("v") + F.max("_wq_cnt") * F.lit(0)},
+        )
     got = {
         r["g"]: r.asDict()
         for r in weighted_quantiles(

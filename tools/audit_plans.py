@@ -362,25 +362,43 @@ def growth_object_aggs(plan: str) -> set[str]:
 def text_attr_ids(plan: str) -> set[str]:
     """Attribute ids carrying the RAW documents ``text`` column,
     including identity re-aliases (``text#5 AS body#9`` — and aliases of
-    those aliases, transitively). Function-DERIVED values
-    (``xxhash64(text#5, 42) AS d#9``) are intentionally not traced:
-    digests/verdicts computed from text are exactly what the content
-    rule says SHOULD cross an exchange. The identity-alias regex relies
-    on the formatted plan printing a bare re-alias as ``name#i AS
-    other#j`` with no intervening ``(``/``,`` — a wrapped use never has
-    the attribute directly adjacent to ``AS`` (round-8 ADVICE fix: the
-    literal ``text#`` grep missed ``F.col("text").alias("body")``)."""
-    ids = {m.group(1) for m in re.finditer(r"\btext#(\d+)", plan)}
-    names = {"text"}
-    changed = bool(ids)
-    while changed:
-        changed = False
-        for nm in sorted(names):
-            for m in re.finditer(rf"\b{re.escape(nm)}#\d+ AS (\w+)#(\d+)", plan):
-                if m.group(2) not in ids:
-                    ids.add(m.group(2))
-                    names.add(m.group(1))
-                    changed = True
+    those aliases, transitively) and content-preserving cast wrappers
+    (``cast(text#5 as string) AS body#9``, byte-identical re-typings to
+    string/binary). Function-DERIVED values (``xxhash64(text#5, 42) AS
+    d#9``) are intentionally not traced: digests/verdicts computed from
+    text are exactly what the content rule says SHOULD cross an
+    exchange. Trimming/concat/substring stay exempt with the same
+    rationale as the xxhash exemption — they produce NEW content, and a
+    rule broad enough to chase every string function would flag the
+    derived snippets the pipelines legitimately shuffle.
+
+    Tracing is keyed on attribute IDS, not names (round-9 ADVICE fix):
+    the plan is seeded with every ``text#N`` occurrence whose id is
+    never itself an alias TARGET anywhere in the plan — so a derived
+    column that reuses the name (``xxhash64(text#5, 42) AS text#12``,
+    later printed bare as ``text#12``) is not mistaken for the raw
+    attribute — then propagated through ``<attr>#<traced_id> AS
+    other#j`` matches on the source id. The identity-alias regex relies
+    on the formatted plan printing a bare re-alias with the attribute
+    directly adjacent to ``AS`` — a wrapped use always has ``)``/``,``
+    in between."""
+    alias_targets = {m.group(1) for m in re.finditer(r"\bAS \w+#(\d+)", plan)}
+    ids = {
+        m.group(1) for m in re.finditer(r"\btext#(\d+)", plan)
+    } - alias_targets
+    frontier = set(ids)
+    while frontier:
+        new: set[str] = set()
+        for tid in sorted(frontier):
+            for m in re.finditer(
+                rf"(?:\b\w+#{tid}|\bcast\(\w+#{tid} as (?:string|binary)\))"
+                rf" AS \w+#(\d+)",
+                plan,
+            ):
+                if m.group(1) not in ids:
+                    new.add(m.group(1))
+        ids |= new
+        frontier = new
     return ids
 
 
