@@ -15,6 +15,7 @@ real cluster).
 
 from __future__ import annotations
 
+import json as _json
 import os
 import shutil
 import tempfile
@@ -26,6 +27,11 @@ from pyspark.sql import functions as F
 
 from pythonmapreduce_spark.catalog import SCHEMAS, events_stream_source
 from pythonmapreduce_spark.plans.registry import register
+
+# Progress events of the most recent completed _run_to_memory query
+# (observability side-channel: {"query_name": str, "progress": [dict]}).
+# Single-slot by design — read it right after the query you care about.
+LAST_RUN_PROGRESS: dict = {}
 
 
 def _run_to_memory(
@@ -67,6 +73,20 @@ def _run_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
+    # Stash the finished run's progress events for observers (the
+    # scaling report reads stateOperators.numRowsTotal to put MEASURED
+    # state-size-vs-SF numbers next to the streaming tier's wall times;
+    # stream_state_inspect-style debugging reads the same dict). The
+    # query handle dies with this scope, so this is the only window.
+    try:
+        LAST_RUN_PROGRESS.clear()
+        LAST_RUN_PROGRESS["query_name"] = name
+        LAST_RUN_PROGRESS["progress"] = [
+            p if isinstance(p, dict) else _json.loads(p.json)
+            for p in (q.recentProgress or [])
+        ]
+    except Exception:  # observability only — never fail the query for it
+        LAST_RUN_PROGRESS["progress"] = []
     # the bounded run is complete and the results live in the in-memory
     # sink table — the checkpoint has nothing left to serve, so removing
     # it here (not at interpreter exit) stops the one-leaked-dir-per-

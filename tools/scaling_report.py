@@ -156,6 +156,39 @@ PAIR_TIER = [
     "conversion_latency",
 ]
 
+# Round-9 (VERDICT r08 item 4): the STREAMING tier, measured one decade
+# up — wall time AND state-store rows per SF. Batch tiers all carry
+# measured exponents; streaming state growth under watermark was argued
+# but unmeasured. Three deliberately different state keys:
+# - stream_event_window: TIME-keyed state (window × event_type). The
+#   scaled inputs grow entities over the SAME time span (TPC-H SF
+#   semantics), so state rows must stay ~CONSTANT in SF — that is the
+#   watermark design claim made measurable.
+# - stream_dedup: ENTITY-keyed state (user_id × event_type, users grow
+#   with SF) — state rows must grow ~linearly; at 100 TB this is the
+#   state class that needs watermark/TTL eviction, and the row makes the
+#   contrast with the time-keyed class a measurement.
+# - stream_stream_left_join: two-sided ENTITY-keyed join state within
+#   the watermark horizon — the heaviest state shape in the engine.
+STREAM_TIER = [
+    "stream_event_window",
+    "stream_dedup",
+    "stream_stream_left_join",
+]
+
+
+def _last_stream_state_rows() -> int:
+    """Max total state rows across the just-finished stream's batches."""
+    from pythonmapreduce_spark.streaming.stream_jobs import LAST_RUN_PROGRESS
+
+    best = 0
+    for p in LAST_RUN_PROGRESS.get("progress", []):
+        best = max(
+            best,
+            sum(s.get("numRowsTotal", 0) for s in p.get("stateOperators", [])),
+        )
+    return best
+
 
 def _semdedup_assign_stage(spark, sf_dir):
     """semdedup's centroid-assignment stage alone, K held at its fixture/
@@ -348,6 +381,65 @@ def main() -> int:
         "superlinear row here would mean the distinct-value domain grows",
         "with the corpus faster than assumed (prices/latencies are",
         "domain-bounded by construction in TPC-H-semantics inputs).",
+        "",
+    ]
+
+    # ---- streaming tier, one decade further (round-9, VERDICT item 4) --
+    stream_times: dict[str, dict[float, float]] = {}
+    stream_state: dict[str, dict[float, int]] = {}
+    for name in STREAM_TIER:
+        fn = QUERIES[name]
+        stream_times[name], stream_state[name] = {}, {}
+        for sf in pair_sfs:
+            stream_times[name][sf] = timed(fn, pair_dirs[sf])
+            stream_state[name][sf] = _last_stream_state_rows()
+
+    lines += [
+        "## Streaming tier, extended decade (sf0.1 → sf1.0) — time AND state",
+        "",
+        "Same scaled inputs; each cell is the full bounded availableNow",
+        "replay (source → stateful operator → memory sink, min of 3).",
+        "`state rows` is the engine's own stateOperators.numRowsTotal at",
+        "each SF — the number that decides whether an unbounded run",
+        "survives, independent of wall time. The scaled inputs grow",
+        "ENTITIES over the SAME time span (TPC-H SF semantics), so the",
+        "two state classes must separate: time-keyed window state stays",
+        "~flat (the watermark bounds it by horizon, not by input size),",
+        "entity-keyed state (dedup keys, join rows) grows ~linearly —",
+        "at 100 TB/day the first class needs only a watermark, the second",
+        "needs key TTL/eviction policy, and this table measures which",
+        "query is in which class instead of asserting it.",
+        "",
+        "| query | sf0.1 (s) | sf0.3 (s) | sf1.0 (s) | b (time) | state rows 0.1 / 0.3 / 1.0 | b (state) |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name in STREAM_TIER:
+        t, s = stream_times[name], stream_state[name]
+        b = math.log(t[1.0] / t[0.1]) / math.log(10)
+        bs = (
+            math.log(s[1.0] / s[0.1]) / math.log(10)
+            if s[0.1] and s[1.0]
+            else float("nan")
+        )
+        lines.append(
+            f"| {name} | {t[0.1]:.3f} | {t[0.3]:.3f} | {t[1.0]:.3f} | {b:.2f} "
+            f"| {s[0.1]:,} / {s[0.3]:,} / {s[1.0]:,} | {bs:.2f} |"
+        )
+    lines += [
+        "",
+        "Reading the state column: stream_event_window's state is",
+        "(window × event_type) — time-keyed, so a flat row here is the",
+        "watermark claim MEASURED (windows don't multiply when entities",
+        "do). stream_dedup's state is (user_id × event_type) and",
+        "stream_stream_left_join's is per-user buffered rows within the",
+        "watermark horizon — entity-keyed, expected b(state) ≈ 1: their",
+        "unbounded-run story is the eviction policy (withWatermark on the",
+        "dedup keys; the join's two-sided watermark), not a constant bound.",
+        "Wall-time exponents carry the usual per-micro-batch fixed cost",
+        "(state-store instance creation + commit barriers dominate at",
+        "these sizes — see the stream_stream_left_join band note in",
+        "BASELINE.md), so b(time) under-states data sensitivity; b(state)",
+        "is the honest scale axis for streaming.",
         "",
     ]
     steal_delta = _steal_ticks() - steal_start
