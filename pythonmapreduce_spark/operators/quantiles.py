@@ -72,12 +72,18 @@ def weighted_quantiles(
     # skewness/kurtosis/corr/covar_*), not just count/sum/avg/stddev;
     # (b) _wq_cnt must appear INSIDE each matched aggregate call, not
     # merely anywhere in the expression — sum(v) + max(_wq_cnt)*0 is
-    # still wrong and still rejected.
+    # still wrong and still rejected; (c) the multiplicity-sensitive
+    # COLLECTION and PRODUCT aggregates (collect_list/array_agg returns
+    # one element per RAW row; product/listagg/string_agg multiply or
+    # concatenate once per raw occurrence) are in the alternation too —
+    # collect_set stays out because a set over the collapsed distincts
+    # IS the set over the raw rows.
     for name, col in (extra or {}).items():
         expr = str(col)
         for m in re.finditer(
             r"\b(count|sum|avg|mean|stddev\w*|variance|var_\w+|std|median"
-            r"|mode|percentile\w*|skewness|kurtosis|corr|covar_\w+)\(",
+            r"|mode|percentile\w*|skewness|kurtosis|corr|covar_\w+"
+            r"|collect_list|array_agg|product|listagg|string_agg)\(",
             expr,
         ):
             depth, i = 1, m.end()

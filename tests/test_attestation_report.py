@@ -8,7 +8,7 @@ from pathlib import Path
 
 import pytest
 
-from tools.attestation_report import ledger
+from tools.attestation_report import ledger, registry_tier1
 
 REPO = Path(__file__).resolve().parent.parent
 
@@ -72,3 +72,48 @@ def test_window_round_grouping_matches_registry_rotation() -> None:
     assert {state[n]["round"] for n in reg_window} == {
         state[n]["round"] for n in tool_window
     }
+
+
+def test_registry_tier1_empty_on_fully_attested_ledger() -> None:
+    # Today's ledger is fully attested with no oracle-upgraded rows-only
+    # rows, so tier 1 must be empty and no stale (unregistered) rows
+    # should exist — the cross-check exists for the first divergence.
+    if not (REPO / "CORRECTNESS_r08.json").exists():
+        pytest.skip("history files absent")
+    state, _ = ledger(REPO)
+    tier1, unregistered, notes = registry_tier1(state)
+    assert tier1 == []
+    assert unregistered == []
+    assert any("378 queries" in n for n in notes)
+
+
+def test_registry_tier1_flags_unattested_and_oracle_upgraded() -> None:
+    # Synthetic ledger: drop one registered query (=> unattested) and
+    # mark one oracle-backed query rows-only (=> oracle postdates its
+    # driver evidence). Both are registry.ordered_names tier-1 cases the
+    # JSON-only projection used to miss (ADVICE r09).
+    if not (REPO / "CORRECTNESS_r08.json").exists():
+        pytest.skip("history files absent")
+    state, _ = ledger(REPO)
+    state.pop("join_star")
+    state["percentile_agg"] = {"round": 3, "status": "rows-only"}
+    state["ghost_query_not_registered"] = {"round": 2, "status": "green"}
+    tier1, unregistered, _ = registry_tier1(state)
+    assert "join_star" in tier1
+    assert "percentile_agg" in tier1
+    assert unregistered == ["ghost_query_not_registered"]
+
+
+def test_noise_gate_classify_bands() -> None:
+    # sub-floor min = suspicious-fast (broken/pruned plan), never a pass;
+    # the floor is NOT widened by --factor (steal only slows runs).
+    from tools.noise_gate import BANDS, classify
+
+    assert classify(0.30, 0.26, 0.36, 1.0) == "in_band"
+    assert classify(0.36, 0.26, 0.36, 1.0) == "in_band"
+    assert classify(0.40, 0.26, 0.36, 1.0) == "above"
+    assert classify(0.40, 0.26, 0.36, 1.25) == "in_band"  # degraded boot
+    assert classify(0.10, 0.26, 0.36, 1.25) == "below"
+    # the r09 additions are present with their BASELINE.md bands
+    assert BANDS["auc_roc"] == (0.23, 0.31)
+    assert BANDS["join_asof_nearest"] == (0.35, 0.45)

@@ -25,6 +25,8 @@ import pytest
 
 from tools.bench_adjudicate import (
     adjudicate,
+    default_diff_range,
+    module_import_closure,
     parse_bench,
     pick_stat,
     query_defining_files,
@@ -151,3 +153,88 @@ def test_query_defining_files_static_scan() -> None:
     assert m["percentile_agg"] == "pythonmapreduce_spark/operators/aggregates.py"
     assert m["join_star"] == "pythonmapreduce_spark/operators/joins.py"
     assert m["stream_stream_left_join"].startswith("pythonmapreduce_spark/")
+
+
+def test_module_import_closure_transitive_and_toplevel_only() -> None:
+    closure = module_import_closure(REPO)
+    aggs = "pythonmapreduce_spark/operators/aggregates.py"
+    # every file is in its own closure
+    assert aggs in closure[aggs]
+    # the ADVICE r09 example: aggregates.py (defines percentile_agg)
+    # imports the shared helper operators/quantiles.py at top level
+    assert "pythonmapreduce_spark/operators/quantiles.py" in closure[aggs]
+    # registry.load_all's DEFERRED imports must NOT count — otherwise the
+    # registry (imported by every query module) would transitively depend
+    # on every query module and classification would be vacuous
+    reg = "pythonmapreduce_spark/plans/registry.py"
+    assert "pythonmapreduce_spark/operators/aggregates.py" not in closure[reg]
+    assert len(closure[reg]) < 10
+
+
+def _write_bench_pair(tmp_path: Path, qs_ref: dict, qs_cand: dict) -> tuple[Path, Path]:
+    for name, qs in (("ref.json", qs_ref), ("cand.json", qs_cand)):
+        (tmp_path / name).write_text(
+            json.dumps(
+                {
+                    "metric": "headline_total",
+                    "value": sum(qs.values()),
+                    "unit": "sec",
+                    "queries": qs,
+                    "sf": 0.1,
+                    "protocol": {"stat": "median", "steal_ticks_delta": 7},
+                }
+            )
+        )
+    return tmp_path / "cand.json", tmp_path / "ref.json"
+
+
+def test_shared_helper_edit_classifies_touched(tmp_path: Path) -> None:
+    # The ADVICE r09 medium finding: percentile_agg regresses after an
+    # edit to operators/quantiles.py (a shared helper, NOT the defining
+    # file) — the old definer-only rule classified this 'untouched' and
+    # waved the regression through.
+    qs_ref = {
+        "percentile_agg": 1.0,
+        "join_star": 0.5,
+        "topk": 0.3,
+        "agg_basic": 0.6,
+        "wordcount": 0.2,
+        "knn_cosine": 0.7,
+    }
+    qs_cand = {k: round(v * 1.1, 4) for k, v in qs_ref.items()}
+    qs_cand["percentile_agg"] = 3.0
+    cand, ref = _write_bench_pair(tmp_path, qs_ref, qs_cand)
+    res = adjudicate(
+        parse_bench(cand),
+        parse_bench(ref),
+        touched_files={"pythonmapreduce_spark/operators/quantiles.py"},
+        repo=REPO,
+    )
+    by_q = {o["query"]: o for o in res["outliers"]}
+    assert by_q["percentile_agg"]["touched"] is True
+    assert "settle same-round" in res["verdict"]
+
+
+def test_unattributed_changed_modules_warned(tmp_path: Path) -> None:
+    # A changed engine module in NO shared query's import closure must be
+    # surfaced, not silently ignored.
+    qs = {"join_star": 0.5, "topk": 0.3, "agg_basic": 0.6}
+    cand, ref = _write_bench_pair(tmp_path, qs, dict(qs))
+    res = adjudicate(
+        parse_bench(cand),
+        parse_bench(ref),
+        touched_files={"pythonmapreduce_spark/server.py"},
+        repo=REPO,
+    )
+    assert res["unattributed_changed_modules"] == [
+        "pythonmapreduce_spark/server.py"
+    ]
+
+
+def test_default_diff_range_finds_round_commit() -> None:
+    # The repo history carries the driver's 'round N: ...' commits; the
+    # default range is that single rev (diffs against the working tree).
+    rng = default_diff_range(REPO)
+    if rng is None:
+        pytest.skip("no round-close commit in history (fresh clone)")
+    assert len(rng) == 40 and ".." not in rng

@@ -454,6 +454,30 @@ def test_weighted_quantiles_extra_guard(spark) -> None:
             {"med": 0.5},
             extra={"s": F.sum("v") + F.max("_wq_cnt") * F.lit(0)},
         )
+    # Round-10 ADVICE hardening: the multiplicity-sensitive COLLECTION
+    # and PRODUCT aggregates — collect_list returns one element per RAW
+    # row, product multiplies once per raw occurrence — are rejected
+    # too; collect_set stays allowed (a set over the collapsed distincts
+    # IS the raw-row set).
+    with pytest.raises(ValueError, match="duplicate-sensitive"):
+        weighted_quantiles(
+            df, ["g"], "v", {"med": 0.5}, extra={"l": F.collect_list("v")}
+        )
+    with pytest.raises(ValueError, match="duplicate-sensitive"):
+        weighted_quantiles(
+            df, ["g"], "v", {"med": 0.5}, extra={"p": F.product("v")}
+        )
+    with pytest.raises(ValueError, match="duplicate-sensitive"):
+        weighted_quantiles(
+            df, ["g"], "v", {"med": 0.5}, extra={"a": F.expr("array_agg(v)")}
+        )
+    got_set = {
+        r["g"]: sorted(r["vset"])
+        for r in weighted_quantiles(
+            df, ["g"], "v", {"med": 0.5}, extra={"vset": F.collect_set("v")}
+        ).collect()
+    }
+    assert got_set["a"] == [1.0, 3.0]
     got = {
         r["g"]: r.asDict()
         for r in weighted_quantiles(

@@ -14,17 +14,31 @@ when err is null and rows/schema/hash all match; a row with err ==
 "no_oracle" is the by-design rows-only tier and counts as attested when
 it produced rows; anything else is FAILED. Latest round wins per query.
 
+By default the report then cross-checks the JSON-only ledger against the
+REAL registry (``registry.load_all()`` — imports pyspark's Python side,
+no JVM; a few seconds): queries registered but never attested, and
+rows-only rows whose query has since gained a full oracle, form
+``ordered_names()``'s tier 1 and go to the FRONT of the projected window
+(VERDICT r09 ADVICE — the JSON-only projection silently diverges the
+first time either case appears). Pass ``--no-registry`` for the instant
+JSON-only view; an import failure degrades to a printed note, never an
+error, so the tool still runs anywhere.
+
 Usage:
-    python tools/attestation_report.py [--repo DIR] [--window N] [--json]
+    python tools/attestation_report.py [--repo DIR] [--window N] \
+        [--no-registry] [--json]
 """
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import re
 import sys
 from collections import Counter
 from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def ledger(repo: Path) -> tuple[dict[str, dict], int]:
@@ -64,15 +78,70 @@ def ledger(repo: Path) -> tuple[dict[str, dict], int]:
     return state, max_round
 
 
+def registry_tier1(state: dict[str, dict]) -> tuple[list[str], list[str], list[str]]:
+    """(tier1, attested_but_unregistered, notes) from the real registry.
+
+    tier1 replicates ``registry.ordered_names()``'s front-of-rotation
+    rule: registered queries with NO attestation row in any round, plus
+    rows-only rows whose query now carries a full oracle (their driver
+    evidence predates the claim). Raises ImportError and friends to the
+    caller — degrade there, not here.
+    """
+    from pythonmapreduce_spark.plans import registry
+
+    registry.load_all()
+    prio = {n: i for i, n in enumerate(registry._ATTESTATION_PRIORITY)}
+    reg_order = {n: i for i, n in enumerate(registry.QUERIES)}
+    tier1 = sorted(
+        (
+            n
+            for n in registry.QUERIES
+            if n not in state
+            or (state[n]["status"] == "rows-only" and n in registry.ORACLES)
+        ),
+        key=lambda n: (prio.get(n, len(prio)), reg_order[n]),
+    )
+    unregistered = sorted(n for n in state if n not in registry.QUERIES)
+    notes = [f"registry: {len(registry.QUERIES)} queries, {len(registry.ORACLES)} oracle-backed"]
+    return tier1, unregistered, notes
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--repo", default=str(Path(__file__).resolve().parent.parent))
     ap.add_argument("--window", type=int, default=50, help="size of next rotation window")
+    ap.add_argument(
+        "--no-registry",
+        action="store_true",
+        help="skip the registry cross-check (instant, JSON-only view)",
+    )
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
     repo = Path(args.repo)
     state, max_round = ledger(repo)
+
+    tier1: list[str] = []
+    warnings: list[str] = []
+    if not args.no_registry:
+        try:
+            tier1, unregistered, notes = registry_tier1(state)
+            warnings.extend(notes)
+            if tier1:
+                warnings.append(
+                    "TIER-1 (unattested or oracle-upgraded rows-only) queries "
+                    f"exist and lead the rotation: {', '.join(tier1)}"
+                )
+            if unregistered:
+                warnings.append(
+                    "attested but no longer registered (stale ledger rows): "
+                    + ", ".join(unregistered)
+                )
+        except Exception as exc:  # registry unavailable — JSON-only view
+            warnings.append(
+                f"registry cross-check skipped ({type(exc).__name__}: {exc}); "
+                "window projection assumes a fully-attested ledger"
+            )
     by_status = Counter(v["status"] for v in state.values())
     staleness = Counter(max_round - v["round"] for v in state.values())
 
@@ -82,22 +151,24 @@ def main() -> int:
     # fully-green ledger the ROUND grouping is what matters for planning,
     # and rounds group identically).
     ordered = sorted(
-        state,
+        (n for n in state if n not in set(tier1)),
         key=lambda n: (
             0 if state[n]["status"] == "FAILED" else 1,
             state[n]["round"],
             n,
         ),
     )
-    window = ordered[: args.window]
+    window = (tier1 + ordered)[: args.window]
     out = {
         "rounds_seen": max_round,
         "queries_attested": len(state),
         "by_status": dict(by_status),
         "staleness_histogram": {str(k): v for k, v in sorted(staleness.items())},
         "failed": sorted(n for n, v in state.items() if v["status"] == "FAILED"),
+        "tier1": tier1,
+        "warnings": warnings,
         "next_window_rounds": dict(
-            Counter(state[n]["round"] for n in window)
+            Counter(state[n]["round"] for n in window if n in state)
         ),
         "next_window": window,
     }
@@ -112,6 +183,8 @@ def main() -> int:
           f"{out['staleness_histogram']}")
     if out["failed"]:
         print(f"FAILED at latest check: {out['failed']}")
+    for w in warnings:
+        print(f"note: {w}")
     print(
         f"next {args.window}-query rotation window draws from rounds "
         f"{out['next_window_rounds']}:"

@@ -13,7 +13,11 @@ table has applied by hand since round 6 (VERDICT r08 item 2):
 2. **Outlier list** — queries whose ratio exceeds the uniform estimate
    by >=25% AND whose absolute excursion is >=0.15 s (tiny sub-0.2 s
    queries jitter multiples without meaning). Each outlier is
-   classified **touched/untouched** from an optional git range: a
+   classified **touched/untouched** from a git range (defaulting to the
+   last driver round-close commit vs the working tree, so the
+   classification is never silently skipped); "touched" means ANY
+   engine module in the query's defining file's top-level transitive
+   import closure changed, so shared-helper edits classify correctly. A
    multi-second outlier on UNTOUCHED code at elevated steal is
    hypervisor noise by construction (the roaming-outlier signature,
    BASELINE.md runs 19-21/31-32/34/44); an outlier on TOUCHED code is a
@@ -168,6 +172,82 @@ def query_defining_files(repo: Path, names: list[str]) -> dict[str, str]:
     return out
 
 
+def module_import_closure(repo: Path) -> dict[str, set[str]]:
+    """Repo-relative engine file -> the engine files it TRANSITIVELY
+    imports at module top level, including itself.
+
+    A query is "touched" by a diff when ANY file in its defining file's
+    closure changed — a regression introduced by editing a shared helper
+    (e.g. operators/quantiles.py used by a query defined in
+    operators/aggregates.py) must not classify as 'untouched' (VERDICT
+    r09 ADVICE, medium). Only TOP-LEVEL ``from pythonmapreduce_spark...``
+    / ``import pythonmapreduce_spark...`` statements count: deferred
+    function-body imports (the registry.load_all idiom) would otherwise
+    make the registry depend on every query module and the
+    classification vacuous. Deferred helper imports a definer might use
+    are covered by the unattributed-changed-modules warning instead.
+    """
+    pkg = repo / "pythonmapreduce_spark"
+    files = sorted(pkg.rglob("*.py"))
+    rel = {f: str(f.relative_to(repo)) for f in files}
+    mod_file: dict[str, str] = {}
+    for f in files:
+        dotted = rel[f][:-3].replace("/", ".")
+        if f.name == "__init__.py":
+            dotted = dotted.rsplit(".__init__", 1)[0]
+        mod_file[dotted] = rel[f]
+
+    direct: dict[str, set[str]] = {r: set() for r in rel.values()}
+    imp_re = re.compile(
+        r"^(?:from\s+(pythonmapreduce_spark[\w.]*)\s+import\s+"
+        r"(\([^)]*\)|[^\n#]+)|import\s+(pythonmapreduce_spark[\w.]*))",
+        re.M,
+    )
+    for f in files:
+        for m in imp_re.finditer(f.read_text()):
+            base = m.group(1) or m.group(3)
+            if base in mod_file:
+                direct[rel[f]].add(mod_file[base])
+            if m.group(2):
+                names = m.group(2).strip("()").replace("\n", " ")
+                for item in names.split(","):
+                    leaf = item.split(" as ")[0].strip()
+                    sub = f"{base}.{leaf}"
+                    if leaf and sub in mod_file:
+                        direct[rel[f]].add(mod_file[sub])
+
+    closure: dict[str, set[str]] = {}
+    for start in direct:
+        seen, stack = {start}, [start]
+        while stack:
+            for dep in direct.get(stack.pop(), ()):
+                if dep not in seen:
+                    seen.add(dep)
+                    stack.append(dep)
+        closure[start] = seen
+    return closure
+
+
+def default_diff_range(repo: Path) -> str | None:
+    """The round boundary: the last driver round-close commit.
+
+    The driver closes each round with a ``round N: verdict/advice/
+    correctness/bench`` commit, so that commit is "the code the last
+    bench reference ran on"; diffing that SINGLE rev (git diffs a single
+    rev against the working tree) also classifies this round's
+    uncommitted work as touched. Returns None (no classification) when
+    no such commit exists — e.g. a fresh clone with rewritten history.
+    """
+    res = subprocess.run(
+        ["git", "log", "-E", "--grep", r"^round [0-9]+:", "-n", "1", "--format=%H"],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+    )
+    h = res.stdout.strip()
+    return h if res.returncode == 0 and h else None
+
+
 def changed_files(repo: Path, diff_range: str) -> set[str]:
     res = subprocess.run(
         ["git", "diff", "--name-only", diff_range],
@@ -190,9 +270,32 @@ def adjudicate(
     ratios = {q: cq[q] / rq[q] for q in shared if rq[q] > 0}
     uniform = statistics.median(ratios.values()) if ratios else None
 
+    # touched = ANY engine module in the defining file's top-level
+    # transitive import closure changed, not just the definer itself
+    # (shared-helper regressions must not classify 'untouched').
     definer: dict[str, str] = {}
+    closure: dict[str, set[str]] = {}
+    unattributed_changed: list[str] = []
     if touched_files is not None and repo is not None:
         definer = query_defining_files(repo, shared)
+        closure = module_import_closure(repo)
+
+        def is_touched(q: str) -> bool:
+            d = definer.get(q)
+            return bool(d and closure.get(d, {d}) & touched_files)
+
+        attributed: set[str] = set()
+        for q in shared:
+            d = definer.get(q)
+            if d:
+                attributed |= closure.get(d, {d})
+        unattributed_changed = sorted(
+            f
+            for f in touched_files
+            if f.startswith("pythonmapreduce_spark/")
+            and f.endswith(".py")
+            and f not in attributed
+        )
 
     outliers = []
     for q, r in sorted(ratios.items(), key=lambda kv: -kv[1]):
@@ -208,7 +311,7 @@ def adjudicate(
                 "ref_s": rq[q],
             }
             if touched_files is not None:
-                entry["touched"] = definer.get(q) in touched_files
+                entry["touched"] = is_touched(q)
             outliers.append(entry)
 
     touched_ratios = {}
@@ -216,7 +319,7 @@ def adjudicate(
         touched_ratios = {
             q: round(ratios[q], 3)
             for q in shared
-            if q in ratios and definer.get(q) in touched_files
+            if q in ratios and is_touched(q)
         }
 
     cand_total = cand["value_min"] or cand["value"]
@@ -236,6 +339,7 @@ def adjudicate(
         ),
         "outliers": outliers,
         "touched_query_ratios": touched_ratios,
+        "unattributed_changed_modules": unattributed_changed,
     }
     # The human verdict line the run table wants: roaming outliers on
     # untouched code at elevated steal = machine; touched outlier = real.
@@ -264,15 +368,32 @@ def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("candidate")
     ap.add_argument("reference")
-    ap.add_argument("--diff", help="git range for touched/untouched classification")
+    ap.add_argument(
+        "--diff",
+        help="git range for touched/untouched classification; defaults to "
+        "the last 'round N:' driver commit vs the working tree (pass "
+        "--no-diff to suppress)",
+    )
+    ap.add_argument(
+        "--no-diff",
+        action="store_true",
+        help="skip touched/untouched classification entirely",
+    )
     ap.add_argument("--repo", default=str(Path(__file__).resolve().parent.parent))
     ap.add_argument("--json", action="store_true", help="machine output only")
     args = ap.parse_args()
 
     repo = Path(args.repo)
     cand, ref = parse_bench(args.candidate), parse_bench(args.reference)
-    touched = changed_files(repo, args.diff) if args.diff else None
+    diff_range = None
+    if not args.no_diff:
+        # classification must never be silently skipped (VERDICT r09
+        # item 3): a single rev diffs against the working tree, so
+        # uncommitted round work classifies as touched too.
+        diff_range = args.diff or default_diff_range(repo)
+    touched = changed_files(repo, diff_range) if diff_range else None
     res = adjudicate(cand, ref, touched_files=touched, repo=repo)
+    res["diff_range"] = diff_range
 
     if args.json:
         print(json.dumps(res))
@@ -298,6 +419,11 @@ def main() -> int:
             )
     if res["touched_query_ratios"]:
         print(f"touched-code ratios: {res['touched_query_ratios']}")
+    if res["unattributed_changed_modules"]:
+        print(
+            "warning: changed engine modules not in any bench query's import "
+            f"closure (check by hand): {res['unattributed_changed_modules']}"
+        )
     print(f"verdict: {res['verdict']}")
     print(json.dumps(res))
     return 0
