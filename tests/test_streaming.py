@@ -201,3 +201,148 @@ def test_checkpoint_restart_recovers_state(spark) -> None:
         assert second == {"a": (3, 7), "b": (1, 10), "c": (1, 7)}
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _state_totals(q) -> list[int]:
+    """numRowsTotal per micro-batch, from the finished query's progress."""
+    return [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    ]
+
+
+def test_watermark_eviction_shrinks_window_state(spark) -> None:
+    """State SHRINKAGE measured, not argued (VERDICT r09 item 8): a
+    replay where the watermark advances far enough that the window
+    aggregation's ``numRowsTotal`` DROPS between micro-batches.
+
+    batch 0: five events in five distinct hour-windows (10:00..14:00)
+             → 5 state rows; watermark after the batch = 14:05 − 1h.
+    batch 1: one event two days later — during this batch the 13:05
+             watermark (14:05 − 1h) finalizes the three windows whose
+             end ≤ 13:05 ([10:00), [11:00), [12:00)), so 3 rows leave
+             state while 1 (the new far-future window) enters:
+             numRowsTotal must fall 5 → 3.
+
+    This is the mechanism that bounds the time-keyed state class at an
+    unbounded-run 100 TB: state is O(windows inside the watermark
+    horizon), not O(stream length) — SCALING.md's measured FLAT
+    b_state=0.00 tier is this eviction doing its job continuously.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    staging = tempfile.mkdtemp(prefix="pmr_evict_")
+    ckpt = tempfile.mkdtemp(prefix="pmr_evict_ckpt_")
+    name = f"ev_{uuid.uuid4().hex[:8]}"
+    try:
+        batches = [
+            [
+                (_ts(10, 5), 1),
+                (_ts(11, 5), 2),
+                (_ts(12, 5), 3),
+                (_ts(13, 5), 4),
+                (_ts(14, 5), 5),
+            ],
+            [(dt.datetime(2024, 3, 3, 23, 5, 0), 6)],
+        ]
+        for rows in batches:
+            spark.createDataFrame(rows, schema=_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(staging)
+            time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+        counts = (
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        totals = _state_totals(q)
+
+        # batch 0 buffered all five open windows
+        assert totals[0] == 5
+        # the watermark advance EVICTED state: a strict drop to exactly
+        # the still-open rows — the 13:00 and 14:00 windows stay (ends
+        # 14:00/15:00 > wm 13:05) and the far-future window enters, so
+        # 5 - 3 evicted + 1 new = 3; pin the shape and the
+        # strict-decrease property both
+        assert totals[1] < totals[0]
+        assert totals[:2] == [5, 3]
+        # eviction = emission in append mode: the four finalized windows
+        # are exactly the rows the sink received after batch 1
+        emitted = {r["ws"] for r in spark.table(name).collect()}
+        assert {_ts(10, 0), _ts(11, 0), _ts(12, 0)} <= emitted
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_watermark_eviction_shrinks_dedup_key_state(spark) -> None:
+    """The ENTITY-KEYED state class (stream_dedup's keys — SCALING.md's
+    measured b_state=1.00 tier) names watermark/TTL eviction as its
+    unbounded-run bound; demonstrate it: dropDuplicatesWithinWatermark
+    key state must SHRINK once the watermark passes the keys' event
+    times.
+
+    batch 0: four distinct user keys at ~10:00 → 4 state entries, wm 9:05.
+    batch 1: one key ten hours on → wm still 9:05 during the batch (no
+             eviction yet), state grows to 5.
+    batch 2: one key a day later → wm 19:05 evicts all four 10:00-era
+             keys: numRowsTotal must fall to 2 (the 20:05 key + the new
+             one). Growth then shrinkage — state tracks the watermark
+             horizon, not stream length.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    staging = tempfile.mkdtemp(prefix="pmr_dedup_evict_")
+    ckpt = tempfile.mkdtemp(prefix="pmr_dedup_evict_ckpt_")
+    name = f"de_{uuid.uuid4().hex[:8]}"
+    try:
+        batches = [
+            [(_ts(10, 0), 1), (_ts(10, 1), 2), (_ts(10, 3), 3), (_ts(10, 5), 4)],
+            [(_ts(20, 5), 5)],
+            [(dt.datetime(2024, 3, 2, 20, 5, 0), 6)],
+        ]
+        for rows in batches:
+            spark.createDataFrame(rows, schema=_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(staging)
+            time.sleep(1.1)
+
+        deduped = (
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["user_id"])
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        totals = _state_totals(q)
+
+        assert totals[:2] == [4, 5]  # growth while inside the horizon
+        assert totals[2] < totals[1]  # then the watermark evicts
+        assert totals[2] == 2
+        # dedup emits every first-seen key regardless of eviction
+        assert spark.table(name).count() == 6
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
