@@ -117,3 +117,18 @@ def test_noise_gate_classify_bands() -> None:
     # the r09 additions are present with their BASELINE.md bands
     assert BANDS["auc_roc"] == (0.23, 0.31)
     assert BANDS["join_asof_nearest"] == (0.35, 0.45)
+
+
+def test_noise_gate_bands_match_baseline_table() -> None:
+    # The BANDS constants are hand-copies of BASELINE.md's per-query
+    # band table; this parses the table back and pins equality, so a
+    # band update in one place without the other fails here (the
+    # mechanical staleness check ADVICE r09 asked for). Covers the
+    # shared "window_named_clause / join_asof_nearest" row where the
+    # gated query takes the SECOND range.
+    from tools.noise_gate import BANDS, bands_from_baseline
+
+    baseline = REPO / "BASELINE.md"
+    if not baseline.exists():
+        pytest.skip("BASELINE.md absent")
+    assert bands_from_baseline(baseline) == BANDS

@@ -49,8 +49,10 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import time
+from pathlib import Path
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -71,6 +73,36 @@ BANDS: dict[str, tuple[float, float]] = {
     # (added per VERDICT r09 item 2)
     "join_asof_nearest": (0.35, 0.45),
 }
+
+
+def bands_from_baseline(path: str | Path) -> dict[str, tuple[float, float]]:
+    """Re-derive the gated queries' bands from BASELINE.md's per-query
+    band table, so the hand-copied BANDS constants carry a mechanical
+    staleness check instead of only a citation comment (VERDICT r09
+    ADVICE). Row format: ``| name (desc) [/ name2 ...] | LO–HI s [/
+    LO2–HI2 s] (...) | ...`` — the i-th '/'-separated name takes the
+    i-th leading range. Only rows naming a gated query are read."""
+    out: dict[str, tuple[float, float]] = {}
+    for line in Path(path).read_text().splitlines():
+        if not line.startswith("|"):
+            continue
+        cells = [c.strip() for c in line.strip("|").split("|")]
+        if len(cells) < 2:
+            continue
+        # strip parenthetical descriptions before splitting shared rows
+        names = [
+            n.strip()
+            for n in re.sub(r"\([^)]*\)", "", cells[0]).split("/")
+        ]
+        if not any(n in BANDS for n in names):
+            continue
+        ranges = re.findall(
+            r"(\d+(?:\.\d+)?)\s*[–-]\s*(\d+(?:\.\d+)?)\s*s", cells[1]
+        )
+        for i, n in enumerate(names):
+            if n in BANDS and i < len(ranges):
+                out[n] = (float(ranges[i][0]), float(ranges[i][1]))
+    return out
 
 
 def classify(best: float, lo: float, hi: float, factor: float) -> str:
@@ -110,6 +142,17 @@ def main() -> int:
     )
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
+
+    baseline = Path(__file__).resolve().parent.parent / "BASELINE.md"
+    if baseline.exists():
+        published = bands_from_baseline(baseline)
+        for name, band in published.items():
+            if band != BANDS[name]:
+                print(
+                    f"WARNING: BANDS[{name!r}] = {BANDS[name]} is STALE vs "
+                    f"BASELINE.md's {band} — update the constant",
+                    file=sys.stderr,
+                )
 
     from pythonmapreduce_spark.plans import registry
     from pythonmapreduce_spark.session import get_spark
