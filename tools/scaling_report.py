@@ -434,7 +434,11 @@ def main() -> int:
         "stream_stream_left_join's is per-user buffered rows within the",
         "watermark horizon — entity-keyed, expected b(state) ≈ 1: their",
         "unbounded-run story is the eviction policy (withWatermark on the",
-        "dedup keys; the join's two-sided watermark), not a constant bound.",
+        "dedup keys; the join's two-sided watermark), not a constant bound",
+        "— and that eviction is PINNED, not argued: two replay tests in",
+        "tests/test_streaming.py assert numRowsTotal SHRINKS when the",
+        "watermark advances (window-agg state 5→3; dropDuplicatesWithin-",
+        "Watermark key state 4→5→2), covering both state classes.",
         "Wall-time exponents carry the usual per-micro-batch fixed cost",
         "(state-store instance creation + commit barriers dominate at",
         "these sizes — see the stream_stream_left_join band note in",
