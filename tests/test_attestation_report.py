@@ -132,3 +132,26 @@ def test_noise_gate_bands_match_baseline_table() -> None:
     if not baseline.exists():
         pytest.skip("BASELINE.md absent")
     assert bands_from_baseline(baseline) == BANDS
+
+
+def test_bands_from_baseline_synthetic_rows(tmp_path: Path) -> None:
+    # Pins the parser's edge rules on a synthetic table: shared rows map
+    # the i-th name to the i-th range, parenthetical descriptions are
+    # stripped before the split, decoy ranges inside the note
+    # parenthetical are ignored (only leading ranges count), and
+    # non-gated rows don't contribute.
+    from tools.noise_gate import bands_from_baseline
+
+    f = tmp_path / "BASELINE.md"
+    f.write_text(
+        "| other_query (desc) | 9.9–9.99 s | x | y |\n"
+        "| auc_roc (exact Mann–Whitney, a/b collapse) | 0.23–0.31 s "
+        "(pre-reshape 0.235–0.303 decoy) | plan | same |\n"
+        "| window_named_clause / join_asof_nearest | 0.25–0.35 s / "
+        "0.35–0.45 s (4 runs each) | plan | same |\n"
+    )
+    got = bands_from_baseline(f)
+    assert got == {
+        "auc_roc": (0.23, 0.31),
+        "join_asof_nearest": (0.35, 0.45),
+    }

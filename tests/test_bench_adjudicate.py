@@ -231,6 +231,38 @@ def test_unattributed_changed_modules_warned(tmp_path: Path) -> None:
     ]
 
 
+def test_module_import_closure_synthetic_tree(tmp_path: Path) -> None:
+    # Deterministic synthetic package: a -> b -> c at top level, a's
+    # DEFERRED import of d must not leak into the closure, parenthesized
+    # multi-name imports resolve submodules, and cycles terminate.
+    pkg = tmp_path / "pythonmapreduce_spark"
+    (pkg / "sub").mkdir(parents=True)
+    (pkg / "__init__.py").write_text("")
+    (pkg / "sub" / "__init__.py").write_text("")
+    (pkg / "a.py").write_text(
+        "from pythonmapreduce_spark.b import helper\n"
+        "def f():\n"
+        "    from pythonmapreduce_spark.d import late\n"
+    )
+    (pkg / "b.py").write_text(
+        "from pythonmapreduce_spark.sub import (\n"
+        "    c,\n"
+        ")\n"
+    )
+    (pkg / "sub" / "c.py").write_text(
+        "import pythonmapreduce_spark.a\n"  # cycle back to a
+    )
+    (pkg / "d.py").write_text("late = 1\n")
+    closure = module_import_closure(tmp_path)
+    a = closure["pythonmapreduce_spark/a.py"]
+    assert "pythonmapreduce_spark/b.py" in a  # direct
+    assert "pythonmapreduce_spark/sub/c.py" in a  # transitive via paren import
+    assert "pythonmapreduce_spark/d.py" not in a  # deferred excluded
+    # the cycle resolves: c's closure contains a, b, c
+    c = closure["pythonmapreduce_spark/sub/c.py"]
+    assert {"pythonmapreduce_spark/a.py", "pythonmapreduce_spark/b.py"} <= c
+
+
 def test_default_diff_range_finds_round_commit() -> None:
     # The repo history carries the driver's 'round N: ...' commits; the
     # default range is that single rev (diffs against the working tree).
