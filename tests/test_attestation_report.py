@@ -134,6 +134,20 @@ def test_noise_gate_bands_match_baseline_table() -> None:
     assert bands_from_baseline(baseline) == BANDS
 
 
+def test_newest_bench_refs_and_warm_mix_coverage() -> None:
+    # The gate's auto-factor divides warm-mix timings by the newest
+    # BENCH file's per-query references — those references must exist
+    # for every mix query (all eight are headline bench queries) and be
+    # positive, or the factor silently degrades to fewer samples.
+    from tools.noise_gate import WARM_MIX, newest_bench_refs
+
+    refs = newest_bench_refs(REPO)
+    if not refs:
+        pytest.skip("no BENCH_r*.json in repo")
+    missing = [q for q in WARM_MIX if refs.get(q, 0) <= 0]
+    assert missing == []
+
+
 def test_bands_from_baseline_synthetic_rows(tmp_path: Path) -> None:
     # Pins the parser's edge rules on a synthetic table: shared rows map
     # the i-th name to the i-th range, parenthetical descriptions are

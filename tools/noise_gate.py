@@ -40,9 +40,27 @@ auc_roc and join_asof_nearest from their round-7/round-4 rows) — a
 BASELINE.md band update must be mirrored here, and the citation comment
 on each entry says which row to diff against.
 
+Session warmth: the bands are WARM-SESSION numbers — bench.py measures
+each magnet after ~48 other queries have run in the same JVM. A fresh
+session plateaus structurally higher (round-10 experiment at steal 86:
+dedup_unicode_normalized leveled at ~0.48 after FIFTEEN runs vs its
+0.36 band top and its 0.345 same-day warm-bench reading; tokenizer at
+~1.29 vs 1.0 / 1.157 — deep JIT + Python-worker/page-cache warmth the
+2-per-query warmups can't reproduce). The gate therefore runs a
+bench-like WARM-UP MIX of other registry queries first (disable with
+--no-warm-mix to reproduce the historical fresh-session readings,
+which ran 1.3-1.5x band at near-zero steal on every boot probed), and
+the timed second mix pass yields the DEFAULT band-top factor: the
+median mix-query ratio to the newest BENCH_r*.json reference is this
+session's machine+warmth elevation, so the gate's verdict is RELATIVE —
+"are the magnets elevated beyond what this session does to everything?"
+A magnet-specific regression multiplies ON TOP of that factor and still
+flags; a uniform whole-engine regression is bench_adjudicate's job, not
+this gate's. ~60-75 s total with the mix.
+
 Usage:
     python tools/noise_gate.py [--sf-dir /root/testdata/sf0.1] \
-        [--cpus 32] [--runs 5] [--factor 1.0] [--json]
+        [--cpus 32] [--runs 5] [--factor F] [--no-warm-mix] [--json]
 """
 from __future__ import annotations
 
@@ -73,6 +91,48 @@ BANDS: dict[str, tuple[float, float]] = {
     # (added per VERDICT r09 item 2)
     "join_asof_nearest": (0.35, 0.45),
 }
+
+# Bench-like session warm-up: a cheap cross-section of the bench set
+# (join/agg/window/text/Arrow/embedding stages) run before measuring,
+# so the gate's JVM warmth approximates the state in which the BANDS
+# were measured. Two passes ≈ 15-20 s at sf0.1. The second pass is
+# TIMED: the median ratio of each mix query to its min in the newest
+# BENCH_r*.json is this session's machine+warmth elevation — exactly
+# bench_adjudicate's uniform-elevation estimator, computed in-session —
+# and becomes the default band-top factor, so the gate self-normalizes
+# instead of needing a hand-carried --factor. (Storm-elevated BENCH
+# references UNDERESTIMATE the factor, making the gate stricter, never
+# looser.)
+WARM_MIX = (
+    "join_star",
+    "agg_basic",
+    "wordcount",
+    "window_rank",
+    "dedup_exact",
+    "text_stats",
+    "knn_cosine",
+    "topk",
+)
+
+
+def newest_bench_refs(repo: Path) -> dict[str, float]:
+    """Per-query reference seconds from the newest committed BENCH file
+    (min stat preferred, median fallback; {} if none parse)."""
+    from tools.bench_adjudicate import parse_bench
+
+    benches = sorted(
+        repo.glob("BENCH_r*.json"),
+        key=lambda f: int(re.search(r"r(\d+)", f.name).group(1)),
+    )
+    for f in reversed(benches):
+        try:
+            parsed = parse_bench(f)
+        except (OSError, ValueError):
+            continue
+        refs = parsed["queries_min"] or parsed["queries"]
+        if refs:
+            return refs
+    return {}
 
 
 def bands_from_baseline(path: str | Path) -> dict[str, tuple[float, float]]:
@@ -136,9 +196,16 @@ def main() -> int:
     ap.add_argument(
         "--factor",
         type=float,
-        default=1.0,
+        default=None,
         help="band-top multiplier for measured-degraded boots (e.g. 1.25 "
-        "when the session's bench_adjudicate uniform elevation is ~1.25)",
+        "when the session's bench_adjudicate uniform elevation is ~1.25); "
+        "defaults to the warm-mix auto-estimate (1.0 with --no-warm-mix)",
+    )
+    ap.add_argument(
+        "--no-warm-mix",
+        action="store_true",
+        help="skip the bench-like session warm-up (fresh-session readings "
+        "run 1.3-1.5x band even at zero steal; see module docstring)",
     )
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
@@ -161,6 +228,33 @@ def main() -> int:
     registry.load_all()
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    mix_times: dict[str, float] = {}
+    if not args.no_warm_mix:
+        for timed_pass in (False, True):
+            for name in WARM_MIX:
+                t0 = time.perf_counter()
+                registry.QUERIES[name](spark, args.sf_dir).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                if timed_pass:
+                    mix_times[name] = time.perf_counter() - t0
+
+    factor_source = "cli"
+    factor = args.factor
+    if factor is None:
+        factor, factor_source = 1.0, "none"
+        refs = newest_bench_refs(
+            Path(__file__).resolve().parent.parent
+        ) if mix_times else {}
+        ratios = sorted(
+            mix_times[n] / refs[n]
+            for n in mix_times
+            if refs.get(n, 0) > 0
+        )
+        if ratios:
+            factor = round(ratios[len(ratios) // 2], 3)
+            factor_source = "auto-mix"
+
     steal_start = steal_ticks()
     results: dict[str, dict] = {}
     any_above = any_below = False
@@ -174,14 +268,14 @@ def main() -> int:
             fn(spark, args.sf_dir).write.mode("overwrite").format("noop").save()
             samples.append(round(time.perf_counter() - t0, 3))
         best = min(samples)
-        verdict = classify(best, lo, hi, args.factor)
+        verdict = classify(best, lo, hi, factor)
         any_above = any_above or verdict == "above"
         any_below = any_below or verdict == "below"
         results[name] = {
             "min": best,
             "samples": samples,
             "band": [lo, hi],
-            "band_top_scaled": round(hi * args.factor, 3),
+            "band_top_scaled": round(hi * factor, 3),
             "verdict": verdict,
             "in_band": verdict == "in_band",
         }
@@ -191,7 +285,8 @@ def main() -> int:
         "sf_dir": args.sf_dir,
         "runs": args.runs,
         "stat": "min",
-        "factor": args.factor,
+        "factor": factor,
+        "factor_source": factor_source,
         "steal_ticks_delta": (
             steal_ticks() - steal_start if steal_start >= 0 else -1
         ),
@@ -205,7 +300,7 @@ def main() -> int:
             mark = {"in_band": "OK ", "above": "OUT", "below": "LOW"}[r["verdict"]]
             print(
                 f"{mark} {name}: min {r['min']} s vs band {r['band']}"
-                f" (x{args.factor})  samples={r['samples']}"
+                f" (x{factor} {factor_source})  samples={r['samples']}"
             )
         if any_below:
             print(
