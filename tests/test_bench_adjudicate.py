@@ -263,6 +263,21 @@ def test_module_import_closure_synthetic_tree(tmp_path: Path) -> None:
     assert {"pythonmapreduce_spark/a.py", "pythonmapreduce_spark/b.py"} <= c
 
 
+def test_every_registered_query_classifiable() -> None:
+    # Touched/untouched classification silently degrades for any query
+    # the static scan can't map to a defining file (or whose definer has
+    # no import-closure entry) — pin full coverage over the registry so
+    # a new registration idiom that breaks the scan fails loudly here.
+    from pythonmapreduce_spark.plans import registry
+
+    registry.load_all()
+    names = list(registry.QUERIES)
+    definers = query_defining_files(REPO, names)
+    assert [n for n in names if n not in definers] == []
+    closure = module_import_closure(REPO)
+    assert sorted({f for f in definers.values() if f not in closure}) == []
+
+
 def test_default_diff_range_finds_round_commit() -> None:
     # The repo history carries the driver's 'round N: ...' commits; the
     # default range is that single rev (diffs against the working tree).
