@@ -2,12 +2,16 @@
 
 Real pipelines carry image/audio/video as ``binary`` columns with a typed
 metadata struct, and run decode / feature-extraction as Arrow-batched
-Python over ``mapInPandas``. The IMAGE decode libs (PIL/ffmpeg) are NOT in
-this container, so that decode step is capability-probed — ``decode_image``
-uses a real codec when one is importable (and image_resize then runs a
-real lossless encode→decode round trip) and raises NotImplementedError
-otherwise, with the registered queries pinning the deterministic stand-in
-either way. The AUDIO path is fully real here: ``audio_decode_wav``
+Python over ``mapInPandas``. The image decode is capability-probed in
+preference order — PIL, then imageio (faster C codecs when a production
+environment has them), then the engine's OWN pure-stdlib PNG codec
+(``png_codec.py``, zlib + numpy from the public PNG spec), which is
+always available — so ``decode_image`` is a REAL lossless codec in this
+container too, the exact analog of the audio tier's stdlib ``wave``
+path, and ``image_resize`` runs a genuine encode→decode round trip on
+every row. PNG being lossless, every oracle is identical whichever
+codec wins the probe. The NotImplementedError guards remain only for a
+probe that finds ALL tiers broken. The AUDIO path: ``audio_decode_wav``
 encodes and decodes genuine RIFF/WAVE containers with CPython's stdlib
 codec. Everything Spark-side is real and tested in all cases: the binary
 column, the metadata struct schema, the mapInPandas batch shape, and the
@@ -38,20 +42,19 @@ FEATURE_SCHEMA = (
 
 
 # Capability probe, once at module import (executors re-probe on their own
-# import): use a real image codec when the environment has one, keep the
-# deterministic stand-in otherwise. Probed in preference order; this
-# container has neither, so _IMAGE_CODEC is None here and the stub path is
-# what the oracles pin — but a production image (pip install pillow) flips
-# the real round trip on with zero code change, and the oracles still hold
-# because PNG is lossless (encode→decode is the identity on the grid).
+# import): probed in preference order PIL -> imageio (production C codecs
+# win when installed) -> the engine's own pure-stdlib PNG codec
+# (png_codec.py), which makes the real round trip available in THIS
+# container too. Oracles hold whichever tier wins because PNG is lossless
+# (encode→decode is the identity on the grid).
 #
 # The probe EXECUTES a tiny in-memory PNG encode→decode round trip rather
 # than keying off import success: imageio installed without a PNG-capable
 # plugin (no pillow/pypng backend) imports fine but throws plugin errors
 # on first use, which would otherwise surface inside executor tasks
-# instead of taking the graceful NotImplementedError stand-in path.
+# instead of falling through to the next tier.
 def _probe_image_codec() -> str | None:  # pragma: no cover - env-dependent
-    global _PILImage, _imageio
+    global _PILImage, _imageio, _pngc
     grid = np.arange(9, dtype=np.uint8).reshape(3, 3)
     try:
         import io
@@ -72,6 +75,13 @@ def _probe_image_codec() -> str | None:  # pragma: no cover - env-dependent
             return "imageio"
     except Exception:
         pass
+    try:
+        from pythonmapreduce_spark.pipeline import png_codec as _pngc
+
+        if np.array_equal(_pngc.decode_png(_pngc.encode_png(grid)), grid):
+            return "stdlib"
+    except Exception:
+        pass
     return None
 
 
@@ -80,7 +90,9 @@ _IMAGE_CODEC: str | None = _probe_image_codec()
 
 def encode_image(arr: "np.ndarray") -> bytes:
     """Encode a (h, w) uint8 grid to lossless PNG bytes via whichever
-    codec the environment provides; NotImplementedError when none does."""
+    codec won the probe (PIL/imageio when installed, the stdlib PNG
+    codec otherwise); NotImplementedError only when every tier failed
+    the executed round-trip probe."""
     import io
 
     if _IMAGE_CODEC == "PIL":
@@ -89,24 +101,33 @@ def encode_image(arr: "np.ndarray") -> bytes:
         return buf.getvalue()
     if _IMAGE_CODEC == "imageio":
         return _imageio.imwrite("<bytes>", arr, extension=".png")
-    raise NotImplementedError("image codecs not available in this container")
+    if _IMAGE_CODEC == "stdlib":
+        # zlib level 1: the engine's encodes feed an immediate in-worker
+        # decode (image_resize's round trip), so compression ratio buys
+        # nothing — losslessness is level-independent, throughput is not
+        # (measured 6.35 -> 4.8 s min-of-5 on the sf0.1 resize at level 1).
+        return _pngc.encode_png(arr, level=1)
+    raise NotImplementedError("no working image codec tier (probe failed)")
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
     """Decode an encoded image payload to a uint8 ndarray.
 
-    Real decode when the environment has a codec (PIL, then imageio);
-    NotImplementedError otherwise — the registered queries fall back to
-    their deterministic stand-in payloads in that case, so behavior (and
-    every oracle) is identical across environments. tests/test_multimodal
-    exercises the real path under skipif(_IMAGE_CODEC is None)."""
+    Always a REAL decode: PIL, then imageio, then the engine's stdlib
+    PNG codec (pure zlib + numpy, CRC-verified) — the same
+    capability-over-import-success contract, now with a tier that every
+    CPython environment has. Oracles are codec-independent because PNG
+    is lossless. tests/test_multimodal_edge exercises round trips,
+    foreign-filter decode, and corruption rejection."""
     import io
 
     if _IMAGE_CODEC == "PIL":
         return np.asarray(_PILImage.open(io.BytesIO(payload)))
     if _IMAGE_CODEC == "imageio":
         return _imageio.imread(payload, extension=".png")
-    raise NotImplementedError("image codecs not available in this container")
+    if _IMAGE_CODEC == "stdlib":
+        return _pngc.decode_png(payload)
+    raise NotImplementedError("no working image codec tier (probe failed)")
 
 
 def with_payload(docs: DataFrame) -> DataFrame:

@@ -140,28 +140,24 @@ def test_wav_codec_roundtrip_unit() -> None:
 
 
 def test_image_codec_roundtrip_unit() -> None:
-    # Real image decode wherever the container allows (capability probe);
-    # deterministic NotImplementedError contract where it doesn't.
+    # Real image decode is now ALWAYS available: PIL/imageio when
+    # installed, the engine's stdlib PNG codec otherwise — the probe must
+    # never resolve to None in a working CPython environment.
     import numpy as np
 
     from pythonmapreduce_spark.pipeline import multimodal as mm
 
+    assert mm._IMAGE_CODEC is not None
     grid = (np.arange(48, dtype=np.uint8) * 5 % 256).reshape(6, 8)
-    if mm._IMAGE_CODEC is None:
-        with pytest.raises(NotImplementedError):
-            mm.encode_image(grid)
-        with pytest.raises(NotImplementedError):
-            mm.decode_image(b"\x89PNG\r\n\x1a\n")
-    else:
-        back = mm.decode_image(mm.encode_image(grid))
-        assert np.array_equal(np.asarray(back).reshape(6, 8), grid)
+    back = mm.decode_image(mm.encode_image(grid))
+    assert np.array_equal(np.asarray(back).reshape(6, 8), grid)
 
 
 def test_image_codec_probe_requires_working_roundtrip(monkeypatch) -> None:
     """The capability probe must key off an EXECUTED encode→decode round
     trip, not import success: an imageio present without a PNG-capable
-    plugin imports fine but throws on first use, and must resolve to the
-    no-codec stand-in path instead of failing inside executor tasks."""
+    plugin imports fine but throws on first use, and must fall through
+    to the stdlib PNG tier instead of failing inside executor tasks."""
     import sys
     import types
 
@@ -178,9 +174,10 @@ def test_image_codec_probe_requires_working_roundtrip(monkeypatch) -> None:
     monkeypatch.setitem(sys.modules, "PIL", None)  # import PIL -> ImportError
     monkeypatch.setitem(sys.modules, "imageio", pkg)
     monkeypatch.setitem(sys.modules, "imageio.v3", broken)
-    assert mm._probe_image_codec() is None
+    assert mm._probe_image_codec() == "stdlib"
 
-    # An imageio whose decode does not invert encode must also be rejected.
+    # An imageio whose decode does not invert encode must also be rejected
+    # (falls through to the stdlib tier, never selected itself).
     import numpy as np
 
     lossy = types.ModuleType("imageio.v3")
@@ -190,4 +187,22 @@ def test_image_codec_probe_requires_working_roundtrip(monkeypatch) -> None:
     pkg2.v3 = lossy
     monkeypatch.setitem(sys.modules, "imageio", pkg2)
     monkeypatch.setitem(sys.modules, "imageio.v3", lossy)
+    assert mm._probe_image_codec() == "stdlib"
+
+    # ...and a stdlib tier whose round trip is broken resolves to None —
+    # the NotImplementedError guards' only remaining path. (Patch the
+    # package attribute too: once imported, `from pkg import mod` binds
+    # the attribute, not the sys.modules entry.)
+    import pythonmapreduce_spark.pipeline as pipeline_pkg
+
+    real_pngc = getattr(mm, "_pngc", None)
+    broken_pngc = types.ModuleType("png_codec")
+    broken_pngc.encode_png = lambda arr: b"payload"
+    broken_pngc.decode_png = lambda payload: np.zeros((3, 3), dtype=np.uint8)
+    monkeypatch.setitem(
+        sys.modules, "pythonmapreduce_spark.pipeline.png_codec", broken_pngc
+    )
+    monkeypatch.setattr(pipeline_pkg, "png_codec", broken_pngc, raising=False)
     assert mm._probe_image_codec() is None
+    if real_pngc is not None:  # restore module-global codec binding
+        mm._pngc = real_pngc
