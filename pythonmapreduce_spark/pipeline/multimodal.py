@@ -665,9 +665,10 @@ _WAV_RATE = 8000
 def _wav_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched REAL audio codec round trip (stdlib ``wave``).
 
-    Unlike the image tier (no codec in this container — see decode_image's
-    capability probe), the WAV container codec ships with CPython, so this
-    path exercises a genuine encode→decode: deterministic int16 PCM is
+    Like the image tier's stdlib PNG codec (png_codec.py — see
+    decode_image's capability probe), the WAV container codec ships with
+    CPython, so this path exercises a genuine encode→decode:
+    deterministic int16 PCM is
     serialized into real RIFF/WAVE bytes by the stdlib writer, then the
     stdlib reader parses the container BACK — header fields (channel
     count, sample width, frame rate, frame count) come from the decoded
@@ -758,9 +759,10 @@ def audio_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     (frame count keyed off n_chars, samples off doc_id), encoded into a
     genuine RIFF/WAVE container and decoded back with CPython's stdlib
     ``wave`` codec inside one narrow mapInPandas — the audio analog of
-    multimodal_features, with the decode step REAL instead of stubbed
-    (the image tier stays capability-probed; this container has no image
-    codec, see decode_image).
+    multimodal_features. Both media tiers now decode for real in every
+    environment: the image tier's capability probe bottoms out in the
+    engine's own stdlib PNG codec (png_codec.py), the audio tier here in
+    stdlib ``wave``.
 
     Scale shape: only (doc_id, n) — two longs — enter the Python stage,
     and only seven longs leave it; no payload ever shuffles, so at 100 TB

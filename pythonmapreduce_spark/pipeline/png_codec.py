@@ -115,6 +115,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     idat = bytearray()
     while pos + 12 <= len(payload):
         (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        if pos + 12 + ln > len(payload):
+            # A declared chunk length running past the buffer is corruption,
+            # not an unsupported feature: ValueError per the contract (a bare
+            # struct.unpack here would leak struct.error past callers
+            # catching ValueError/NotImplementedError).
+            raise ValueError("truncated chunk")
         tag = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])

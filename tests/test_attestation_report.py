@@ -169,3 +169,29 @@ def test_bands_from_baseline_synthetic_rows(tmp_path: Path) -> None:
         "auc_roc": (0.23, 0.31),
         "join_asof_nearest": (0.35, 0.45),
     }
+
+
+def test_project_window_failed_before_tier1() -> None:
+    # registry.ordered_names() sorts FAILED as tier 0 BEFORE tier-1
+    # (unattested/oracle-upgraded) rows; the projection must splice tier1
+    # after the FAILED prefix, not ahead of it (r10 ADVICE, low).
+    from tools.attestation_report import project_window
+
+    state = {
+        "ok_old": {"round": 1, "status": "green"},
+        "ok_new": {"round": 3, "status": "green"},
+        "broken": {"round": 2, "status": "FAILED"},
+    }
+    assert project_window(state, ["fresh_unattested"], 4) == [
+        "broken",
+        "fresh_unattested",
+        "ok_old",
+        "ok_new",
+    ]
+    # membership at the truncation boundary: FAILED must survive a tiny
+    # window even when tier1 alone would fill it
+    assert project_window(state, ["t1a", "t1b", "t1c"], 2) == ["broken", "t1a"]
+    # fully-green ledger, no tier1: pure stalest-first (unchanged path)
+    assert project_window(
+        {k: v for k, v in state.items() if v["status"] != "FAILED"}, [], 2
+    ) == ["ok_old", "ok_new"]

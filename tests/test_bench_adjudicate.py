@@ -285,3 +285,33 @@ def test_default_diff_range_finds_round_commit() -> None:
     if rng is None:
         pytest.skip("no round-close commit in history (fresh clone)")
     assert len(rng) == 40 and ".." not in rng
+
+
+def test_touched_files_without_repo_degrades_gracefully(tmp_path: Path) -> None:
+    # touched_files set but repo=None (library callers): pre-r10 behavior
+    # classified everything untouched; the r10 closure rewrite made this
+    # raise NameError (r10 ADVICE, low). Pin the graceful degradation.
+    qs_ref = {"join_star": 0.5, "topk": 0.3, "agg_basic": 3.0}
+    qs_cand = {"join_star": 0.55, "topk": 0.33, "agg_basic": 9.0}
+    for name, qs in (("ref.json", qs_ref), ("cand.json", qs_cand)):
+        (tmp_path / name).write_text(
+            json.dumps(
+                {
+                    "metric": "headline_total",
+                    "value": sum(qs.values()),
+                    "unit": "sec",
+                    "queries": qs,
+                    "sf": 0.1,
+                    "protocol": {"stat": "median", "steal_ticks_delta": 7},
+                }
+            )
+        )
+    res = adjudicate(
+        parse_bench(tmp_path / "cand.json"),
+        parse_bench(tmp_path / "ref.json"),
+        touched_files={"pythonmapreduce_spark/operators/aggregates.py"},
+        repo=None,
+    )
+    by_q = {o["query"]: o for o in res["outliers"]}
+    assert by_q["agg_basic"]["touched"] is False  # no repo -> no attribution
+    assert res["touched_query_ratios"] == {}

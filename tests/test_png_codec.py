@@ -115,3 +115,24 @@ def test_multi_idat_chunks_concatenate() -> None:
         + _chunk(b"IEND", b"")
     )
     assert np.array_equal(decode_png(png), grid)
+
+
+def test_truncated_payload_raises_valueerror_not_struct_error() -> None:
+    # A truncated buffer or a chunk whose declared length runs past the
+    # end must raise ValueError (corruption) per the docstring contract —
+    # not leak struct.error from the CRC unpack (r10 ADVICE, low).
+    png = encode_png(np.arange(12, dtype=np.uint8).reshape(3, 4))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(png[:20])
+    # a cut INSIDE the IDAT chunk (a cut that only clips the trailing
+    # IEND leaves every pixel byte intact and decodes — tolerated)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(png[:-20])
+    # a lying length field: declared 2**24 bytes, buffer far shorter
+    bad = png[:8] + struct.pack(">I", 1 << 24) + png[12:]
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(bad)
+    # shorter than one whole chunk header after the signature -> the loop
+    # never runs; still ValueError, not an index/struct error
+    with pytest.raises(ValueError, match="missing IHDR"):
+        decode_png(png[:15])

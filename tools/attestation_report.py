@@ -106,6 +106,26 @@ def registry_tier1(state: dict[str, dict]) -> tuple[list[str], list[str], list[s
     return tier1, unregistered, notes
 
 
+def project_window(
+    state: dict[str, dict], tier1: list[str], size: int
+) -> list[str]:
+    """The next rotation window, mirroring ``registry.ordered_names()``:
+    FAILED rows are tier 0 and go FIRST, tier-1 (unattested or
+    oracle-upgraded rows-only) splice in after them, then stalest-first.
+    Splicing tier1 at the very front — ahead of FAILED — diverged from
+    the real rotation whenever failures existed (r10 ADVICE, low)."""
+    ordered = sorted(
+        (n for n in state if n not in set(tier1)),
+        key=lambda n: (
+            0 if state[n]["status"] == "FAILED" else 1,
+            state[n]["round"],
+            n,
+        ),
+    )
+    n_failed = sum(1 for n in ordered if state[n]["status"] == "FAILED")
+    return (ordered[:n_failed] + tier1 + ordered[n_failed:])[:size]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--repo", default=str(Path(__file__).resolve().parent.parent))
@@ -146,19 +166,11 @@ def main() -> int:
     staleness = Counter(max_round - v["round"] for v in state.values())
 
     # Next-window projection mirrors registry.ordered_names: FAILED
-    # first, then stalest attestation, ties by name for determinism here
-    # (the registry breaks ties by priority/registration order — with a
-    # fully-green ledger the ROUND grouping is what matters for planning,
-    # and rounds group identically).
-    ordered = sorted(
-        (n for n in state if n not in set(tier1)),
-        key=lambda n: (
-            0 if state[n]["status"] == "FAILED" else 1,
-            state[n]["round"],
-            n,
-        ),
-    )
-    window = (tier1 + ordered)[: args.window]
+    # first, then tier1, then stalest attestation, ties by name for
+    # determinism here (the registry breaks ties by priority/registration
+    # order — with a fully-green ledger the ROUND grouping is what
+    # matters for planning, and rounds group identically).
+    window = project_window(state, tier1, args.window)
     out = {
         "rounds_seen": max_round,
         "queries_attested": len(state),

@@ -276,13 +276,18 @@ def adjudicate(
     definer: dict[str, str] = {}
     closure: dict[str, set[str]] = {}
     unattributed_changed: list[str] = []
+
+    def is_touched(q: str) -> bool:
+        # Defined unconditionally: with touched_files but no repo (library
+        # callers), fall back to definer-only matching — which with an
+        # empty definer map classifies everything untouched, the pre-r10
+        # graceful degradation (VERDICT r10 ADVICE, low).
+        d = definer.get(q)
+        return bool(d and closure.get(d, {d}) & (touched_files or set()))
+
     if touched_files is not None and repo is not None:
         definer = query_defining_files(repo, shared)
         closure = module_import_closure(repo)
-
-        def is_touched(q: str) -> bool:
-            d = definer.get(q)
-            return bool(d and closure.get(d, {d}) & touched_files)
 
         attributed: set[str] = set()
         for q in shared:
