@@ -1,11 +1,13 @@
 #!/usr/bin/env python3
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": "headline_total", "value": N, "unit": "sec",
-   "queries": {"q": sec, ...}, "sf": 0.1,
+Prints ONE JSON line (compact, keys ordered least-critical first — see
+the payload comment in main()):
+  {"queries": {"q": sec, ...}, "metric": "headline_total", "value": N,
+   "unit": "sec", "sf": 0.1, "queries_min": {...}, "value_min": N,
    "protocol": {"warmups": 2, "timed_runs": 3, "stat": "median",
-                "load_avg_start": ..., "load_avg_end": ...}}
+                "load_avg_start": ..., "load_avg_end": ...,
+                "steal_ticks_delta": ...}}
 
 Each query executes fully through the noop sink (no driver-side collect,
 no result materialization cost — pure engine time).
@@ -159,11 +161,19 @@ def main() -> int:
         mins[name] = round(min(samples), 3)
 
     total = round(sum(times.values()), 3)
+    # Key order is deliberate, least-critical FIRST: the driver keeps only
+    # the last ~2000 chars of stdout, and both 48-entry dicts cannot fit in
+    # that window, so whatever leads the line is what truncation eats. With
+    # the median dict first, any tail window >= ~1400 chars retains every
+    # headline scalar, the complete min dict (the cross-round ratio stat),
+    # and the protocol block — instead of losing "metric"/"value"/medians
+    # by field-order luck as BENCH_r09/r10 did. The file artifact below
+    # always carries the whole payload.
     payload = {
+        "queries": times,
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
-        "queries": times,
         "sf": sf,
         # Additive diagnostics (headline stays the median): min-of-3
         # is robust to a single hypervisor-steal burst landing inside
@@ -182,7 +192,7 @@ def main() -> int:
             ),
         },
     }
-    line = json.dumps(payload)
+    line = json.dumps(payload, separators=(",", ":"))
     # The stdout line is the driver contract, but two consecutive driver
     # artifacts (BENCH_r09/r10) lost the front of it to tail-capture
     # truncation. The file copy is the durable artifact: atomically

@@ -315,3 +315,41 @@ def test_touched_files_without_repo_degrades_gracefully(tmp_path: Path) -> None:
     by_q = {o["query"]: o for o in res["outliers"]}
     assert by_q["agg_basic"]["touched"] is False  # no repo -> no attribution
     assert res["touched_query_ratios"] == {}
+
+
+def test_parse_r11_compact_reordered_line(tmp_path: Path) -> None:
+    # r11 bench lines are compact and ordered least-critical-first so the
+    # driver's 2000-char stdout tail eats leading MEDIAN entries instead
+    # of the headline scalars / min dict / protocol. Pin both the
+    # complete-line fast path and the truncated-tail recovery.
+    qs = {f"query_name_number_{i:02d}": round(0.2 + i * 0.031, 3) for i in range(48)}
+    mins = {k: round(v * 0.93, 3) for k, v in qs.items()}
+    payload = {
+        "queries": qs,
+        "metric": "headline_total",
+        "value": round(sum(qs.values()), 3),
+        "unit": "sec",
+        "sf": 0.1,
+        "queries_min": mins,
+        "value_min": round(sum(mins.values()), 3),
+        "protocol": {"warmups": 2, "timed_runs": 3, "stat": "median",
+                     "load_avg_start": 0.5, "load_avg_end": 2.0,
+                     "steal_ticks_delta": 123},
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    assert len(line) > 2000  # the premise: both dicts cannot fit the tail
+
+    (tmp_path / "full.json").write_text(line + "\n")
+    full = parse_bench(tmp_path / "full.json")
+    assert full["queries"] == qs and full["queries_min"] == mins
+    assert full["value"] == payload["value"] and full["steal"] == 123
+
+    # driver wrapper keeping only the last 2000 chars
+    (tmp_path / "wrapped.json").write_text(
+        json.dumps({"n": 10, "rc": 0, "tail": line[-2000:]})
+    )
+    cut = parse_bench(tmp_path / "wrapped.json")
+    assert cut["queries_min"] == mins          # min dict fully intact
+    assert cut["value"] == payload["value"]    # headline scalars intact
+    assert cut["value_min"] == payload["value_min"]
+    assert cut["steal"] == 123 and cut["sf"] == 0.1

@@ -68,8 +68,11 @@ def parse_bench(path: str | Path) -> dict:
 
     Returns {"value", "value_min", "queries", "queries_min", "steal",
     "stat", "sf"} with missing pieces as None/{} — front-truncated
-    driver tails lose the leading ``"queries"`` dict but keep
-    ``queries_min`` and the protocol block, and those are recovered.
+    driver tails lose part of the LEADING dict but keep the rest, and
+    that is recovered. Handles both bench line formats: the pre-r11
+    spaced JSON starting at ``{"metric"`` and the r11+ compact JSON
+    starting at ``{"queries"`` (reordered so truncation eats median
+    entries, not the headline scalars/min dict/protocol).
     """
     text = Path(path).read_text()
     # Driver wrapper: the bench stdout lives in the "tail" field.
@@ -89,8 +92,9 @@ def parse_bench(path: str | Path) -> dict:
         "stat": None,
         "sf": None,
     }
-    # Fast path: a complete JSON line starting at the last {"metric".
-    start = text.rfind('{"metric"')
+    # Fast path: a complete JSON line starting at the last payload-open
+    # anchor (pre-r11 lines open with {"metric", r11+ with {"queries").
+    start = max(text.rfind('{"metric"'), text.rfind('{"queries"'))
     if start != -1:
         line = text[start:].splitlines()[0]
         try:
@@ -108,17 +112,17 @@ def parse_bench(path: str | Path) -> dict:
             pass  # truncated line — fall through to field recovery
 
     def grab_dict(key: str) -> dict[str, float]:
-        m = re.search(rf'"{key}": \{{([^}}]*)\}}', text)
+        m = re.search(rf'"{key}":\s*\{{([^}}]*)\}}', text)
         if not m:
             return {}
         return {
             q: float(v)
-            for q, v in re.findall(r'"([^"]+)": ([\d.]+)', m.group(1))
+            for q, v in re.findall(r'"([^"]+)":\s*([\d.]+)', m.group(1))
         }
 
     def grab_num(key: str) -> float | None:
         # last occurrence wins (warmup chatter can mention e.g. "sf")
-        ms = re.findall(rf'"{key}": ([\d.]+)', text)
+        ms = re.findall(rf'"{key}":\s*([\d.]+)', text)
         return float(ms[-1]) if ms else None
 
     out["queries"] = grab_dict("queries")
