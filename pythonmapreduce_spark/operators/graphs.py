@@ -114,27 +114,36 @@ def _pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame | None:
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected edge set (src < dst) of the part co-occurrence graph."""
+    """Undirected edge set (src < dst) of the part co-occurrence graph.
+
+    Round 11 shape: ONE lineitem pass builds per-order sorted distinct
+    part arrays (collect_set dedups map-side; order size ~4 bounds the
+    array), then pairs explode from each array in-JVM — sorted arrays
+    make src < dst by construction. The old form self-joined a distinct
+    (l_orderkey, l_partkey) projection with itself, which the physical
+    plan executed as TWO full lineitem scans + two distinct exchanges +
+    a join-key shuffle; now the only exchanges are the groupBy(order)
+    and the final edge distinct. Identical edge set (verified row-equal
+    at sf0.1 and via every graph oracle)."""
     urgent = (
         load(spark, sf_dir, "orders")
         .where(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
     )
-    items = (
+    baskets = (
         load(spark, sf_dir, "lineitem")
         .join(urgent, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
-    a = items.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("dst")
+    pair_expr = F.expr(
+        "flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts) - i - 1), "
+        "y -> struct(x AS src, y AS dst))))"
     )
     return (
-        a.join(b, (F.col("k") == F.col("k2")) & (F.col("src") < F.col("dst")))
-        .select("src", "dst")
+        baskets.select(F.explode(pair_expr).alias("e"))
+        .select("e.src", "e.dst")
         .distinct()
     )
 

@@ -1431,29 +1431,49 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence EDGES into the probabilistic rule METRICS a
     recommender thresholds on.
 
-    The pair explosion is the same order-size-bounded join as the graph
-    edge derivation (linear overall); item counts are vocabulary-sized
-    and join back on the part key; the single order count broadcasts.
-    The ≥3 support floor is Apriori's anti-monotone prune — it is what
-    keeps level-2+ candidate growth bounded at scale.
+    The pair explosion is order-size-bounded (linear overall); item
+    counts are vocabulary-sized and join back on the part key; the
+    single order count broadcasts. The ≥3 support floor is Apriori's
+    anti-monotone prune — it is what keeps level-2+ candidate growth
+    bounded at scale.
+
+    Round 11 restructure: the old form derived ``items`` (lineitem ⋈
+    urgent → distinct) FIVE times — n_orders, item_count (read twice),
+    and both sides of the pair self-join each re-ran the scan+join
+    (20 parquet scans / 38 exchanges executed). Now ONE scan builds
+    per-order sorted distinct part arrays (collect_set is the map-side-
+    combining dedup; order size ~4 bounds the array), materialized
+    once; pairs explode from each array in-JVM (sorted arrays make
+    p1 < p2 by construction — no self-join, no join-key shuffle of a
+    second lineitem pass), and n_orders/item_count are cheap reads of
+    the same materialized base. Identical rule set — verified row-equal
+    at sf0.001/0.01/0.1 and against the oracle.
     """
     urgent = (
         load(spark, sf_dir, "orders")
         .where(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
     )
-    items = (
+    baskets = iter_materialize(
         load(spark, sf_dir, "lineitem")
         .join(urgent, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
-    n_orders = items.agg(F.countDistinct("l_orderkey").alias("n"))
-    item_count = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
-    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
-    b = items.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("p2"))
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n"))
+    item_count = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts) - i - 1), "
+        "y -> struct(x AS p1, y AS p2))))"
+    )
     pairs = (
-        a.join(b, (F.col("k") == F.col("k2")) & (F.col("p1") < F.col("p2")))
+        baskets.select(F.explode(pair_expr).alias("pr"))
+        .select("pr.p1", "pr.p2")
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("both_cnt"))
         .where(F.col("both_cnt") >= 3)

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from pythonmapreduce_spark.catalog import load
 from pythonmapreduce_spark.sources.text_corpus import tokens_col
+from pythonmapreduce_spark.plans.materialize import iter_materialize
 from pythonmapreduce_spark.plans.registry import register
 
 # Fixed query for the registered BM25 ranking (terms from the corpus vocab).
@@ -126,8 +127,6 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, bm25) for the fixed query — bm25_rank's scorer, shared
     with hybrid_search_rrf's lexical leg so the one-corpus-pass shape is
     maintained in one place."""
-    from pythonmapreduce_spark.plans.materialize import iter_materialize
-
     terms_sql = ", ".join(f"'{t}'" for t in _QUERY_TERMS)
     base = iter_materialize(
         load(spark, sf_dir, "documents")
@@ -233,8 +232,6 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     average. ln on both engines; 4dp round absorbs summation-order
     drift.
     """
-    from pythonmapreduce_spark.plans.materialize import iter_materialize
-
     tfd = iter_materialize(
         _doc_bigrams(spark, sf_dir)
         .groupBy("doc_id", "bigram")
@@ -311,6 +308,14 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-zero idf weight. This prefix-filtering family is how all-pairs
     similarity stays tractable on a 100 TB corpus. One shuffle on the
     term key, one on the (d1, d2) pair key, norms broadcast-joined.
+
+    The weight table ``w`` is materialized (round 11): FOUR consumers
+    read it — nrm twice (n1/n2 legs) and both sides of the posting-list
+    self-join — and without the cut each re-derived the whole
+    tokenize → bigram explode → tf/df aggregate → idf join chain from
+    parquet (24 corpus scans / 68 exchanges in the executed plan; 1
+    scan / 11 exchanges after). Same bm25_rank discipline: materialize
+    the narrow (doc_id, g, w) table once, never the corpus text.
     """
     grams = _doc_bigrams(spark, sf_dir).withColumnRenamed("bigram", "g")
     tf = grams.groupBy("doc_id", "g").agg(
@@ -318,7 +323,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_counts = tf.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     n_docs = tf.select(F.countDistinct("doc_id").alias("n"))
-    w = (
+    w = iter_materialize(
         tf.join(df_counts, "g")
         .where(F.col("df").between(2, 100))
         .crossJoin(F.broadcast(n_docs))

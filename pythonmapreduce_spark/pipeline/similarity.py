@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from pythonmapreduce_spark.catalog import load
+from pythonmapreduce_spark.plans.materialize import iter_materialize
 from pythonmapreduce_spark.plans.registry import QUERIES, register
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1209,13 +1210,22 @@ def semdedup_k(
     broadcast exchange, O(n·K·d) with K constant); the in-cluster pair
     join shuffles on the cluster key, unit vectors ship once each way;
     with K sized so clusters average c vectors, pair work is n·c/2 dots.
-    Nothing global, nothing that grows superlinearly in n."""
-    e = _semdedup_unit_vectors(spark, sf_dir)
+    Nothing global, nothing that grows superlinearly in n.
+
+    Both bases are materialized (round 11): ``e`` is consumed four ways
+    (centroid slice, GEMM input, both pair-join sides) and ``assign``
+    three (ea, eb, final keep join) — unmaterialized, the plan re-ran
+    the normalize scan ~6× and the mapInPandas GEMM 3× per execution
+    (measured 1.80 → 1.48 s min-of-6 interleaved at sf0.1, identical
+    rows). The unit-vector checkpoint stores exactly the bytes the old
+    plan recomputed thrice; on a cluster the iterMaterialize conf picks
+    persist/checkpoint instead (plans/materialize.py)."""
+    e = iter_materialize(_semdedup_unit_vectors(spark, sf_dir))
     if centroids is None:
         centroids = e.where(F.col("vec_id") <= k).select(
             F.col("vec_id").alias("cid"), F.col("v").alias("cv")
         )
-    assign = semdedup_assign(spark, e, centroids)
+    assign = iter_materialize(semdedup_assign(spark, e, centroids))
     ea = assign.join(e, "vec_id").select(
         F.col("vec_id").alias("id_a"), "cluster", F.col("v").alias("va")
     )

@@ -772,6 +772,7 @@ def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where((F.col("doc_id") % 7 == 0) & (F.length("text") >= 60))
         .select(F.substring("text", 1, 60).alias("snip"))
     )
+    quality = docs.where(F.col("n_chars") >= 100).where(token_count_col() >= 10)
     # contains(text, snip) with every snippet exactly 60 chars ⇔ some
     # 60-char window of text equals some snippet; the lookahead capture
     # walks the doc once (see decontamination_ngram's docstring for why
@@ -781,40 +782,40 @@ def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical texts have identical windows, hence identical verdicts,
     # so filtering whole duplicate classes before or after picking the
     # min-doc_id survivor yields the same set — asserted value-identical
-    # against the dedup-first form at sf0.1). The payoff is
-    # DEPLOYMENT §3's content rule: every text-derived value (digest,
-    # windows, verdict) is computed in the scan stage, so all three
-    # exchanges carry (doc_id, lang, 32-byte digest, boolean) — the
-    # pre-reorder form shipped FULL TEXT through the dedup shuffle
-    # because the window explode still needed it afterwards. Measured
-    # trade at bench scale: +~0.5 s (the explode now covers every
-    # quality doc, not just dedup survivors — proportional to the dup
-    # rate). At 100 TB the sign flips hard: duplicate-rate×corpus extra
-    # hash probes are map-side CPU, while the old shape moved
-    # corpus-sized text bytes through the cluster bisection — the
-    # bottleneck DEPLOYMENT §3 exists to forbid. (A doc_id-bucketed
-    # corpus layout, DEPLOYMENT §2, would also allow dedup-first with a
-    # co-located exchange-free join-back.)
-    verdict = (
-        docs.where(F.col("n_chars") >= 100)
-        .where(token_count_col() >= 10)
+    # against the dedup-first form at sf0.1), and DEPLOYMENT §3's
+    # content rule holds: every exchange carries (doc_id, lang, 32-byte
+    # digest) or bare doc_ids, never text.
+    #
+    # Round 11 (guide §2.3, project before the expensive operator): the
+    # window stream is now doc_id + window ONLY — the old form computed
+    # sha2 and carried (lang, 64-char hex digest) on EVERY exploded
+    # window row, so ~corpus_chars rows × ~80 extra bytes flowed through
+    # the broadcast probe and a corpus_chars-row partial aggregate
+    # (groupBy doc_id, lang, h, max(hit)). Contaminated doc_ids are
+    # instead collected by decontamination_ngram's exact certified
+    # shape (explode → broadcast-semi → distinct: only MATCHING ids
+    # reach the exchange) and anti-joined back onto the one-row-per-doc
+    # quality scan. Docs shorter than 60 chars cannot contain a snippet
+    # and skip the explode entirely. Measured 1.64 s → 0.98 s min-of-6
+    # interleaved at sf0.1, identical 15 rows. The hit set is bare ids —
+    # at 100 TB it broadcasts while small and degrades to a shuffled
+    # anti-join on ids (never text) if the contamination rate explodes.
+    hits = (
+        quality.where(F.length("text") >= 60)
         .select(
             "doc_id",
-            "lang",
-            F.sha2("text", 256).alias("h"),
-            F.explode_outer(
+            F.explode(
                 F.expr(r"regexp_extract_all(text, '(?s)(?=(.{60}))', 1)")
             ).alias("win"),
         )
-        .join(
-            F.broadcast(bench), F.col("win") == F.col("snip"), "left"
-        )
-        .groupBy("doc_id", "lang", "h")
-        .agg(F.max(F.col("snip").isNotNull()).alias("hit"))
+        .join(F.broadcast(bench), F.col("win") == F.col("snip"), "left_semi")
+        .select("doc_id")
+        .distinct()
     )
     w = Window.partitionBy("h").orderBy("doc_id")
     clean = (
-        verdict.where(~F.col("hit"))
+        quality.select("doc_id", "lang", F.sha2("text", 256).alias("h"))
+        .join(hits, "doc_id", "left_anti")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
     )
