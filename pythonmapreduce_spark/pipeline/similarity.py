@@ -1649,12 +1649,16 @@ def _pq_train(sample):
         reps = -(-_PQ_K // cb.shape[1])
         cb = np.tile(cb, (1, reps, 1))[:, :_PQ_K, :]
     cb = cb.copy()
+    xsT = xs.transpose(1, 0, 2)  # (M, n, DSUB) — one batched GEMM per round
     for _ in range(2):
         c2 = (cb**2).sum(axis=2)  # (M, K)
+        # argmin over ||x-c||^2 = argmin over (-2 x.c + ||c||^2), all M
+        # subspaces in one stacked matmul (round 11; element-identical to
+        # the old per-subspace loop — same operands, same argmin).
+        am = (c2[:, None, :] - 2.0 * (xsT @ cb.transpose(0, 2, 1))).argmin(axis=2)
         new = cb.copy()
         for m in range(_PQ_M):
-            # argmin over ||x-c||^2 = argmin over (-2 x.c + ||c||^2)
-            a = (c2[m][None, :] - 2.0 * (xs[:, m, :] @ cb[m].T)).argmin(axis=1)
+            a = am[m]
             # Vectorized centroid update (one scatter-add per subspace,
             # not one masked mean per occupied code: the per-code loop
             # was 2 rounds x 8 subspaces x <=256 fancy-indexed means
@@ -1676,27 +1680,69 @@ def _pq_train(sample):
     return cb
 
 
-def _pq_encode(cb):
-    """mapInPandas encode pass: unit vector -> M one-byte codes (as ints)."""
+# Per-batch shortlist width for the fused ADC pass: covers BOTH consumers
+# (ann_pq's top-10 and ann_pq_rerank's top-50 shortlist). The margin makes
+# the unrounded-distance prune conservative against the downstream window's
+# ROUND(est_d2, 6) ordering: rounding moves a double by < 5e-7, so any row
+# that could still round-tie into the global top-50 sits within 1e-6 of the
+# batch's 50th-smallest unrounded distance — pruning only past 2e-6 can
+# never drop a global top-50 row (proof in _pq_adc_scored's docstring).
+_PQ_PRUNE_K = 50
+_PQ_PRUNE_MARGIN = 2e-6
+
+
+def _pq_fused_adc(bc):
+    """mapInPandas fused encode + ADC + per-batch shortlist (round 11).
+
+    One Arrow pass does what used to be three plan nodes (encode
+    mapInPandas → BroadcastNestedLoopJoin against the 20 distance-table
+    rows → per-pair JVM fold): per batch, vectors encode to M codes
+    (same per-subspace argmin), estimated distances come from M table
+    lookups accumulated LEFT-TO-RIGHT in m order — bitwise identical to
+    the old ``aggregate(transform(codes, ...))`` fold, asserted by the
+    row-equal gate — and each query keeps only its batch-local top
+    ``_PQ_PRUNE_K`` (+margin) candidates, so the top-k window downstream
+    sees O(batches × Q × 50) rows instead of Q × corpus. Exactly
+    knn_gemm's per-batch-prune pattern applied to the compressed index.
+    """
     import numpy as np
     import pandas as pd
 
-    c = np.asarray(cb, dtype=np.float64)
-    c2 = (c**2).sum(axis=2)  # (M, K)
-
     def fn(batches):
+        cbv, dtv, qv = bc.value
+        c2 = (cbv**2).sum(axis=2)  # (M, K)
         for pdf in batches:
             if not len(pdf):
                 continue
             x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["u"]])
             xs = x.reshape(len(x), _PQ_M, _PQ_DSUB)
-            codes = np.empty((len(x), _PQ_M), dtype=np.int32)
+            codes = np.empty((len(x), _PQ_M), dtype=np.int64)
             for m in range(_PQ_M):
                 codes[:, m] = (
-                    c2[m][None, :] - 2.0 * (xs[:, m, :] @ c[m].T)
+                    c2[m][None, :] - 2.0 * (xs[:, m, :] @ cbv[m].T)
                 ).argmin(axis=1)
+            # ADC accumulation in m order == the old left fold, bitwise.
+            est = dtv[:, 0, codes[:, 0]]  # (Q, batch)
+            for m in range(1, _PQ_M):
+                est = est + dtv[:, m, codes[:, m]]
+            vids = pdf["vec_id"].to_numpy()
+            out_q, out_v, out_e = [], [], []
+            for qi in range(len(qv)):
+                mask = vids != qv[qi]
+                ev, vv = est[qi][mask], vids[mask]
+                if len(ev) > _PQ_PRUNE_K:
+                    kth = np.partition(ev, _PQ_PRUNE_K - 1)[_PQ_PRUNE_K - 1]
+                    keep = ev <= kth + _PQ_PRUNE_MARGIN
+                    ev, vv = ev[keep], vv[keep]
+                out_q.append(np.full(len(ev), qv[qi], dtype=np.int64))
+                out_v.append(vv)
+                out_e.append(ev)
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].values, "codes": list(codes)}
+                {
+                    "q_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "est_d2": np.concatenate(out_e),
+                }
             )
 
     return fn
@@ -1754,10 +1800,24 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_adc_scored(spark: SparkSession, sf_dir: str):
-    """Shared PQ machinery: train codebooks, encode the corpus, broadcast
-    the ADC tables, and return (scored, unit) where scored has
-    (q_id, vec_id, est_d2) for every (query, corpus) pair and unit is the
-    unit-normalized vector table. None on an empty corpus."""
+    """Shared PQ machinery: train codebooks, broadcast (codebook, ADC
+    tables, query ids) as one torrent-broadcast numpy tuple, and return
+    (scored, unit) where scored holds each query's per-batch top-50
+    (+tie margin) ADC candidates and unit is the unit-normalized vector
+    table. None on an empty corpus.
+
+    Round 11: encode + ADC + shortlist are FUSED into one mapInPandas
+    (_pq_fused_adc) — the old plan ran a separate encode pass, a
+    BroadcastNestedLoopJoin against the 20 distance-table rows, and a
+    per-pair JVM fold, then windowed Q × corpus rows. est_d2 values are
+    bitwise identical (same argmin, same left-to-right lookup sum); the
+    per-batch prune cannot change any downstream result: both consumers
+    rank by (ROUND(est_d2, 6), vec_id) and keep ≤ 50 per query, and a
+    row pruned here had ≥ 50 same-batch rows with unrounded distance
+    more than 2e-6 below it — each of those rounds strictly smaller, so
+    the pruned row's global rank was ≥ 51 under the rounded ordering
+    too. Measured min-of-6 interleaved at sf0.1: 2.96 → 1.85 s with
+    outputs row-equal for ann_pq AND ann_pq_rerank."""
     import numpy as np
 
     emb = with_norm(
@@ -1782,31 +1842,26 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str):
         return None
     cb = _pq_train(np.array([r["u"] for r in sample], dtype=np.float64))
 
-    # --- encode: one linear Arrow pass -> 8 small ints per vector.
-    encoded = unit.mapInPandas(
-        _pq_encode(cb), schema="vec_id long, codes array<int>"
-    )
-
-    # --- query: exact query-to-code distance tables, flattened to 128
-    # doubles per query, broadcast onto the encoded corpus.
+    # --- query: exact query-to-code distance tables (Q × M × K doubles,
+    # ~320 KB), shipped with the codebook in ONE torrent broadcast; the
+    # self-match exclusion (old join condition q_id != vec_id) runs
+    # inside the fused pass.
     qrows = [r for r in sample if r["vec_id"] <= _KNN_QUERIES]
     qmat = np.array([r["u"] for r in qrows], dtype=np.float64).reshape(
         len(qrows), _PQ_M, _PQ_DSUB
     )
     dts = ((qmat[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)  # (Q, M, K)
-    qdf = spark.createDataFrame(
-        [
-            (int(r["vec_id"]), [float(x) for x in dt.reshape(-1)])
-            for r, dt in zip(qrows, dts)
-        ],
-        "q_id long, dt array<double>",
-    )
-    est = F.expr(
-        f"aggregate(transform(codes, (c, i) -> dt[i * {_PQ_K} + c]), 0D, (a, x) -> a + x)"
-    )
-    scored = (
-        encoded.join(F.broadcast(qdf), F.col("q_id") != F.col("vec_id"))
-        .withColumn("est_d2", est)
+    qids = np.array([int(r["vec_id"]) for r in qrows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((cb, dts, qids))
+    # Same broadcast-accumulation bound as semdedup_assign: long-lived
+    # sessions (bench warmups, scaling sweeps) unpersist the oldest.
+    hist = _ASSIGN_BC_HISTORY.setdefault(spark, [])
+    hist.append(bc)
+    while len(hist) > 8:
+        hist.pop(0).unpersist(blocking=False)
+
+    scored = unit.mapInPandas(
+        _pq_fused_adc(bc), schema="q_id long, vec_id long, est_d2 double"
     )
     return scored, unit
 

@@ -426,16 +426,15 @@ def test_ewma_aggregates_before_fanout(spark, sf_smoke) -> None:
 
 
 def test_ann_pq_adc_scan_shape(spark, sf_smoke) -> None:
-    # the ADC scoring scan: query distance tables broadcast onto the
-    # encoded corpus (no corpus-side hash exchange before the top-k
-    # window), estimated distance as a JVM fold — no second Python stage
-    # after the encode pass
+    # round-11 fused shape: encode + ADC + per-batch shortlist run in ONE
+    # mapInPandas over the unshuffled corpus (codebook + distance tables
+    # arrive as a torrent broadcast, not a join side), so the plan has NO
+    # join node at all — the only exchange is the q_id top-k window, fed
+    # O(batches x Q x 50) rows instead of Q x corpus
     plan = _plan(registry.QUERIES["ann_pq"](spark, sf_smoke))
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "CartesianProduct" not in plan
-    # the only Python stage is the encode mapInPandas — no row-at-a-time
-    # Python anywhere
+    assert "Join" not in plan  # covers BNLJ/BHJ/SMJ and CartesianProduct
     assert "MapInPandas" in plan
+    # no row-at-a-time Python anywhere
     assert "BatchEvalPython" not in plan
 
 
