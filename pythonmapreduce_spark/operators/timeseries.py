@@ -187,14 +187,20 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user timestamp — at scale all three stages shuffle on the SAME key
     (user_id), so the exchanges line up and AQE reuses the partitioning;
     no per-user driver logic, no window over the full event stream.
+
+    s1/s2 are materialized (round 11): each survivor table feeds both the
+    next stage's join and its own step count, and the chained funnel made
+    the re-derivation multiplicative — step 3's count re-ran steps 1 and 2
+    from parquet (6 events scans executed; 3 pruned scans after, one per
+    event type). The checkpoints hold per-user (id, ts) rows only.
     """
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    s1 = (
+    s1 = iter_materialize(
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_signup"))
     )
-    s2 = (
+    s2 = iter_materialize(
         ev.where(F.col("event_type") == "click")
         .join(s1, "user_id")
         .where(F.col("ts") >= F.col("t_signup"))
@@ -789,9 +795,12 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Aggregate-then-broadcast twice: |days| rows → 1-row median → 1-row
     MAD — the raw event stream collapses at the first aggregation and
-    nothing wider than |days| ever crosses an exchange again.
+    nothing wider than |days| ever crosses an exchange again. ``daily``
+    is materialized (round 11): the median, the MAD, and the final
+    projection each re-ran the events scan + aggregate otherwise (4
+    scans executed → 1); the checkpoint is |days| rows.
     """
-    daily = (
+    daily = iter_materialize(
         load(spark, sf_dir, "events")
         .where(F.col("event_type") == "purchase")
         .groupBy(F.col("ts").cast("date").alias("day"))

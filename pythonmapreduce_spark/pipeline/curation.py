@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pythonmapreduce_spark.catalog import load
+from pythonmapreduce_spark.plans.materialize import iter_materialize
 from pythonmapreduce_spark.plans.registry import QUERIES, register
 from pythonmapreduce_spark.sources.text_corpus import token_count_col, tokens_col
 
@@ -1007,8 +1008,6 @@ def coverage_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     work is bounded by duplicate volume, and only 16-byte digests + short
     source codes shuffle. Output is at most |sources|² rows.
     """
-    from pythonmapreduce_spark.plans.materialize import iter_materialize
-
     # Materialized (round 6): sizes and both pair sides consume d, and
     # without a checkpoint each re-ran the corpus scan + md5 + distinct
     # shuffle (3 corpus passes, zero exchange reuse). d is (source,
@@ -1378,10 +1377,13 @@ def token_budget_allocator(spark: SparkSession, sf_dir: str) -> DataFrame:
     All integer arithmetic (floor division + remainder ranking with a
     lang tiebreak — no floats anywhere, so the engines cannot disagree);
     per-lang counts partial-aggregate map-side, the apportionment runs on
-    |langs| rows with one 1-row total broadcast.
+    |langs| rows with one 1-row total broadcast. ``counts`` is
+    materialized (round 11): the total, the shares, and the shortfall
+    each re-ran the corpus tokenize+aggregate otherwise (4 documents
+    scans executed → 1); the checkpoint is |langs| rows.
     """
     toks_n = F.size(F.expr("filter(split(text, '\\\\s+'), t -> t != '')")).cast("long")
-    counts = (
+    counts = iter_materialize(
         load(spark, sf_dir, "documents")
         .select("lang", toks_n.alias("nt"))
         .groupBy("lang")

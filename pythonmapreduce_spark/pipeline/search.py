@@ -921,6 +921,14 @@ def search_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     score, doc_id) and metrics round to 6dp — the suite's drift-proof
     compare convention; DCG terms are irrational (log2 denominators),
     so a 6dp half-boundary tie between engines is measure-zero.
+
+    Round 11: ONE materialized narrow base per corpus pass, exactly
+    _bm25_scores' discipline — (doc_id, dl, query-matching tokens,
+    query-phrase bigrams) is computed in a single scan and every
+    downstream table (dl, stats, tf, phrase) reads it; ``graded`` is
+    materialized too (ranked/ideal/nrel all consume it). The old DAG
+    re-derived the tokenize from parquet for each consumer — 11
+    documents scans in the executed plan, now 1.
     """
     from pyspark.sql import Window
 
@@ -930,18 +938,32 @@ def search_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     all_terms = [t for q in _EVAL_QUERIES for t in q[1:]]
     phrases = [f"{t1} {t2}" for _, t1, t2 in _EVAL_QUERIES]
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr("filter(split(text, '\\\\s+'), t -> t != '')").alias("toks"),
+    terms_sql = ", ".join(f"'{t}'" for t in sorted(set(all_terms)))
+    phrases_sql = ", ".join(f"'{p}'" for p in phrases)
+    base = iter_materialize(
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr("filter(split(text, '\\\\s+'), t -> t != '')").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.expr(f"filter(toks, t -> t IN ({terms_sql}))").alias("qtoks"),
+            F.expr(
+                "filter(transform(sequence(1, greatest(size(toks) - 1, 0)), "
+                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))), "
+                f"b -> b IN ({phrases_sql}))"
+            ).alias("qgrams"),
+        )
     )
-    dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
-    stats = docs.agg(
+    dl = base.select("doc_id", "dl")
+    stats = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.avg(F.size("toks")).alias("avgdl"),
+        F.avg("dl").alias("avgdl"),
     )
     tf = (
-        docs.select("doc_id", F.explode("toks").alias("term"))
-        .where(F.col("term").isin(all_terms))
+        base.select("doc_id", F.explode("qtoks").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
@@ -961,8 +983,7 @@ def search_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("term") == F.col("t1")) | (F.col("term") == F.col("t2")),
     ).select("query_id", "doc_id", "term", "tf")
     phrase = (
-        _doc_bigrams(spark, sf_dir)
-        .where(F.col("bigram").isin(phrases))
+        base.select("doc_id", F.explode("qgrams").alias("bigram"))
         .join(
             F.broadcast(qmap),
             F.col("bigram") == F.concat_ws(" ", "t1", "t2"),
@@ -971,7 +992,7 @@ def search_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_phrase", F.lit(1))
     )
-    graded = (
+    graded = iter_materialize(
         qtf.groupBy("query_id", "doc_id")
         .agg(F.count_distinct("term").alias("cov"))
         .join(phrase, ["query_id", "doc_id"], "left")

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pythonmapreduce_spark.catalog import load
+from pythonmapreduce_spark.plans.materialize import iter_materialize
 from pythonmapreduce_spark.plans.registry import register
 from pythonmapreduce_spark.sources.text_corpus import token_count_col, tokens_col
 
@@ -876,10 +877,17 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregates. The scalar totals ride along as a 1-row cross join,
     and PMI itself is per-row double math (no summation), identical in
     both engines.
+
+    Round 11: both count tables are materialized — uni feeds three
+    consumers (n_uni, the two component joins) and the bigram counts two
+    (the c_ab ≥ 10 slice and the n_big total), so the unmaterialized DAG
+    re-ran the tokenize+explode from parquet five times; now exactly two
+    corpus passes (one per explode), with everything downstream reading
+    the vocab-sized checkpoints.
     """
     toks = tokens_col()
     docs = load(spark, sf_dir, "documents")
-    uni = (
+    uni = iter_materialize(
         docs.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -889,14 +897,14 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    big = (
+    bigcnt = iter_materialize(
         docs.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .where(F.col("c_ab") >= 10)
     )
+    big = bigcnt.where(F.col("c_ab") >= 10)
     tot = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
-        docs.select(F.explode(bigrams).alias("b")).agg(F.count(F.lit(1)).alias("n_big"))
+        bigcnt.agg(F.sum("c_ab").alias("n_big"))
     )
     w1 = F.split(F.col("bigram"), " ").getItem(0)
     w2 = F.split(F.col("bigram"), " ").getItem(1)
