@@ -1074,8 +1074,17 @@ def remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles, no global index build.
     """
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.expr("filter(split(text, '\\\\s+'), t -> t != '')").alias("t")
+    # toks is materialized (round 11): three consumers (the span-position
+    # base, tokpos's rebuild explode, and the final n_tokens projection)
+    # each re-ran the parquet scan + regex tokenize otherwise. The
+    # checkpoint holds the token arrays once — the same bytes the old
+    # plan recomputed twice more (measured 2.10 → 1.73 s min-of-6
+    # interleaved at sf0.1, identical rows); on a cluster the
+    # iterMaterialize conf picks persist/checkpoint instead.
+    toks = iter_materialize(
+        docs.select(
+            "doc_id", F.expr("filter(split(text, '\\\\s+'), t -> t != '')").alias("t")
+        )
     )
     # span_key never leaves its engine (the output carries no keys), so
     # each side may use its own injective hash: here one multi-arg

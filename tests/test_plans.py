@@ -574,27 +574,24 @@ def test_parquet_aggregate_pushdown_footer_only(spark, sf_smoke) -> None:
 
 
 def test_search_ndcg_mrr_scan_stage_filters(spark, sf_smoke) -> None:
-    # ranking evaluation must inherit bm25_rank's discipline: the term and
-    # bigram explodes are filtered to the 6 eval terms / 3 query phrases
-    # INSIDE the scan stage (every Generate's parent is a Filter — nothing
-    # exploded crosses an Exchange unfiltered), model sides broadcast, and
-    # the whole metric pipeline stays JVM-side
+    # ranking evaluation must inherit bm25_rank's discipline, round-11
+    # form: ONE materialized corpus pass computes pre-filtered arrays
+    # (query-matching tokens, query-phrase bigrams), so every explode in
+    # the final plan reads the checkpointed base — the plan contains NO
+    # parquet scan (the single scan ran at materialization) and nothing
+    # exploded is ever unfiltered, because the filter lives INSIDE the
+    # array columns being exploded. Model sides broadcast; the whole
+    # metric pipeline stays JVM-side.
     import re
 
     plan = _plan(registry.QUERIES["search_ndcg_mrr"](spark, sf_smoke))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+    assert "Scan parquet" not in plan  # corpus read once, at the base
+    # both explodes (qtoks terms, qgrams phrases) present and fed by the base
     tree = plan.split("\n\n")[0]
-    lines = tree.splitlines()
-    for i, ln in enumerate(lines):
-        if re.search(r"\bGenerate \(\d+\)", ln):
-            assert re.search(r"\bFilter \(\d+\)", lines[i - 1]), (
-                "unfiltered explode:\n" + "\n".join(lines[i - 1 : i + 1])
-            )
-    # column pruning: only (doc_id, text) leave the documents scans
-    for ln in plan.splitlines():
-        if "ReadSchema" in ln:
-            assert "n_chars" not in ln and "source" not in ln, ln
+    assert len(re.findall(r"\bGenerate \(\d+\)", tree)) == 2
+    assert "Scan ExistingRDD" in tree
 
 
 def test_media_chunk_cdc_digests_only_exchange(spark, sf_smoke) -> None:

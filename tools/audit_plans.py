@@ -68,6 +68,18 @@ ALLOW: dict[str, dict[str, str]] = {
             "which pipeline_train_prep also uses since late round 7"
         ),
     },
+    "pipeline_train_prep": {
+        "scan-mult:documents": (
+            "three DISJOINT pruned projections since the round-11 split: "
+            "the bench-snippet slice (doc_id%7, 60-char prefix only), the "
+            "window-explode side (doc_id + text, len>=60 pushed), and the "
+            "metadata side (doc_id, lang, sha2) — re-scanning beats "
+            "checkpointing corpus TEXT, and the split is what removed the "
+            "64-char digest from every exploded window row (measured "
+            "1.64 -> 0.98 s at sf0.1); same different-pruned-slices "
+            "adjudication as resample_interpolate"
+        ),
+    },
     "dedup_near_incremental": {
         "scan-mult:documents": (
             "4 scans are two complementary %3 snapshot slices for the band "
