@@ -35,7 +35,7 @@ LAST_RUN_PROGRESS: dict = {}
 
 
 def _run_to_memory(
-    stream_df: DataFrame, mode: str, partitions: int = 8
+    stream_df: DataFrame, mode: str, partitions: int = 4
 ) -> tuple[SparkSession, str]:
     """Run a streaming DataFrame to completion into a memory sink.
 
@@ -48,10 +48,13 @@ def _run_to_memory(
     # A streaming query pins its state-store partition count to
     # spark.sql.shuffle.partitions at first start, and every partition is
     # a RocksDB/HDFS store instance to create and commit — at test scale
-    # that fixed cost dominates (32 stores ≈ seconds per query). 8 is
-    # plenty for a bounded replay; production picks this per expected
-    # state volume, and it's per-query (each has its own checkpoint), so
-    # the batch-session conf is restored right after start-up.
+    # that fixed cost dominates (32 stores ≈ seconds per query). 4 is
+    # plenty for a bounded replay (round 11: 8→4 measured 0.95 → 0.84 s
+    # min-of-5 on stream_event_window with identical output — the same
+    # store-count adjudication the join tier got in round 5); production
+    # picks this per expected state volume, and it's per-query (each has
+    # its own checkpoint), so the batch-session conf is restored right
+    # after start-up.
     # Stream-stream joins pass partitions=4: each join partition is FOUR
     # store instances (keyToNumValues + keyWithIndexToValue per side), so
     # a join at 8 partitions commits 32 stores per micro-batch — measured
