@@ -42,11 +42,20 @@ def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, bigram) pairs, one row per adjacent token pair.
 
     Tokenization happens ONCE into a named ``toks`` column before the
-    positional lambda touches it — inlining ``filter(split(text))`` into
-    each ``element_at(·, i)`` makes Catalyst re-tokenize per INDEX, i.e.
+    array expressions touch it — inlining ``filter(split(text))`` into
+    each element access makes Catalyst re-tokenize per INDEX, i.e.
     O(len²) per document. The two-step projection keeps bigram assembly
     linear (subexpression reuse inside one whole-stage-codegen stage, no
-    shuffle)."""
+    shuffle).
+
+    Bigrams are built by zipping the two offset slices (ngram_bigrams'
+    idiom) rather than ``transform(sequence(1, size-1), element_at)``:
+    under Spark 4's default ANSI mode the sequence form is fatal on 0/1-
+    token documents — ``sequence(1, 0)`` DESCENDS to ``[1, 0]`` and
+    ``element_at(toks, 0)`` throws — while ``slice`` with a 0 length
+    yields an empty array, matching the DuckDB oracles'
+    ``generate_series(1, 0) = []``. Identical output for every document
+    with ≥2 tokens."""
     return (
         load(spark, sf_dir, "documents")
         .select(
@@ -57,8 +66,9 @@ def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(toks) - 1), "
-                    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+                    "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)), "
+                    "slice(toks, 2, greatest(size(toks) - 1, 0)), "
+                    "(a, b) -> concat(a, ' ', b))"
                 )
             ).alias("bigram"),
         )
@@ -951,9 +961,14 @@ def search_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("toks").cast("long").alias("dl"),
             F.expr(f"filter(toks, t -> t IN ({terms_sql}))").alias("qtoks"),
             F.expr(
-                "filter(transform(sequence(1, greatest(size(toks) - 1, 0)), "
-                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))), "
-                f"b -> b IN ({phrases_sql}))"
+                # zip_with over the two offset slices, not
+                # transform(sequence(1, size-1), element_at): sequence(1, 0)
+                # descends to [1, 0] on 0/1-token docs and element_at(toks, 0)
+                # is fatal under ANSI mode (Spark 4 default).
+                "filter(zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)), "
+                "slice(toks, 2, greatest(size(toks) - 1, 0)), "
+                "(a, b) -> concat(a, ' ', b)), "
+                f"g -> g IN ({phrases_sql}))"
             ).alias("qgrams"),
         )
     )

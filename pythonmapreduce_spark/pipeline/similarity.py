@@ -1687,8 +1687,13 @@ def _pq_train(sample):
 # that could still round-tie into the global top-50 sits within 1e-6 of the
 # batch's 50th-smallest unrounded distance — pruning only past 2e-6 can
 # never drop a global top-50 row (proof in _pq_adc_scored's docstring).
-_PQ_PRUNE_K = 50
+_PQ_SHORTLIST = 50  # ann_pq_rerank's exact-rescore shortlist width
+_PQ_PRUNE_K = _PQ_SHORTLIST
 _PQ_PRUNE_MARGIN = 2e-6
+# The per-batch prune is only lossless for consumers keeping <= _PQ_PRUNE_K
+# rows per query; both downstream keeps must stay under it or the prune
+# silently drops rows they would have ranked.
+assert _PQ_PRUNE_K >= max(_KNN_K, _PQ_SHORTLIST)
 
 
 def _pq_fused_adc(bc):
@@ -1895,7 +1900,7 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shortlist = (
         scored.withColumn("srank", F.row_number().over(w_short))
-        .where(F.col("srank") <= 50)
+        .where(F.col("srank") <= _PQ_SHORTLIST)
         .select("q_id", "vec_id")
     )
     qvec = unit.where(F.col("vec_id") <= _KNN_QUERIES).select(
