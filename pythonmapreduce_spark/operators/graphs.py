@@ -113,6 +113,36 @@ def _pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame | None:
     return ranks
 
 
+def basket_pair_rows(baskets: DataFrame, c1: str, c2: str) -> DataFrame:
+    """All ordered pairs (a < b) from each basket's sorted distinct
+    ``parts`` array, one pair per output row — shared by the graph edge
+    base and basket_rules.
+
+    Round 12 shape: a TWO-LEVEL explode (posexplode each anchor, then
+    explode the anchor's tail slice) instead of round 11's
+    ``flatten(transform(...))`` single explode. The single-explode form
+    materialized all k(k-1)/2 pair structs of a basket INSIDE ONE ROW
+    before the Generate — fine at TPC-H's k≈4, but a skewed 100 TB
+    basket key makes that one row O(k²) bytes with no spill path (a
+    10⁶-item basket would be a single ~10 TB row). The two-level form
+    keeps every row O(k): level 1 emits one (anchor, parts) row per
+    item, level 2 slices the tail on the fly, and both Generates stream
+    through the same whole-stage pipeline — the O(k²) pair volume still
+    exists (it is the job's output), but only ever as ROWS, which
+    shuffle and spill like any other rows. Same total work, no
+    single-row blowup, no cap constant, no degrade branch, and still
+    exactly one pass over the fact table. p1 < p2 by construction
+    (sorted distinct array, tail slice strictly after the anchor)."""
+    return baskets.select(
+        "parts", F.posexplode("parts").alias("_i", c1)
+    ).select(
+        c1,
+        F.explode(
+            F.expr("slice(parts, _i + 2, size(parts) - _i - 1)")
+        ).alias(c2),
+    )
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected edge set (src < dst) of the part co-occurrence graph.
 
@@ -124,7 +154,8 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan executed as TWO full lineitem scans + two distinct exchanges +
     a join-key shuffle; now the only exchanges are the groupBy(order)
     and the final edge distinct. Identical edge set (verified row-equal
-    at sf0.1 and via every graph oracle)."""
+    at sf0.1 and via every graph oracle). Round 12: the pair explode is
+    the two-level skew-safe form — see basket_pair_rows."""
     urgent = (
         load(spark, sf_dir, "orders")
         .where(F.col("o_orderpriority") == "1-URGENT")
@@ -136,16 +167,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
-    pair_expr = F.expr(
-        "flatten(transform(parts, (x, i) -> "
-        "transform(slice(parts, i + 2, size(parts) - i - 1), "
-        "y -> struct(x AS src, y AS dst))))"
-    )
-    return (
-        baskets.select(F.explode(pair_expr).alias("e"))
-        .select("e.src", "e.dst")
-        .distinct()
-    )
+    return basket_pair_rows(baskets, "src", "dst").distinct()
 
 
 @register(

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pythonmapreduce_spark.catalog import load
+from pythonmapreduce_spark.operators.graphs import basket_pair_rows
 from pythonmapreduce_spark.operators.quantiles import weighted_quantiles
 from pythonmapreduce_spark.plans.materialize import iter_materialize
 from pythonmapreduce_spark.plans.registry import register
@@ -1475,14 +1476,11 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    pair_expr = F.expr(
-        "flatten(transform(parts, (x, i) -> "
-        "transform(slice(parts, i + 2, size(parts) - i - 1), "
-        "y -> struct(x AS p1, y AS p2))))"
-    )
+    # Two-level skew-safe pair explode (round 12) — see
+    # graphs.basket_pair_rows for why the single-explode form is an
+    # unbounded-basket hazard at scale.
     pairs = (
-        baskets.select(F.explode(pair_expr).alias("pr"))
-        .select("pr.p1", "pr.p2")
+        basket_pair_rows(baskets, "p1", "p2")
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("both_cnt"))
         .where(F.col("both_cnt") >= 3)

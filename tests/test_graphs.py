@@ -6,7 +6,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pythonmapreduce_spark.operators.graphs import _edges, _pagerank_ranks
+from pythonmapreduce_spark.operators.graphs import (
+    _edges,
+    _pagerank_ranks,
+    basket_pair_rows,
+)
 from pythonmapreduce_spark.plans import registry
 
 registry.load_all()
@@ -36,6 +40,29 @@ def test_triangle_count_matches_adjacency_intersection(spark, sf_smoke) -> None:
     ]
     assert common == 3 * wedge
     assert wedge > 0  # the graph is non-degenerate at every test SF
+
+
+def test_basket_pair_rows_unbounded_basket(spark) -> None:
+    """Skew fixture (round 12): one 10⁴-item basket must stream through
+    the two-level pair explode — k(k-1)/2 ≈ 5·10⁷ pair ROWS, never a
+    single row holding k² structs (the round-11 flatten(transform(...))
+    form built exactly that and had no spill path). Also pins pair
+    semantics on a small basket: count, p1 < p2, and the exact pair set.
+    """
+    hot = spark.range(1).select(
+        F.expr("sequence(0L, 9999L)").alias("parts")
+    )
+    k = 10_000
+    n = basket_pair_rows(hot, "p1", "p2").count()
+    assert n == k * (k - 1) // 2
+
+    small = spark.createDataFrame(
+        [([1, 3, 7],), ([5],), ([],)], "parts array<long>"
+    )
+    got = sorted(
+        (r.p1, r.p2) for r in basket_pair_rows(small, "p1", "p2").collect()
+    )
+    assert got == [(1, 3), (1, 7), (3, 7)]
 
 
 def test_pagerank_mass_conserved(spark, sf_smoke) -> None:
