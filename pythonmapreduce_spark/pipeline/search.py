@@ -809,6 +809,40 @@ _EVAL_QMAP_VALUES = ", ".join(
 _EVAL_ALL_TERMS = ", ".join(f"'{t}'" for q in _EVAL_QUERIES for t in q[1:])
 
 
+def _ndcg_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_ndcg_mrr's single corpus pass, UN-materialized: (doc_id,
+    dl, query-matching tokens, query-phrase bigrams). Factored out so
+    the plan tests can assert column pruning and the in-scan filters on
+    the subtree that otherwise executes (and vanishes) at
+    materialization time."""
+    all_terms = [t for q in _EVAL_QUERIES for t in q[1:]]
+    phrases = [f"{t1} {t2}" for _, t1, t2 in _EVAL_QUERIES]
+    terms_sql = ", ".join(f"'{t}'" for t in sorted(set(all_terms)))
+    phrases_sql = ", ".join(f"'{p}'" for p in phrases)
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr("filter(split(text, '\\\\s+'), t -> t != '')").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.expr(f"filter(toks, t -> t IN ({terms_sql}))").alias("qtoks"),
+            F.expr(
+                # zip_with over the two offset slices, not
+                # transform(sequence(1, size-1), element_at): sequence(1, 0)
+                # descends to [1, 0] on 0/1-token docs and element_at(toks, 0)
+                # is fatal under ANSI mode (Spark 4 default).
+                "filter(zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)), "
+                "slice(toks, 2, greatest(size(toks) - 1, 0)), "
+                "(a, b) -> concat(a, ' ', b)), "
+                f"g -> g IN ({phrases_sql}))"
+            ).alias("qgrams"),
+        )
+    )
+
+
 @register(
     "search_ndcg_mrr",
     oracle=f"""
@@ -946,32 +980,7 @@ def search_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(qid, t1, t2) for qid, t1, t2 in _EVAL_QUERIES],
         "query_id long, t1 string, t2 string",
     )
-    all_terms = [t for q in _EVAL_QUERIES for t in q[1:]]
-    phrases = [f"{t1} {t2}" for _, t1, t2 in _EVAL_QUERIES]
-    terms_sql = ", ".join(f"'{t}'" for t in sorted(set(all_terms)))
-    phrases_sql = ", ".join(f"'{p}'" for p in phrases)
-    base = iter_materialize(
-        load(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.expr("filter(split(text, '\\\\s+'), t -> t != '')").alias("toks"),
-        )
-        .select(
-            "doc_id",
-            F.size("toks").cast("long").alias("dl"),
-            F.expr(f"filter(toks, t -> t IN ({terms_sql}))").alias("qtoks"),
-            F.expr(
-                # zip_with over the two offset slices, not
-                # transform(sequence(1, size-1), element_at): sequence(1, 0)
-                # descends to [1, 0] on 0/1-token docs and element_at(toks, 0)
-                # is fatal under ANSI mode (Spark 4 default).
-                "filter(zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)), "
-                "slice(toks, 2, greatest(size(toks) - 1, 0)), "
-                "(a, b) -> concat(a, ' ', b)), "
-                f"g -> g IN ({phrases_sql}))"
-            ).alias("qgrams"),
-        )
-    )
+    base = iter_materialize(_ndcg_base(spark, sf_dir))
     dl = base.select("doc_id", "dl")
     stats = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

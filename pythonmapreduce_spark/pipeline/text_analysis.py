@@ -884,7 +884,20 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-ran the tokenize+explode from parquet five times; now exactly two
     corpus passes (one per explode), with everything downstream reading
     the vocab-sized checkpoints.
+
+    Round 12: only the c_ab ≥ 10 SLICE is checkpointed. Materializing
+    the unfiltered bigram vocabulary grew executor-local storage with
+    corpus size (the full table can be orders of magnitude larger than
+    the frequent slice); n_big — its only other consumer — is now an
+    ``observe()`` metric summed DURING the same materialization pass
+    (CollectMetrics is an accumulator riding the existing job: no extra
+    pass, no extra checkpoint bytes, delivered by the eager
+    materialization action in every iterMaterialize mode) and folded
+    into the projection as a literal. Same value, verified equal to the
+    full-table aggregate at sf0.1 (265,704).
     """
+    from pyspark.sql import Observation
+
     toks = tokens_col()
     docs = load(spark, sf_dir, "documents")
     uni = iter_materialize(
@@ -897,14 +910,20 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    bigcnt = iter_materialize(
+    obs = Observation()
+    big = iter_materialize(
         docs.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("c_ab"))
+        .observe(obs, F.sum("c_ab").alias("n_big"))
+        .where(F.col("c_ab") >= 10)
     )
-    big = bigcnt.where(F.col("c_ab") >= 10)
-    tot = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
-        bigcnt.agg(F.sum("c_ab").alias("n_big"))
+    # The eager materialization above already ran the pass; .get returns
+    # the delivered metric (None only on an empty corpus, where `big` is
+    # empty anyway and the literal is never evaluated against a row).
+    n_big = obs.get["n_big"]
+    tot = uni.agg(F.sum("c").alias("n_uni")).withColumn(
+        "n_big", F.lit(n_big).cast("long")
     )
     w1 = F.split(F.col("bigram"), " ").getItem(0)
     w2 = F.split(F.col("bigram"), " ").getItem(1)

@@ -593,6 +593,23 @@ def test_search_ndcg_mrr_scan_stage_filters(spark, sf_smoke) -> None:
     assert len(re.findall(r"\bGenerate \(\d+\)", tree)) == 2
     assert "Scan ExistingRDD" in tree
 
+    # The base subtree executes at materialization time and vanishes from
+    # the final plan, so assert its discipline on the UN-materialized base
+    # (round-12 restoration of the pruning coverage the round-11 rewrite
+    # dropped): the single corpus scan is pruned to (doc_id, text), and
+    # the arrays fed to the final plan's explodes are pre-filtered to the
+    # evaluation terms / query phrases inside the scan stage.
+    from pythonmapreduce_spark.pipeline.search import _ndcg_base
+
+    base_plan = _plan(_ndcg_base(spark, sf_smoke))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", base_plan)
+    assert m and sorted(f.split(":")[0] for f in m.group(1).split(",")) == [
+        "doc_id",
+        "text",
+    ], base_plan
+    assert base_plan.split("\n\n")[0].count("Scan parquet") == 1
+    assert "lambdafunction(g#" in base_plan or " IN (" in base_plan  # in-array filters
+
 
 def test_media_chunk_cdc_digests_only_exchange(spark, sf_smoke) -> None:
     # the CDC chunker is ONE Arrow stage over the scan (no row-at-a-time
