@@ -49,6 +49,20 @@ _MERGES_SCHEMA = T.StructType(
 )
 
 
+def _marker_encode() -> F.Column:
+    r"""Marker-encode the document's filtered token stream: every symbol
+    char prefixed with ␁, tokens joined by ' '. ONE regex pass over the
+    space-joined string (round 12) instead of a per-token
+    ``transform(toks, t -> regexp_replace(t, '(.)', ␁$1))`` lambda —
+    equivalent because tokens are \s+-split (they contain no whitespace,
+    so ``[^ ]`` marks exactly the chars ``(.)`` marked per token, and the
+    single space separators stay unmarked); measured 0.82× on the encode
+    pass at sf0.1 (0.188 vs 0.228 noop min, steal 0, byte-equal on all
+    5000 docs)."""
+    toks = F.filter(tokens_col(), lambda t: ~F.contains(t, F.lit(_D)))
+    return F.regexp_replace(F.array_join(toks, " "), "([^ ])", _D + "$1")
+
+
 def _bpe_oracle(rounds: int) -> str:
     """Unrolled k-round CTE mirroring the Spark loop exactly (same marker
     encoding, same replace semantics — DuckDB's replace also resumes after
@@ -216,14 +230,9 @@ def tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast if it outgrew literal form.
     """
     merges = _train_merges(spark, sf_dir)
-    toks = F.filter(
-        tokens_col(), lambda t: ~F.contains(t, F.lit(_D))
+    enc = load(spark, sf_dir, "documents").select(
+        "doc_id", _marker_encode().alias("msym")
     )
-    msym = F.array_join(
-        F.transform(toks, lambda t: F.regexp_replace(t, "(.)", _D + "$1")),
-        " ",
-    )
-    enc = load(spark, sf_dir, "documents").select("doc_id", msym.alias("msym"))
     applied = F.col("msym")
     for _rnd, pa, pb, _cnt in merges:
         applied = F.replace(
@@ -278,14 +287,13 @@ def tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     merges = _train_merges(spark, sf_dir)
     toks = F.filter(tokens_col(), lambda t: ~F.contains(t, F.lit(_D)))
-    msym = F.array_join(
-        F.transform(toks, lambda t: F.regexp_replace(t, "(.)", _D + "$1")),
-        " ",
-    )
     enc = (
         load(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
-        .select(F.array_join(toks, " ").alias("orig"), msym.alias("msym"))
+        .select(
+            F.array_join(toks, " ").alias("orig"),
+            _marker_encode().alias("msym"),
+        )
     )
     applied = F.col("msym")
     for _rnd, pa, pb, _cnt in merges:
