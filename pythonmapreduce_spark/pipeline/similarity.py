@@ -978,9 +978,14 @@ def knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single aggregate — no per-class filtering passes, so the plan cost
     is |queries| regardless of how many classes exist. Rounded ratios +
     NULL-on-zero denominators identical on both engines.
+
+    Round 12: ``preds`` (|queries| rows) is materialized — both tagged
+    projections consume it, and without the cut each re-executed the
+    ENTIRE kNN pipeline upstream (scoring scan + vote, 8 embeddings
+    scans in the executed plan; now 4 + the checkpoint).
     """
-    preds = QUERIES["knn_classify"](spark, sf_dir).select(
-        "true_label", "predicted"
+    preds = iter_materialize(
+        QUERIES["knn_classify"](spark, sf_dir).select("true_label", "predicted")
     )
     truth_side = preds.select(
         F.col("true_label").alias("cls"),
@@ -1598,6 +1603,11 @@ def embedding_truncate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return ranked
 
+    # NOT materialized (round-12 negative result): full_k feeds both the
+    # overlap join and the n_full normalizer, but checkpointing it
+    # measured 1.36× SLOWER interleaved (1.535 vs 1.128 min, steal 10) —
+    # the planner already serves the two identical window subtrees from
+    # one exchange, so the eager checkpoint only added a job barrier.
     full_k = topk(F.col("qv"), F.col("nv"))
     trunc_k = topk(F.slice("qv", 1, 16), F.slice("nv", 1, 16))
     hits = full_k.join(trunc_k, ["q_id", "n_id"])
@@ -2009,11 +2019,14 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream ANN index and classifier threshold is now suspect. The
     vector-space sibling of psi_drift's scalar histogram comparison.
 
-    Scale shape: two mean-pooling aggregates (64 coordinate sums each,
-    map-side partials, the embedding_centroid plan) and a 1x1 join of
-    two single-row results — nothing but 128 doubles past the
-    aggregates. Per-coordinate means divide identically on both engines;
-    emitted at 6dp.
+    Scale shape: ONE mean-pooling aggregate grouped by the half tag
+    (64 coordinate sums per group, map-side partials — round 12 fused
+    the two per-half aggregates, halving the corpus passes; the split
+    point still needs its own max(vec_id) pass, pruned to one column)
+    and a 1x1 join of the two group rows — nothing but 128 doubles past
+    the aggregate. Per-coordinate means divide identically on both
+    engines (same sums, same counts, same order as the per-half
+    aggregates they replace); emitted at 6dp.
     """
     v = _vectors(spark, sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("ve")
@@ -2024,17 +2037,16 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = v.join(F.broadcast(mid)).select(
         (F.col("vec_id") <= F.col("m")).alias("is_ref"), "ve"
     )
-
-    def centroid(df):
-        sums = df.groupBy().agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.sum(F.col("ve")[i]).alias(f"s{i}") for i in range(64)],
-        )
-        arr = F.array(*[F.col(f"s{i}") / F.col("n") for i in range(64)])
-        return sums.select("n", arr.alias("c"))
-
-    a = centroid(tagged.where(F.col("is_ref")))
-    b = centroid(tagged.where(~F.col("is_ref"))).select(
+    sums = tagged.groupBy("is_ref").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col("ve")[i]).alias(f"s{i}") for i in range(64)],
+    )
+    arr = F.array(*[F.col(f"s{i}") / F.col("n") for i in range(64)])
+    # 2-row result table, materialized: both half-selectors read it, and
+    # without the cut each would re-run the corpus aggregate.
+    centroids = iter_materialize(sums.select("is_ref", "n", arr.alias("c")))
+    a = centroids.where(F.col("is_ref")).select("n", "c")
+    b = centroids.where(~F.col("is_ref")).select(
         F.col("n").alias("n2"), F.col("c").alias("c2")
     )
     dot = F.aggregate(

@@ -54,11 +54,20 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — survey must not die mid-sweep
             print(f"{name}: EXPLAIN FAILED {exc!r}", file=sys.stderr)
             continue
-        # Scan details name the file: "Location: ... [file:/.../lineitem.parquet]"
-        tables = re.findall(r"/(\w+)\.parquet", plan)
+        # Count SCAN NODES, not raw ".parquet" mentions (round 12): the
+        # formatted plan repeats a file's Location string in ReusedExchange
+        # /subquery reprints, which over-counted. Each physical scan gets
+        # exactly one "(N) Scan parquet" detail block (blank-line
+        # separated, including inside the Subqueries section); its
+        # Location line names the table.
         counts: dict[str, int] = {}
-        for t in tables:
-            counts[t] = counts.get(t, 0) + 1
+        for block in plan.split("\n\n"):
+            if not re.match(r"\(\d+\) Scan parquet", block.lstrip()):
+                continue
+            m = re.search(r"/(\w+)\.parquet", block)
+            if m:
+                t = m.group(1)
+                counts[t] = counts.get(t, 0) + 1
         for t, c in counts.items():
             if c >= args.min_scans:
                 rows.append((c, name, t))
