@@ -143,6 +143,22 @@ def main() -> int:
         except (OSError, IndexError, ValueError):
             return -1
 
+    def assert_no_cache(name: str) -> None:
+        # Anti-gaming gate (round 12): Spark's CacheManager serves ANY
+        # later query whose subtree canonically matches a cached plan —
+        # so a query that left a persist() behind would let a warmup
+        # feed the timed runs. Every query must return with the SQL
+        # cache empty; runs OUTSIDE the timed section.
+        try:
+            empty = spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        except Exception:
+            return  # private API moved — the pytest gate still covers it
+        if not empty:
+            raise AssertionError(
+                f"{name}: SQL cache entries survived the query build; "
+                "bench timings would be contaminated across runs"
+            )
+
     load_start = round(os.getloadavg()[0], 2)
     steal_start = steal_ticks()
     warmups, timed_runs = 2, 3
@@ -152,6 +168,7 @@ def main() -> int:
         fn = registry.QUERIES[name]
         for _ in range(warmups):
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        assert_no_cache(name)
         samples = []
         for _ in range(timed_runs):
             t0 = time.perf_counter()
@@ -159,6 +176,7 @@ def main() -> int:
             samples.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(samples), 3)
         mins[name] = round(min(samples), 3)
+        assert_no_cache(name)
 
     total = round(sum(times.values()), 3)
     # Key order is deliberate, least-critical FIRST: the driver keeps only

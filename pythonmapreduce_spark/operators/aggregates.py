@@ -275,6 +275,17 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable, constant memory) remains the recommended 100 TB path; this
     exact twin is the oracle that calibrates that sketch's error.
 
+    Round-12 decision (closes the two-level-exact-quantile question): a
+    range-bucketed exact quantile (histogram pass to find each target
+    bucket, then sort only within it) would parallelize the per-group
+    running count beyond |groups| tasks — but it costs a second full
+    pass over the distribution, and the ONLY consumer of exact
+    quantiles at scale is sketch calibration, which runs on samples. In
+    production the sketch IS the path (constant memory, mergeable,
+    single pass); the exact twin exists to be trustworthy, not fast,
+    and its window sort spills rather than OOMs. Not implemented, by
+    decision.
+
     NULL semantics match the aggregate form: NULL values sort first with a
     zero running count, so they never satisfy the selection, n counts
     non-NULL only, and an all-NULL group yields NULL percentiles but still

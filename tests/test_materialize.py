@@ -117,3 +117,20 @@ def test_aqe_splits_skewed_join(spark) -> None:
                 sc.unset(k)
             else:
                 sc.set(k, v)
+
+
+def test_no_sql_cache_survives_any_headline_build(spark, sf_smoke) -> None:
+    """Anti-gaming gate (round 12): no query build may leave SQL-cache
+    entries behind. Spark's CacheManager matches CANONICALIZED plans, so
+    a persist() surviving one build would silently serve the next
+    identical build — in the bench that means a warmup feeding the timed
+    runs. Every bench query is built (and its materializations executed)
+    at the smoke SF; after each, the session's CacheManager must be
+    empty. bench.py enforces the same invariant at run time."""
+    import bench
+
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    cache_mgr.clearCache()
+    for name in bench.HEADLINE:
+        registry.QUERIES[name](spark, sf_smoke)
+        assert cache_mgr.isEmpty(), f"{name} left SQL-cache entries behind"

@@ -6,11 +6,14 @@ $SPARK_GRAFT_SF_DIR (default sf0.1). Round 11 established the layout;
 run with suffix=before at the START of an optimization round and
 suffix=after for every touched query before closing.
 
-Note: a query that materializes an intermediate (iter_materialize)
-executes that subtree eagerly during plan construction, so its scans
-appear only in captures taken BEFORE the materialization was added —
-the after-capture's consumers read `Scan ExistingRDD`. Count executed
-scans with tools/scan_audit.py, which sees the same thing.
+A query that materializes an intermediate (iter_materialize) executes
+that subtree eagerly during plan construction, so the final explain only
+shows `Scan ExistingRDD` where the work happened. Round 12: the capture
+now records those materialization passes FIRST-CLASS — each
+iter_materialize call's formatted plan is appended to the artifact as a
+"materialization pass" section via plans/materialize.PLAN_CAPTURE, so a
+0-scan final plan is never mistaken for free. scan_audit.py still counts
+only the final plan's scans.
 
 Usage: python tools/dump_round_plans.py <round> <suffix> [q1,q2,...]
 """
@@ -46,7 +49,11 @@ def main() -> int:
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(f"plans-r{rnd}")
     registry.load_all()
+    from pythonmapreduce_spark.plans import materialize
+
     for name in names:
+        passes: list[str] = []
+        materialize.PLAN_CAPTURE = passes
         try:
             df = registry.QUERIES[name](spark, sf_dir)
             buf = io.StringIO()
@@ -55,11 +62,20 @@ def main() -> int:
             text = buf.getvalue()
         except Exception as exc:  # noqa: BLE001 — survey must not die mid-sweep
             text = f"EXPLAIN FAILED: {exc!r}\n"
+        finally:
+            materialize.PLAN_CAPTURE = None
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         with open(path, "w") as f:
             f.write(f"-- {name} ({suffix}) @ {sf_dir}\n")
             f.write(text)
-        print(name, "ok", len(text))
+            for i, p in enumerate(passes, 1):
+                f.write(
+                    f"\n-- materialization pass {i}/{len(passes)} "
+                    "(executed eagerly at query build; its scans do NOT "
+                    "appear in the final plan above)\n"
+                )
+                f.write(p)
+        print(name, "ok", len(text), f"+{len(passes)} materialization passes")
     return 0
 
 
