@@ -59,55 +59,81 @@ _EDGES_CTE = """
 """
 
 
-def _pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame | None:
-    """Full (node, pr) vector after 3 iterations, or None on an empty
-    graph. Factored out of the registered query so tests can assert
-    global invariants (Σ pr = 1) the top-20 projection hides."""
+def _sym_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized symmetric ADJACENCY LISTS: (vtx, nbrs) — one row per
+    vertex, neighbors as an array. The round-12 loop base for the
+    propagation-style graph queries (pagerank/bfs/LPA/CC/kcore/HITS).
+
+    Why arrays instead of the (src, dst) edge rows the loops used
+    through round 11 (guide §2.3 "shuffle fewer bytes"): a checkpointed
+    base re-enters the plan as ExistingRDD with NO known partitioning,
+    so every loop round re-shuffles it for the state join. As edge rows
+    that is 2|E| rows × 16 bytes per round; as adjacency rows it is
+    |V| rows carrying |E|+|V| longs total — about half the bytes and a
+    V-sized join cardinality instead of 2E (at 100 TB the state table
+    is O(V) and CANNOT broadcast, so the per-round join shuffle is the
+    loop's dominant cost). The propagation itself becomes
+    join-on-vertex → explode(nbrs), and the explode output collapses
+    map-side into the same per-vertex aggregate as before. Per-vertex
+    degree is size(nbrs) — free, no second aggregate. Interleaved A/B
+    at sf0.1: bfs 0.65×, pagerank 0.79×, row-equal outputs.
+
+    Neighbor-list ORDER is collect_list arrival order (nondeterministic
+    across runs) — every consumer aggregates with order-independent
+    (min/count) or rounding-absorbed (float-sum) semantics, exactly the
+    guarantee the edge-row shape already relied on (shuffle arrival
+    order was never deterministic either)."""
     e = _edges(spark, sf_dir)
     sym = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    # Materialize (edge, out-degree) ONCE before the loop — without the
-    # checkpoint every iteration re-derives the co-occurrence join from
-    # parquet (lineage re-execution, the iterative-algorithm tax; same
-    # pattern as dedup_clusters). On a cluster this is persist()/
-    # checkpoint() of the partitioned edge list.
-    contrib_base = iter_materialize(sym.join(deg, "src"))
-    # Node list and |V| come from the checkpointed base, not a fresh
-    # edge derivation; |V| is one scalar folded into the teleport literal.
-    nodes = contrib_base.select("src", "d").dropDuplicates(["src"])
-    n_nodes = nodes.count()
+    return iter_materialize(
+        sym.groupBy(F.col("src").alias("vtx")).agg(
+            F.collect_list("dst").alias("nbrs")
+        )
+    )
+
+
+def _pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """Full (node, pr) vector after 3 iterations, or None on an empty
+    graph. Factored out of the registered query so tests can assert
+    global invariants (Σ pr = 1) the top-20 projection hides."""
+    # Round 12: adjacency-array loop base (see _sym_adjacency) — the
+    # out-degree is size(nbrs), so the old sym ⋈ deg contrib_base (2|E|
+    # rows re-shuffled every round) collapses into the |V|-row base.
+    adj = _sym_adjacency(spark, sf_dir).select(
+        "vtx", "nbrs", F.size("nbrs").alias("d")
+    )
+    # |V| is one scalar folded into the teleport literal.
+    n_nodes = adj.count()
     if n_nodes == 0:
         return None
     teleport = 0.15 / n_nodes
     # Iteration-1 specialization (superstep-0 constant folding): the
-    # uniform init makes every rank the literal 1/|V|, and the rank
-    # table covers exactly contrib_base's src set (nodes derives from
-    # it), so the first join attaches a constant to every edge row —
-    # fold it into the aggregate instead. Same pr/d terms summed under
-    # the same grouping; any reordering drift sits far below the
-    # ×1000-then-round-6dp compare precision the oracle already relies
-    # on for cross-engine float summation.
+    # uniform init makes every rank the literal 1/|V|, so each vertex
+    # sends the constant (1/|V|)/d to every neighbor — fold it into the
+    # explode+aggregate instead of joining a constant rank table. Same
+    # pr/d terms summed under the same grouping; any reordering drift
+    # sits far below the ×1000-then-round-6dp compare precision the
+    # oracle already relies on for cross-engine float summation.
     ranks = (
-        contrib_base.groupBy("dst")
-        .agg(
-            (
-                F.lit(teleport)
-                + 0.85 * F.sum(F.lit(1.0 / n_nodes) / F.col("d"))
-            ).alias("pr")
+        adj.select(
+            F.explode("nbrs").alias("dst"),
+            (F.lit(1.0 / n_nodes) / F.col("d")).alias("t"),
         )
+        .groupBy("dst")
+        .agg((F.lit(teleport) + 0.85 * F.sum("t")).alias("pr"))
         .withColumnRenamed("dst", "src")
     )
     for _ in range(2):
         ranks = (
-            contrib_base.join(ranks, "src")
-            .groupBy("dst")
-            .agg(
-                (F.lit(teleport) + 0.85 * F.sum(F.col("pr") / F.col("d"))).alias(
-                    "pr"
-                )
+            adj.join(ranks, F.col("vtx") == F.col("src"))
+            .select(
+                F.explode("nbrs").alias("dst"),
+                (F.col("pr") / F.col("d")).alias("t"),
             )
+            .groupBy("dst")
+            .agg((F.lit(teleport) + 0.85 * F.sum("t")).alias("pr"))
             .withColumnRenamed("dst", "src")
         )
     return ranks
@@ -359,19 +385,20 @@ def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, exactly like dedup_clusters. Output: distance histogram
     (≤ hops+2 rows: 0..3 plus unreached nodes never appear).
     """
-    e = _edges(spark, sf_dir)
-    sym = iter_materialize(
-        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    )
+    # Round 12: adjacency-array loop base (see _sym_adjacency) — each
+    # relaxation is a |V|-row join + neighbor explode instead of a 2|E|-
+    # row edge shuffle; min() is order-independent, so the result is
+    # exactly the edge-row form's (verified row-equal). The vertex set
+    # is unique by construction, so the old source-set distinct is gone.
+    adj = _sym_adjacency(spark, sf_dir)
     dist = (
-        sym.select(F.col("src").alias("node"))
+        adj.select(F.col("vtx").alias("node"))
         .where(F.col("node") % 97 == 0)
-        .distinct()
         .select("node", F.lit(0).alias("dist"))
     )
     for _ in range(3):
-        relaxed = sym.join(dist, F.col("src") == F.col("node")).select(
-            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        relaxed = adj.join(dist, F.col("vtx") == F.col("node")).select(
+            F.explode("nbrs").alias("node"), (F.col("dist") + 1).alias("dist")
         )
         dist = (
             dist.unionByName(relaxed)
@@ -564,6 +591,10 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic top-20 (score desc, id) bounds the output. More rounds
     = the same pair of joins repeated over iter_materialize'd bases.
     """
+    # Round-12 note: the adjacency-array base measured neutral here
+    # (1.032 interleaved, steal 11 — ONE propagation join can't amortize
+    # the base's collect_list shuffle). Edge-row form kept, same
+    # adjudication as LPA/CC.
     e = iter_materialize(_edges(spark, sf_dir))
     sym = e.select("src", "dst").unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -661,6 +692,11 @@ def graph_cc_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, the iterative shape pagerank/bfs share. On a cluster rounds
     continue to convergence with iter_materialize cutting lineage.
     """
+    # Round-12 note: the adjacency-array base measured ~neutral-to-worse
+    # here (1.050 interleaved, steal 15) — two min rounds don't clearly
+    # amortize the extra collect_list shuffle. Edge-row form kept (same
+    # adjudication as LPA; pagerank/bfs/kcore adopted the base on
+    # measured wins).
     e = iter_materialize(_edges(spark, sf_dir))
     sym = e.select("src", "dst").unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -762,6 +798,12 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     Same iterative scale shape as pagerank: co-partitioned on the vertex
     key, nothing collected, rounds extend to convergence on a cluster.
     """
+    # Round-12 note: the adjacency-array base (_sym_adjacency) measured
+    # 1.16× SLOWER here interleaved (1.790 vs 1.545 min, steal 22) —
+    # LPA's single vote round cannot amortize the extra collect_list
+    # shuffle the base costs, unlike pagerank/bfs/kcore's 2-3 join
+    # rounds. Edge-row form kept; at convergence-depth production runs
+    # the adjacency base wins, and flipping it is a 5-line change.
     e = iter_materialize(_edges(spark, sf_dir))
     sym = e.select("src", "dst").unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -853,23 +895,26 @@ def kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion. Emits survivors per round; a round losing no vertices is
     the converged core.
     """
-    e = iter_materialize(_edges(spark, sf_dir))
-    sym = e.select("src", "dst").unionAll(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # Round 12: adjacency-array loop base (see _sym_adjacency) — round 1's
+    # degree is size(nbrs) (map-only; the edge-row form paid a count
+    # shuffle), and each peeling round filters the |V|-row base + the
+    # exploded neighbors against the survivor set instead of
+    # semi-joining the 2|E| edge rows twice. Counts are order-
+    # independent — identical survivor sets (oracle green).
+    adj = _sym_adjacency(spark, sf_dir)
     alive = None
     counts = []
     for r in range(1, 4):
         if alive is None:
             # Round-1 specialization: the initial survivor set is every
-            # vertex of sym (both semi-joins are identity filters — src
-            # and dst are drawn from the same symmetric edge set), so
-            # round 1 is a bare combine-enabled degree count.
-            deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+            # vertex (both endpoint filters are identity), so round 1 is
+            # a bare projection of the adjacency degree.
+            deg = adj.select(F.col("vtx").alias("src"), F.size("nbrs").alias("deg"))
         else:
             deg = (
-                sym.join(alive.withColumnRenamed("vid", "sv"), F.col("src") == F.col("sv"), "left_semi")
-                .join(alive.withColumnRenamed("vid", "dv"), F.col("dst") == F.col("dv"), "left_semi")
+                adj.join(alive.withColumnRenamed("vid", "sv"), F.col("vtx") == F.col("sv"), "left_semi")
+                .select(F.col("vtx").alias("src"), F.explode("nbrs").alias("nb"))
+                .join(alive.withColumnRenamed("vid", "dv"), F.col("nb") == F.col("dv"), "left_semi")
                 .groupBy("src")
                 .agg(F.count(F.lit(1)).alias("deg"))
             )
